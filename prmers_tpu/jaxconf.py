@@ -1,0 +1,16 @@
+"""Central JAX configuration for prmers_tpu.
+
+Import this module before any jax.numpy use inside the package. The Goldilocks
+field lives in u64, so x64 mode is mandatory. Note: in some builds the
+JAX_ENABLE_X64 / JAX_PLATFORMS environment variables are ignored; only
+jax.config.update takes effect, which is why this module exists.
+"""
+
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+if os.environ.get("PRMERS_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PRMERS_PLATFORM"])

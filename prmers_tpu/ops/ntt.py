@@ -1,0 +1,215 @@
+"""Weighted NTT (IBDWT) over the Goldilocks field — TPU-native formulation.
+
+The length-n transform is a four-step matrix NTT: a column pass of length R
+(lane-parallel over C columns), factored mid-twiddles, a transpose, and a
+column pass of length C. Stage outputs are left in DIF digit-reversed order
+and consumed by the mirrored DIT inverse; only the fully-carried digit vector
+is canonical, so internal ordering is free (unlike the reference's dispatch
+tables, reference: include/marin/engine_gpu.h:1568-1630, this maps naturally
+onto TPU lanes and, when sharded, onto ICI all-to-all transposes).
+
+All functions are generic over the array namespace (numpy for the host oracle
+engine, jax.numpy for the device engine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from ..core import field
+from ..core.field import P, FieldOps
+from ..core.plan import Plan
+
+I4 = field.root_nth(4)          # primitive 4th root of unity
+I4_INV = field.inv(I4)
+W5 = field.root_nth(5)          # primitive 5th root
+W5_INV = field.inv(W5)
+
+
+@dataclasses.dataclass
+class StageT:
+    radix: int
+    tw: Any       # (radix, m) twiddles in target namespace
+    tw_inv: Any
+
+
+@dataclasses.dataclass
+class NttTables:
+    """Plan tables converted into a target array namespace."""
+    p: int
+    n: int
+    R: int
+    C: int
+    stages_r: list[StageT]
+    stages_c: list[StageT]
+    mid_t1: Any
+    mid_t2: Any
+    mid_t1_inv: Any
+    mid_t2_inv: Any
+    mid_tile: int
+    weights: Any        # (n,) u64
+    inv_weights_n: Any  # (n,) u64, inverse weights with 1/n folded in
+    widths: Any         # (n,) u64 digit widths
+    masks: Any          # (n,) u64 = 2^width - 1
+    carry_rounds: int   # static carry-injection rounds before the fixup loop
+
+    @classmethod
+    def from_plan(cls, plan: Plan, xp, device_put=None):
+        put = device_put if device_put is not None else (lambda a: xp.asarray(a))
+        F = FieldOps(np)
+        inv_n_arr = np.full(plan.n, np.uint64(plan.inv_n), dtype=np.uint64)
+        inv_weights_n = F.mul(plan.inv_weights, inv_n_arr)
+        widths64 = plan.widths.astype(np.uint64)
+        masks = (np.uint64(1) << widths64) - np.uint64(1)
+
+        def conv_stages(stages):
+            return [StageT(s.radix, put(s.tw), put(s.tw_inv)) for s in stages]
+
+        # number of carry rounds until the residual carry is provably <= 1:
+        # after round k the carry is < 2^(63 - k*w_min) (plus 1); see carry().
+        wmin = int(plan.widths.min())
+        rounds = 1
+        bound = plan.max_word * 9  # allow for the small multiplier a
+        while bound >> (rounds * wmin) > 1:
+            rounds += 1
+        return cls(
+            p=plan.p, n=plan.n, R=plan.R, C=plan.C,
+            stages_r=conv_stages(plan.stages_r),
+            stages_c=conv_stages(plan.stages_c),
+            mid_t1=put(plan.mid_t1), mid_t2=put(plan.mid_t2),
+            mid_t1_inv=put(plan.mid_t1_inv), mid_t2_inv=put(plan.mid_t2_inv),
+            mid_tile=plan.mid_tile,
+            weights=put(plan.weights),
+            inv_weights_n=put(inv_weights_n),
+            widths=put(widths64),
+            masks=put(masks),
+            carry_rounds=rounds,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Column transforms (along axis 0), DIF forward / DIT inverse
+# ---------------------------------------------------------------------------
+
+def _butterfly_fwd(F: FieldOps, parts, radix):
+    if radix == 2:
+        a0, a1 = parts
+        return [F.add(a0, a1), F.sub(a0, a1)]
+    if radix == 4:
+        a0, a1, a2, a3 = parts
+        b0 = F.add(a0, a2)
+        b1 = F.sub(a0, a2)
+        b2 = F.add(a1, a3)
+        b3 = F.mul_scalar(F.sub(a1, a3), I4)
+        return [F.add(b0, b2), F.add(b1, b3), F.sub(b0, b2), F.sub(b1, b3)]
+    if radix == 5:
+        return _dft5(F, parts, W5)
+    raise ValueError(radix)
+
+
+def _butterfly_inv(F: FieldOps, parts, radix):
+    if radix == 2:
+        a0, a1 = parts
+        return [F.add(a0, a1), F.sub(a0, a1)]
+    if radix == 4:
+        z0, z1, z2, z3 = parts
+        b0 = F.add(z0, z2)
+        b1 = F.sub(z0, z2)
+        b2 = F.add(z1, z3)
+        b3 = F.mul_scalar(F.sub(z1, z3), I4_INV)
+        return [F.add(b0, b2), F.add(b1, b3), F.sub(b0, b2), F.sub(b1, b3)]
+    if radix == 5:
+        return _dft5(F, parts, W5_INV)
+    raise ValueError(radix)
+
+
+def _dft5(F: FieldOps, parts, w5):
+    out = []
+    for r in range(5):
+        acc = parts[0]
+        for s in range(1, 5):
+            term = F.mul_scalar(parts[s], pow(w5, r * s, P))
+            acc = F.add(acc, term)
+        out.append(acc)
+    return out
+
+
+def col_fwd(F: FieldOps, x, stages):
+    """DIF column transform along axis 0 of x (shape (L, lanes...))."""
+    xp = F.xp
+    lanes = x.shape[1:]
+    B = 1
+    L = x.shape[0]
+    for st in stages:
+        r = st.radix
+        m = L // r
+        v = x.reshape((B, r, m) + lanes)
+        parts = [v[:, s] for s in range(r)]
+        outs = _butterfly_fwd(F, parts, r)
+        # twiddle rows 1..r-1 (row 0 is all-ones)
+        tw = st.tw.reshape((1, r, m) + (1,) * len(lanes))
+        outs = [outs[0]] + [F.mul(outs[i], tw[:, i]) for i in range(1, r)]
+        x = xp.stack(outs, axis=1).reshape((B * r, m) + lanes)
+        B *= r
+        L = m
+    return x.reshape((B * L,) + lanes)
+
+
+def col_inv(F: FieldOps, x, stages):
+    """DIT column inverse along axis 0, consuming col_fwd's ordering."""
+    xp = F.xp
+    lanes = x.shape[1:]
+    total = x.shape[0]
+    # reconstruct (B, r, m) shapes in reverse stage order
+    dims = []
+    L = total
+    for st in stages:
+        r = st.radix
+        dims.append((L, r))
+        L //= r
+    for st, (Lcur, r) in zip(reversed(stages), reversed(dims)):
+        m = Lcur // r
+        B = total // Lcur
+        v = x.reshape((B, r, m) + lanes)
+        twi = st.tw_inv.reshape((1, r, m) + (1,) * len(lanes))
+        parts = [v[:, 0]] + [F.mul(v[:, i], twi[:, i]) for i in range(1, r)]
+        outs = _butterfly_inv(F, parts, r)
+        x = xp.stack(outs, axis=1).reshape((B * Lcur,) + lanes)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Full weighted transform
+# ---------------------------------------------------------------------------
+
+def _mid_twiddle(F: FieldOps, x, t1, t2, R, C, tile):
+    """Multiply (R, C) matrix by factored mid twiddles omega^(freq(i)*j)."""
+    jhi = C // tile
+    v = x.reshape(R, jhi, tile)
+    v = F.mul(v, t1[:, :, None])
+    v = F.mul(v, t2[:, None, :])
+    return v.reshape(R, C)
+
+
+def forward(F: FieldOps, t: NttTables, x):
+    """Digits (n,) -> spectral representation (C, R) (scrambled both axes)."""
+    x = F.mul(x, t.weights)
+    x = x.reshape(t.R, t.C)
+    x = col_fwd(F, x, t.stages_r)
+    x = _mid_twiddle(F, x, t.mid_t1, t.mid_t2, t.R, t.C, t.mid_tile)
+    x = x.T  # (C, R)
+    x = col_fwd(F, x, t.stages_c)
+    return x
+
+
+def inverse(F: FieldOps, t: NttTables, z):
+    """Spectral (C, R) -> unnormalized convolution digits (n,) (pre-carry)."""
+    x = col_inv(F, z, t.stages_c)
+    x = x.T  # (R, C)
+    x = _mid_twiddle(F, x, t.mid_t1_inv, t.mid_t2_inv, t.R, t.C, t.mid_tile)
+    x = col_inv(F, x, t.stages_r)
+    x = x.reshape(t.n)
+    return F.mul(x, t.inv_weights_n)
