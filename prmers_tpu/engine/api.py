@@ -51,6 +51,12 @@ class Engine(abc.ABC):
         for a in a_vec:
             self.square_mul(src, int(a))
 
+    def square_sub2_seq(self, src: Reg, count: int) -> None:
+        """count iterations of src = src^2 - 2 (the LL step)."""
+        for _ in range(count):
+            self.square_mul(src)
+            self.sub(src, 2)
+
     @abc.abstractmethod
     def set_multiplicand(self, dst: Reg, src: Reg) -> None:
         """dst = spectral form of src (the only legal mul src)."""

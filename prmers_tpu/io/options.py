@@ -1,0 +1,80 @@
+"""Run options — the flat config record every mode consumes.
+
+Analog of the reference CliOptions (reference: include/io/CliParser.hpp:11-145);
+populated by the CLI parser, worktodo entries, and the web GUI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Options:
+    exponent: int = 0
+    mode: str = "prp"            # prp | ll | llsafe | llsafe2 | pm1 | ecm | bench | memtest
+    wagstaff: bool = False
+
+    # engine / backend
+    backend: str = "auto"        # auto | jax | numpy
+    device_id: int = 0
+    fft_spec: str = ""           # forced transform size spec ("8M", "5*2^25", ...)
+
+    # error checking
+    gerbiczli: bool = True
+    checklevel: int = 0          # 0 = auto
+    erroriter: int = 0           # inject an error at this iteration (testing)
+
+    # checkpoints
+    backup_interval: float = 300.0
+    save_dir: str = "."
+
+    # proof
+    proof: bool = True
+    proof_power: int = 0         # 0 = auto (bestPower)
+    manual_proof_power: bool = False
+    proof_verify: bool = False
+
+    # P-1
+    b1: int = 0
+    b2: int = 0
+    max_e_bits: int = 0          # stage-1 exponent chunk cap (bits), 0 = auto
+    pm1_variant: str = "auto"    # auto | normal | lowmem | ultralowmem
+    stage2_d: int = 0            # 0 = auto
+    nmax: int = 0
+    k_nk: int = 0
+
+    # ECM
+    curves: int = 1
+    curve_seed: int = 0
+    sigma: str = ""
+    torsion: int = 8             # 0 | 8 | 16
+    edwards: bool = True
+    ecm_check_interval: int = 0
+    invariant_error_iter: int = 0
+
+    # cofactor PRP
+    known_factors: tuple[str, ...] = ()
+
+    # worktodo / results
+    worktodo_path: str = "worktodo.txt"
+    results_path: str = "results.txt"
+    aid: str = ""
+    user: str = ""
+    computer: str = ""
+
+    # observability
+    res64_display_interval: int = 0
+    profile: bool = False
+    verbose: bool = True
+
+    # web gui
+    gui: bool = False
+    gui_port: int = 3131
+
+    # bench
+    bench_iters: int = 0
+
+    # bookkeeping filled during runs
+    gerbicz_error_count: int = 0

@@ -36,6 +36,42 @@ class StageT:
     tw_inv: Any
 
 
+def _register_pytrees():
+    """Register table containers as JAX pytrees so jitted ops can take them as
+    arguments (shared compilation across engine instances)."""
+    try:
+        from jax import tree_util
+    except ImportError:  # numpy-only usage
+        return
+
+    def stage_flatten(s):
+        return (s.tw, s.tw_inv), s.radix
+
+    def stage_unflatten(radix, children):
+        return StageT(radix, *children)
+
+    def tables_flatten(t):
+        children = (t.stages_r, t.stages_c, t.mid_t1, t.mid_t2,
+                    t.mid_t1_inv, t.mid_t2_inv, t.weights, t.inv_weights_n,
+                    t.widths, t.masks)
+        aux = (t.p, t.n, t.R, t.C, t.mid_tile, t.carry_rounds)
+        return children, aux
+
+    def tables_unflatten(aux, children):
+        (stages_r, stages_c, mid_t1, mid_t2, mid_t1i, mid_t2i,
+         weights, inv_weights_n, widths, masks) = children
+        p, n, R, C, mid_tile, carry_rounds = aux
+        return NttTables(
+            p=p, n=n, R=R, C=C, stages_r=stages_r, stages_c=stages_c,
+            mid_t1=mid_t1, mid_t2=mid_t2, mid_t1_inv=mid_t1i,
+            mid_t2_inv=mid_t2i, mid_tile=mid_tile, weights=weights,
+            inv_weights_n=inv_weights_n, widths=widths, masks=masks,
+            carry_rounds=carry_rounds)
+
+    tree_util.register_pytree_node(StageT, stage_flatten, stage_unflatten)
+    tree_util.register_pytree_node(NttTables, tables_flatten, tables_unflatten)
+
+
 @dataclasses.dataclass
 class NttTables:
     """Plan tables converted into a target array namespace."""
@@ -192,6 +228,9 @@ def _mid_twiddle(F: FieldOps, x, t1, t2, R, C, tile):
     v = F.mul(v, t1[:, :, None])
     v = F.mul(v, t2[:, None, :])
     return v.reshape(R, C)
+
+
+_register_pytrees()
 
 
 def forward(F: FieldOps, t: NttTables, x):

@@ -1,0 +1,74 @@
+import random
+
+import numpy as np
+import pytest
+
+from prmers_tpu.engine.jax_engine import JaxEngine
+from prmers_tpu.engine.np_engine import NumpyEngine
+
+
+@pytest.mark.parametrize("p", [127, 1279])
+def test_jax_matches_python(p):
+    eng = JaxEngine(p, 3)
+    mp = (1 << p) - 1
+    rnd = random.Random(p)
+    v = rnd.randrange(1, mp)
+    eng.set_int(0, v)
+    assert eng.get_int(0) == v
+    for a in [1, 3, 1]:
+        eng.square_mul(0, a)
+        v = v * v * a % mp
+        assert eng.get_int(0) == v
+
+
+def test_jax_seq_and_ops(p=521):
+    eng = JaxEngine(p, 4)
+    mp = (1 << p) - 1
+    rnd = random.Random(7)
+    x, y = rnd.randrange(mp), rnd.randrange(mp)
+    eng.set_int(0, x)
+    eng.set_int(1, y)
+    # seq with mixed multipliers crossing the chunk boundary
+    eng._SEQ_CHUNK = 8
+    a_vec = [rnd.choice([1, 1, 3]) for _ in range(21)]
+    eng.square_mul_seq(0, a_vec)
+    for a in a_vec:
+        x = x * x * a % mp
+    assert eng.get_int(0) == x
+
+    eng.set_multiplicand(2, 1)
+    eng.mul(0, 2, 3)
+    x = x * y * 3 % mp
+    assert eng.get_int(0) == x
+
+    eng.add(0, 1); x = (x + y) % mp
+    assert eng.get_int(0) == x
+    eng.sub_reg(0, 1); x = (x - y) % mp
+    assert eng.get_int(0) == x
+    eng.sub(0, 2); x = (x - 2) % mp
+    assert eng.get_int(0) == x
+    eng.addsub(2, 3, 0, 1)
+    assert eng.get_int(2) == (x + y) % mp
+    assert eng.get_int(3) == (x - y) % mp
+
+
+def test_jax_matches_numpy_digits(p=127):
+    """Digit vectors (not just values) must agree between backends."""
+    e1, e2 = JaxEngine(p, 1), NumpyEngine(p, 1)
+    e1.set_int(0, 3)
+    e2.set_int(0, 3)
+    for _ in range(30):
+        e1.square_mul(0, 3)
+        e2.square_mul(0, 3)
+    assert (e1.get_digits(0) == e2.get_digits(0)).all()
+
+
+def test_checkpoint_roundtrip_jax(p=127):
+    eng = JaxEngine(p, 2)
+    eng.set_int(0, 11111)
+    eng.set_multiplicand(1, 0)
+    data = eng.get_checkpoint()
+    eng2 = JaxEngine(p, 2)
+    eng2.set_checkpoint(data)
+    assert eng2.get_int(0) == 11111
+    assert (eng2.get_raw(1) == eng.get_raw(1)).all()

@@ -1,0 +1,103 @@
+import random
+
+import pytest
+
+from prmers_tpu.core import results as res
+from prmers_tpu.engine.factory import create_engine
+from prmers_tpu.io.options import Options
+from prmers_tpu.modes.prp_ll import run_prp_or_ll
+
+
+def opts_for(p, tmp_path, **kw):
+    o = Options(exponent=p, save_dir=str(tmp_path), proof=False,
+                verbose=False, backup_interval=1e9)
+    for k, v in kw.items():
+        setattr(o, k, v)
+    return o
+
+
+def quiet(*a, **k):
+    pass
+
+
+def test_ll_m127(tmp_path):
+    r = run_prp_or_ll(opts_for(127, tmp_path, mode="ll"), log=quiet)
+    assert r.is_prime
+
+
+def test_ll_composite(tmp_path):
+    # M1277 is composite (no factor known, famous candidate)
+    r = run_prp_or_ll(opts_for(1277, tmp_path, mode="ll"), log=quiet)
+    assert not r.is_prime
+
+
+@pytest.mark.parametrize("p,prime", [(521, True), (607, True), (1009, False)])
+def test_prp(p, prime, tmp_path):
+    r = run_prp_or_ll(opts_for(p, tmp_path, mode="prp"), log=quiet)
+    assert r.is_prime == prime
+    # verify residue against direct python-int computation
+    mp = (1 << p) - 1
+    x = pow(3, 1 << p, mp)
+    expect = res.prp_residue(p, x)
+    assert r.res64 == res.res64_hex(expect)
+    assert r.res2048 == res.res2048_hex(expect)
+    if prime:
+        assert r.res64 == "0000000000000001"
+
+
+def test_quickcheck(tmp_path):
+    r = run_prp_or_ll(opts_for(61, tmp_path, mode="prp"), log=quiet)
+    assert r.quick and r.is_prime
+    r = run_prp_or_ll(opts_for(97, tmp_path, mode="ll"), log=quiet)
+    assert r.quick and not r.is_prime
+
+
+def test_gerbicz_error_injection(tmp_path):
+    msgs = []
+    o = opts_for(1279, tmp_path, mode="prp", erroriter=55, checklevel=1)
+    r = run_prp_or_ll(o, log=lambda *a: msgs.append(" ".join(map(str, a))))
+    assert r.is_prime  # M1279 is prime; error must be caught and corrected
+    assert r.gerbicz_errors >= 1
+    joined = "\n".join(msgs)
+    assert "Injected error" in joined
+    assert "Check FAILED" in joined
+    assert "Restore iter=" in joined
+    assert r.res64 == "0000000000000001"
+
+
+def test_checkpoint_resume(tmp_path):
+    p = 521
+    # interrupt partway through by wrapping the engine
+    eng = create_engine(p, 8, backend="jax")
+    orig = eng.square_mul_seq
+    calls = {"n": 0}
+
+    def hook(src, a_vec):
+        if calls["n"] >= 5:
+            raise KeyboardInterrupt
+        calls["n"] += 1
+        return orig(src, a_vec)
+
+    eng.square_mul_seq = hook
+    o = opts_for(p, tmp_path, mode="prp", backup_interval=0.0)
+    r1 = run_prp_or_ll(o, eng=eng, log=quiet)
+    assert r1.interrupted and 0 < r1.iteration < p
+
+    # fresh engine resumes from checkpoint and finishes correctly
+    o2 = opts_for(p, tmp_path, mode="prp")
+    msgs = []
+    r2 = run_prp_or_ll(o2, log=lambda *a: msgs.append(" ".join(map(str, a))))
+    assert any("Resuming" in m for m in msgs)
+    assert r2.is_prime and r2.res64 == "0000000000000001"
+
+
+def test_wagstaff(tmp_path):
+    # (2^q + 1)/3 for q=61: wagstaff prime? q=61 is a known Wagstaff prime.
+    o = opts_for(122, tmp_path, mode="prp", wagstaff=True)
+    r = run_prp_or_ll(o, log=quiet)
+    assert r.wagstaff_prp is True
+    # q=67 is NOT a Wagstaff prime exponent... 67: known Wagstaff primes
+    # include 3,5,7,11,13,17,19,23,31,43,61,79,101,127,...; 67 absent.
+    o = opts_for(134, tmp_path, mode="prp", wagstaff=True)
+    r = run_prp_or_ll(o, log=quiet)
+    assert r.wagstaff_prp is False
