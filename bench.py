@@ -1,0 +1,49 @@
+"""Benchmark: PRP squarings/sec at p=136279841 on the attached device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: ~1225 iter/s on RTX 4090 (PRMERS_SCORE 100 card,
+reference README.md:983 / BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_4090 = 1225.0
+P_BENCH = int(os.environ.get("PRMERS_BENCH_P", "136279841"))
+WARM = int(os.environ.get("PRMERS_BENCH_WARM", "16"))
+ITERS = int(os.environ.get("PRMERS_BENCH_ITERS", "192"))
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    from prmers_tpu.engine.jax_engine import JaxEngine
+
+    eng = JaxEngine(P_BENCH, 2)
+    eng.set(0, 3)
+    # warm-up compiles the exact chunk length used in the timed region
+    K = 64
+    eng._SEQ_CHUNK = K
+    eng.square_mul_seq(0, [1] * K)
+    eng.sync()
+    rounds = max(ITERS // K, 1)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        eng.square_mul_seq(0, [1] * K)
+    eng.sync()
+    dt = time.perf_counter() - t0
+    ips = rounds * K / dt
+    print(json.dumps({
+        "metric": f"PRP iter/s @ p={P_BENCH}",
+        "value": round(ips, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(ips / BASELINE_4090, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,21 @@ def op_set_row(regs, dst, row):
     return regs.at[dst].set(row)
 
 
+_TABLES_CACHE: dict = {}
+
+
+def _get_tables(plan: Plan, device) -> ntt.NttTables:
+    """Build all transform tables on device in ONE jitted program (cached)."""
+    key = (plan.p, plan.n, repr(device))
+    if key not in _TABLES_CACHE:
+        with jax.default_device(device):
+            build = jax.jit(lambda: ntt.NttTables.from_plan(plan, jnp))
+            t = build()
+            jax.block_until_ready(jax.tree_util.tree_leaves(t))
+        _TABLES_CACHE[key] = t
+    return _TABLES_CACHE[key]
+
+
 class JaxEngine(Engine):
     def __init__(self, p: int, reg_count: int, plan: Plan | None = None,
                  device=None):
@@ -122,7 +137,7 @@ class JaxEngine(Engine):
         self.plan = plan if plan is not None else cached_plan(p)
         self.device = device if device is not None else jax.devices()[0]
         put = functools.partial(jax.device_put, device=self.device)
-        self.t = ntt.NttTables.from_plan(self.plan, jnp, device_put=put)
+        self.t = _get_tables(self.plan, self.device)
         n = self.plan.n
         self.regs = put(jnp.zeros((reg_count, n), dtype=jnp.uint64))
         self._sub_cache: dict[int, jax.Array] = {}

@@ -72,9 +72,55 @@ def _register_pytrees():
     tree_util.register_pytree_node(NttTables, tables_flatten, tables_unflatten)
 
 
+def pow_by_exponents(F: FieldOps, base: int, e, max_bits: int):
+    """Vectorized base^e[j] mod P for a u64 exponent array (bit decomposition)."""
+    xp = F.xp
+    out = xp.ones(e.shape, dtype=xp.uint64)
+    sq = base % P
+    for b in range(max(max_bits, 1)):
+        bit = ((e >> xp.uint64(b)) & xp.uint64(1)) != 0
+        out = xp.where(bit, F.mul(out, xp.uint64(sq)), out)
+        sq = (sq * sq) % P
+    return out
+
+
+def powers_matrix(F: FieldOps, base_vec, count: int):
+    """T[i, j] = base_vec[i]^j for j in [0, count) via column doubling."""
+    xp = F.xp
+    T = xp.ones((base_vec.shape[0], 1), dtype=xp.uint64)
+    cur = base_vec
+    while T.shape[1] < count:
+        T = xp.concatenate([T, F.mul(T, cur[:, None])], axis=1)
+        cur = F.mul(cur, cur)
+    return T[:, :count]
+
+
+def build_stages(F: FieldOps, radixes, length: int) -> list[StageT]:
+    """Per-stage DIF twiddle tables tw[rdx, t] = omega_L^(rdx*t)."""
+    xp = F.xp
+    stages = []
+    L = length
+    for r in radixes:
+        m = L // r
+        w = field.root_nth(L)
+        wi = field.inv(w)
+        base = xp.asarray(np.array([pow(w, rdx, P) for rdx in range(r)],
+                                   dtype=np.uint64))
+        basei = xp.asarray(np.array([pow(wi, rdx, P) for rdx in range(r)],
+                                    dtype=np.uint64))
+        stages.append(StageT(r, powers_matrix(F, base, m),
+                             powers_matrix(F, basei, m)))
+        L = m
+    return stages
+
+
 @dataclasses.dataclass
 class NttTables:
-    """Plan tables converted into a target array namespace."""
+    """All transform tables, generated in a target array namespace.
+
+    For the JAX engine the generation ops run on device, so even the n-element
+    weight tables for a 2^23 transform build in milliseconds.
+    """
     p: int
     n: int
     R: int
@@ -95,14 +141,43 @@ class NttTables:
     @classmethod
     def from_plan(cls, plan: Plan, xp, device_put=None):
         put = device_put if device_put is not None else (lambda a: xp.asarray(a))
-        F = FieldOps(np)
-        inv_n_arr = np.full(plan.n, np.uint64(plan.inv_n), dtype=np.uint64)
-        inv_weights_n = F.mul(plan.inv_weights, inv_n_arr)
-        widths64 = plan.widths.astype(np.uint64)
-        masks = (np.uint64(1) << widths64) - np.uint64(1)
+        F = FieldOps(xp)
+        p, n, R, C = plan.p, plan.n, plan.R, plan.C
+        nbits = n.bit_length()
 
-        def conv_stages(stages):
-            return [StageT(s.radix, put(s.tw), put(s.tw_inv)) for s in stages]
+        # ---- DWT weights: weight[j] = nr2^((-(p%n)*j) mod n) -------------
+        nr2 = field.root_two_nth(n)
+        nr2i = field.inv(nr2)
+        j = xp.arange(n, dtype=xp.int64)
+        e = ((-(p % n) * j) % n).astype(xp.uint64)  # |.| < 2^52 exact
+        weights = pow_by_exponents(F, nr2, e, nbits)
+        inv_w = pow_by_exponents(F, nr2i, e, nbits)
+        inv_weights_n = F.mul(inv_w, xp.uint64(plan.inv_n))
+
+        # ---- stage twiddles ----------------------------------------------
+        stages_r = build_stages(F, plan.radixes_r, R)
+        stages_c = build_stages(F, plan.radixes_c, C)
+
+        # ---- factored mid twiddles (row-permuted by the DIF ordering) ----
+        # element (i, j) of the (R, C) matrix after the first column pass
+        # holds frequency f = freq_r[i] and needs omega_n^(f*j), factored as
+        # omega^(f*TILE*(j//TILE)) * omega^(f*(j%TILE)).
+        tile = min(128, C)
+        jhi = C // tile
+        wn = field.root_nth(n)
+        wni = field.inv(wn)
+        freq = xp.asarray(plan.freq_r).astype(xp.uint64)
+        base = pow_by_exponents(F, wn, freq, R.bit_length())
+        basei = pow_by_exponents(F, wni, freq, R.bit_length())
+        mid_t2 = powers_matrix(F, base, tile)
+        mid_t2i = powers_matrix(F, basei, tile)
+        base_t = F.pow_const(base, tile)
+        base_ti = F.pow_const(basei, tile)
+        mid_t1 = powers_matrix(F, base_t, jhi)
+        mid_t1i = powers_matrix(F, base_ti, jhi)
+
+        widths64 = put(plan.widths.astype(np.uint64))
+        masks = (xp.uint64(1) << widths64) - xp.uint64(1)
 
         # number of carry rounds until the residual carry is provably <= 1:
         # after round k the carry is < 2^(63 - k*w_min) (plus 1); see carry().
@@ -112,15 +187,17 @@ class NttTables:
         while bound >> (rounds * wmin) > 1:
             rounds += 1
         return cls(
-            p=plan.p, n=plan.n, R=plan.R, C=plan.C,
-            stages_r=conv_stages(plan.stages_r),
-            stages_c=conv_stages(plan.stages_c),
-            mid_t1=put(plan.mid_t1), mid_t2=put(plan.mid_t2),
-            mid_t1_inv=put(plan.mid_t1_inv), mid_t2_inv=put(plan.mid_t2_inv),
-            mid_tile=plan.mid_tile,
-            weights=put(plan.weights),
+            p=p, n=n, R=R, C=C,
+            stages_r=[StageT(s.radix, put(s.tw), put(s.tw_inv))
+                      for s in stages_r],
+            stages_c=[StageT(s.radix, put(s.tw), put(s.tw_inv))
+                      for s in stages_c],
+            mid_t1=put(mid_t1), mid_t2=put(mid_t2),
+            mid_t1_inv=put(mid_t1i), mid_t2_inv=put(mid_t2i),
+            mid_tile=tile,
+            weights=put(weights),
             inv_weights_n=put(inv_weights_n),
-            widths=put(widths64),
+            widths=widths64,
             masks=put(masks),
             carry_rounds=rounds,
         )

@@ -17,6 +17,8 @@ def test_transform_sizes():
 
 
 def test_widths_and_weights():
+    from prmers_tpu.ops import ntt
+
     p = 11213
     n = plan.transform_size(p)
     pl = plan.build_plan(p)
@@ -26,12 +28,13 @@ def test_widths_and_weights():
     base = p // n
     assert set(np.unique(w)) <= {base, base + 1}
     # weights: weight[j] = nr2^((n - p*j % n) % n); check a few directly
+    t = ntt.NttTables.from_plan(pl, np)
     nr2 = field.root_two_nth(n)
     for j in [0, 1, 2, n // 2, n - 1]:
         r = (p * j) % n
         expect = pow(nr2, (n - r) % n, P) if r != 0 else 1
-        assert int(pl.weights[j]) == expect
-        assert (int(pl.weights[j]) * int(pl.inv_weights[j])) % P == 1
+        assert int(t.weights[j]) == expect
+        assert (int(t.weights[j]) * int(t.inv_weights_n[j]) * n) % P == 1
 
 
 def test_freq_of_pos_matches_bruteforce_dft():
