@@ -21,9 +21,9 @@ def main():
     import jax
     jax.config.update("jax_enable_x64", True)
 
-    from prmers_tpu.engine.jax_engine import JaxEngine
+    from prmers_tpu.engine.factory import create_engine
 
-    eng = JaxEngine(P_BENCH, 2)
+    eng = create_engine(P_BENCH, 2)
     eng.set(0, 3)
     # warm-up compiles the exact chunk length used in the timed region
     K = 64

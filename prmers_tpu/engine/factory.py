@@ -3,9 +3,11 @@
 Analog of the reference's backend configuration + factory
 (reference: src/marin/gpu.cpp:26-152 configure_gpu_backend/create_gpu).
 Backends:
-  * "jax"    — device engine (TPU when available, else CPU XLA)
+  * "pallas" — fused Pallas TPU kernel engine (power-of-two n >= 2^14)
+  * "jax"    — XLA device engine (any transform size; TPU or CPU)
   * "numpy"  — host oracle engine (testing / tiny exponents)
-  * "auto"   — jax unless overridden via PRMERS_BACKEND
+  * "auto"   — pallas when eligible on TPU, else jax (the workload-aware
+               auto policy analog of src/aevum/AutoPolicy.cpp:36-152)
 """
 
 from __future__ import annotations
@@ -20,9 +22,26 @@ _WORKLOAD = "generic"
 
 def configure_backend(backend: str, workload: str = "generic") -> None:
     global _BACKEND, _WORKLOAD
-    assert backend in ("auto", "jax", "numpy")
+    assert backend in ("auto", "jax", "numpy", "pallas")
     _BACKEND = backend
     _WORKLOAD = workload
+
+
+def _pallas_eligible(p: int) -> bool:
+    """Pallas path needs power-of-two n >= 2^14 and a TPU device."""
+    import os as _os
+    if _os.environ.get("PRMERS_NO_PALLAS"):
+        return False
+    from ..core.plan import cached_plan
+    n = cached_plan(p).n
+    if n & (n - 1) or n < (1 << 14):
+        return False
+    try:
+        from .. import jaxconf  # noqa: F401
+        import jax
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
 
 
 def configured_backend() -> str:
@@ -33,7 +52,10 @@ def create_engine(p: int, reg_count: int, backend: str | None = None,
                   device=None) -> Engine:
     b = backend or os.environ.get("PRMERS_BACKEND") or _BACKEND
     if b == "auto":
-        b = "jax"
+        b = "pallas" if _pallas_eligible(p) else "jax"
+    if b == "pallas":
+        from .pallas_engine import PallasEngine
+        return PallasEngine(p, reg_count)
     if b == "numpy":
         from .np_engine import NumpyEngine
         return NumpyEngine(p, reg_count)

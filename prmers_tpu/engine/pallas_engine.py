@@ -1,0 +1,278 @@
+"""Pallas-kernel engine — the fast TPU compute path of the Engine API.
+
+Registers live as u32-pair 5D arrays in the kernel AX layout (see
+ops/pallas/fourstep.py) plus a deferred (1,1) wraparound-carry pair: the
+mod-M_p fold of each squaring is injected into the *next* op that consumes
+the register, mirroring the reference's two-phase carry where phase 2 rides
+the following kernel (reference: kernels/marin.cl:1696-2414).
+
+Hot ops (square_mul / mul / set_multiplicand) run the fused Pallas pipeline;
+sequences run under lax.scan so a whole Gerbicz block is one dispatch
+(reference hot loop: src/modes/RunPrpOrLlMarin.cpp:295-458). Linear ops
+(add/sub) are XLA elementwise + carry in the digit domain — off the hot
+path for PRP/LL, adequate for P-1/ECM round 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+
+from .. import jaxconf  # noqa: F401
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.field import FieldOps
+from ..core.plan import Plan, cached_plan
+from ..ops import carry as carry_ops
+from ..ops.pallas import fourstep as fsm
+from ..ops.pallas import kernels as kn
+from ..ops.pallas.fourstep import FourStepPlan, FourStepTables
+from ..utils import digits as dg
+from .api import Engine, Reg
+
+F = FieldOps(jnp)
+
+_TABLES_CACHE: dict = {}
+
+
+def _get_tables(p: int, n: int):
+    key = (p, n)
+    if key not in _TABLES_CACHE:
+        plan = cached_plan(p, n) if n else cached_plan(p)
+        fp = FourStepPlan.from_plan(plan)
+        t = jax.jit(lambda: FourStepTables.build(fp, jnp, G=kn.G,
+                                                 lanes=kn.LANES))()
+        jax.block_until_ready(jax.tree_util.tree_leaves(t))
+        masks64 = ((jnp.uint64(1) <<
+                    jnp.asarray(plan.widths.astype(np.uint64)))
+                   - jnp.uint64(1))
+        widths64 = jnp.asarray(plan.widths.astype(np.uint64))
+        _TABLES_CACHE[key] = (fp, t, widths64, masks64)
+    return _TABLES_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# jitted ops (tables passed as pytree args -> shared across instances)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+def op_square_seq(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
+                  a_vec0):
+    """Chain of squarings with per-step small multiplier (scanned)."""
+    def body(state, a):
+        x0, x1, c0, c1 = state
+        ap = (a.reshape(1, 1), jnp.zeros((1, 1), jnp.uint32))
+        d0, d1, o0, o1 = kn.square_step(fp, t, x0, x1, c0, c1, ap)
+        return (d0, d1, o0, o1), None
+
+    state, _ = lax.scan(body, (x0, x1, c0, c1), a_vec0)
+    return state
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+def op_square_one(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1, a):
+    ap = (a.reshape(1, 1), jnp.zeros((1, 1), jnp.uint32))
+    return kn.square_step(fp, t, x0, x1, c0, c1, ap)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+def op_mul(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1, c0, c1, a):
+    ap = (a.reshape(1, 1), jnp.zeros((1, 1), jnp.uint32))
+    return kn.mul_step(fp, t, x0, x1, u0, u1, c0, c1, ap)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def op_fwd(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1):
+    return kn.fwd_step(fp, t, x0, x1, c0, c1)
+
+
+def _pairs_to_u64(x0, x1, n):
+    return (x0.astype(jnp.uint64) |
+            (x1.astype(jnp.uint64) << jnp.uint64(32))).reshape(n)
+
+
+def _u64_to_pairs(y, shape5):
+    return ((y & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(shape5),
+            (y >> jnp.uint64(32)).astype(jnp.uint32).reshape(shape5))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def op_settle(n: int, widths, masks, x0, x1, c0, c1):
+    """Fold the pending wrap carry and renormalize digits (XLA)."""
+    sh5 = x0.shape
+    y = _pairs_to_u64(x0, x1, n)
+    cin = (c0[0, 0].astype(jnp.uint64) |
+           (c1[0, 0].astype(jnp.uint64) << jnp.uint64(32)))
+    y = y.at[0].add(cin)  # < P: carry_full renormalizes immediately
+    d = carry_ops.carry_full(F, y, widths, masks, 1, lax=lax)
+    return _u64_to_pairs(d, sh5)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def op_linear(n: int, widths, masks, x0, x1, y0, y1, coef_y, const_vec):
+    """digits(x) + coef_y * digits_or_comp(y) + const_vec, renormalized.
+
+    coef_y: +1 -> add, -1 -> add (masks - y) i.e. subtract (y settled).
+    """
+    sh5 = x0.shape
+    a = _pairs_to_u64(x0, x1, n)
+    b = _pairs_to_u64(y0, y1, n)
+    b = jnp.where(coef_y < 0, masks - b, b)
+    zero = jnp.uint64(0)
+    b = jnp.where(coef_y == 0, zero, b)
+    y = a + b + const_vec
+    d = carry_ops.carry_full(F, y, widths, masks, 1, lax=lax)
+    return _u64_to_pairs(d, sh5)
+
+
+class PallasEngine(Engine):
+    """Engine backed by the fused Pallas four-step pipeline."""
+
+    def __init__(self, p: int, reg_count: int, plan: Plan | None = None):
+        super().__init__(p, reg_count)
+        self.plan = plan if plan is not None else cached_plan(p)
+        self.fp, self.t, self._w64, self._m64 = _get_tables(
+            p, self.plan.n)
+        self.n = self.plan.n
+        sh = self.t.w[0].shape
+        self._sh = sh
+        z5 = lambda: jnp.zeros(sh, jnp.uint32)  # noqa: E731
+        z11 = lambda: jnp.zeros((1, 1), jnp.uint32)  # noqa: E731
+        # per-register state: [x0, x1, c0, c1, is_spectral]
+        self.regs = [[z5(), z5(), z11(), z11(), False]
+                     for _ in range(reg_count)]
+        self._delta_cache: dict[int, jax.Array] = {}
+        self._zero_const = jnp.zeros((self.n,), jnp.uint64)
+
+    # -- helpers ----------------------------------------------------------
+    def _settled(self, r: Reg):
+        st = self.regs[r]
+        assert not st[4], "spectral register used as digits"
+        x0, x1 = op_settle(self.n, self._w64, self._m64,
+                           st[0], st[1], st[2], st[3])
+        z11 = jnp.zeros((1, 1), jnp.uint32)
+        self.regs[r] = [x0, x1, z11, z11, False]
+        return x0, x1
+
+    def get_size(self) -> int:
+        return self.n
+
+    @property
+    def widths(self) -> np.ndarray:
+        return self.plan.widths
+
+    # -- core ops ---------------------------------------------------------
+    def set(self, dst: Reg, a: int) -> None:
+        self.set_int(dst, a)
+
+    def copy(self, dst: Reg, src: Reg) -> None:
+        self.regs[dst] = list(self.regs[src])
+
+    def square_mul(self, src: Reg, a: int = 1) -> None:
+        st = self.regs[src]
+        out = op_square_one(self.fp, self.t, st[0], st[1], st[2], st[3],
+                            jnp.full((1,), np.uint32(a)))
+        self.regs[src] = [out[0], out[1], out[2], out[3], False]
+
+    _SEQ_CHUNK = 512
+
+    def square_mul_seq(self, src: Reg, a_vec: Sequence[int]) -> None:
+        a = np.asarray(a_vec, dtype=np.uint32)
+        k = self._SEQ_CHUNK
+        off = 0
+        st = self.regs[src]
+        state = (st[0], st[1], st[2], st[3])
+        while len(a) - off >= k:
+            state = op_square_seq(self.fp, self.t, *state,
+                                  jnp.asarray(a[off:off + k]))
+            off += k
+        if len(a) - off > 0:
+            state = op_square_seq(self.fp, self.t, *state,
+                                  jnp.asarray(a[off:]))
+        self.regs[src] = [state[0], state[1], state[2], state[3], False]
+
+    def set_multiplicand(self, dst: Reg, src: Reg) -> None:
+        st = self.regs[src]
+        assert not st[4]
+        u0, u1 = op_fwd(self.fp, self.t, st[0], st[1], st[2], st[3])
+        z11 = jnp.zeros((1, 1), jnp.uint32)
+        self.regs[dst] = [u0, u1, z11, z11, True]
+
+    def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
+        st = self.regs[dst]
+        u = self.regs[src]
+        assert u[4], "mul src must hold a multiplicand"
+        out = op_mul(self.fp, self.t, st[0], st[1], u[0], u[1],
+                     st[2], st[3], jnp.full((1,), np.uint32(a)))
+        self.regs[dst] = [out[0], out[1], out[2], out[3], False]
+
+    def add(self, dst: Reg, src: Reg) -> None:
+        x0, x1 = self._settled(dst)
+        y0, y1 = self._settled(src)
+        r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, y0, y1,
+                           jnp.int32(1), self._zero_const)
+        z11 = jnp.zeros((1, 1), jnp.uint32)
+        self.regs[dst] = [r0, r1, z11, z11, False]
+
+    def sub_reg(self, dst: Reg, src: Reg) -> None:
+        x0, x1 = self._settled(dst)
+        y0, y1 = self._settled(src)
+        r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, y0, y1,
+                           jnp.int32(-1), self._zero_const)
+        z11 = jnp.zeros((1, 1), jnp.uint32)
+        self.regs[dst] = [r0, r1, z11, z11, False]
+
+    def _delta_vec(self, a: int) -> jax.Array:
+        if a not in self._delta_cache:
+            mp = (1 << self.p) - 1
+            self._delta_cache[a] = jnp.asarray(
+                dg.int_to_digits(a % mp, self.widths))
+        return self._delta_cache[a]
+
+    def sub(self, src: Reg, a: int) -> None:
+        mp = (1 << self.p) - 1
+        self.add_small(src, mp - (a % mp))
+
+    def add_small(self, src: Reg, a: int) -> None:
+        x0, x1 = self._settled(src)
+        r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, x0, x1,
+                           jnp.int32(0), self._delta_vec(a))
+        z11 = jnp.zeros((1, 1), jnp.uint32)
+        self.regs[src] = [r0, r1, z11, z11, False]
+
+    def sync(self) -> None:
+        for st in self.regs:
+            st[0].block_until_ready()
+
+    # -- host exchange ----------------------------------------------------
+    def get_digits(self, src: Reg) -> np.ndarray:
+        x0, x1 = self._settled(src)
+        lo = np.asarray(x0).reshape(self.n).astype(np.uint64)
+        hi = np.asarray(x1).reshape(self.n).astype(np.uint64)
+        return lo | (hi << np.uint64(32))
+
+    def set_digits(self, dst: Reg, digits: np.ndarray) -> None:
+        d = np.asarray(digits, dtype=np.uint64)
+        lo = (d & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (d >> np.uint64(32)).astype(np.uint32)
+        z11 = jnp.zeros((1, 1), jnp.uint32)
+        self.regs[dst] = [jnp.asarray(lo.reshape(self._sh)),
+                          jnp.asarray(hi.reshape(self._sh)),
+                          z11, z11, False]
+
+    def get_raw(self, src: Reg) -> np.ndarray:
+        """Raw register dump for checkpoints: settle digit regs; spectral
+        regs are dumped as-is with a marker in the unused width bits."""
+        st = self.regs[src]
+        if st[4]:
+            lo = np.asarray(st[0]).reshape(self.n).astype(np.uint64)
+            hi = np.asarray(st[1]).reshape(self.n).astype(np.uint64)
+            return lo | (hi << np.uint64(32))
+        return self.get_digits(src)
+
+    def set_raw(self, dst: Reg, data: np.ndarray) -> None:
+        self.set_digits(dst, data)

@@ -1,0 +1,485 @@
+"""Four-step IBDWT squaring pipeline — TPU kernel formulation.
+
+The length-n weighted NTT is decomposed as n = R*C (four-step), and each
+column transform further as 64*Lsub so that on TPU:
+
+  * the 64-point DFT runs on the UNTILED leading axis of a (64, Lsub*8, 128)
+    VMEM tile — every butterfly is a free leading-dim slice;
+  * the Lsub-point DFT runs on axis 1 where each transform element owns 8
+    consecutive sublanes, so every butterfly and twiddle slice falls on the
+    8-sublane tiling boundary;
+  * all twiddles INSIDE a 64/Lsub block are powers of two (ord(2) = 192 in
+    the Goldilocks field), applied as static shift-muls (~15 ops) instead of
+    general mulmods (~85 ops);
+  * the only general mulmods per element are: weight, T (between the 64 and
+    Lsub factors), mid (between R and C passes), and the dyadic square.
+
+Orderings are DIF-scrambled and never unscrambled: the inverse consumes the
+forward's output order (mirrored DIT), and the dyadic square is elementwise
+in any order. Only the carried digit vector is canonical.
+
+The reference reaches the same arithmetic through radix dispatch tables
+(reference: include/marin/engine_gpu.h:1568-1630, kernels/marin.cl) — the
+decomposition here is chosen for the TPU memory model instead.
+
+This module is namespace-generic: the same transform functions run under
+numpy (oracle tests), plain jax.numpy, and inside Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from ...core import field
+from ...core.field import P
+from ...core.plan import Plan
+from .gl64 import GL, to_pairs
+
+
+def root_554(m: int) -> int:
+    """The m-th root of unity 554^((P-1)/m). 554 generates GF(P)* and
+    554^((P-1)/192) = 2, so omega_m for m | 192 is a power of two — the same
+    family the in-kernel shift twiddles (2^(192/m)) use. All general-twiddle
+    tables must come from this family to compose with the shift levels."""
+    assert (P - 1) % m == 0
+    return pow(field.ROOT_TWO_BASE, (P - 1) // m, P)
+
+
+# ---------------------------------------------------------------------------
+# Host-side planning
+# ---------------------------------------------------------------------------
+
+def dif_freq_of_pos(L: int) -> np.ndarray:
+    """Output permutation of the radix-2 DIF cascade: freq at position p.
+
+    DIF recurrence over levels m = L/2..1: pos(f) interleaves by f mod 2
+    per level -> position = bit-reversal of frequency.
+    """
+    bits = L.bit_length() - 1
+    out = np.zeros(L, dtype=np.int64)
+    for p in range(L):
+        f = 0
+        x = p
+        for _ in range(bits):
+            f = (f << 1) | (x & 1)
+            x >>= 1
+        out[p] = f
+    return out
+
+
+@dataclasses.dataclass(eq=False)
+class SplitSpec:
+    """One column-transform split: length L = L1 * L2, L1 on axis 0 (<=64),
+    L2 on the 8-sublane-granular axis 1 (<=64)."""
+    L: int
+    L1: int
+    L2: int
+    freq1: np.ndarray  # (L1,) DIF output freq per axis-0 position
+    freq2: np.ndarray  # (L2,)
+
+    @property
+    def freq(self) -> np.ndarray:
+        """Combined k of the L-point DFT at (pos1, pos2): (L1, L2)."""
+        return self.freq1[:, None] + self.L1 * self.freq2[None, :]
+
+
+def make_split(L: int) -> SplitSpec:
+    assert L & (L - 1) == 0 and 4 <= L <= 4096, L
+    L1 = min(L, 64)
+    L2 = L // L1
+    assert L2 <= 64, f"column length {L} too large for one kernel"
+    return SplitSpec(L, L1, L2, dif_freq_of_pos(L1), dif_freq_of_pos(L2))
+
+
+@dataclasses.dataclass(eq=False)
+class FourStepPlan:
+    """Kernel-level plan for n = R*C (both powers of two)."""
+    p: int
+    n: int
+    R: int
+    C: int
+    rs: SplitSpec           # R = R1*R2
+    cs: SplitSpec           # C = C1*C2
+    widths: np.ndarray
+    max_word: int
+
+    @classmethod
+    def from_plan(cls, plan: Plan):
+        n = plan.n
+        assert n & (n - 1) == 0, "pallas path requires power-of-two n"
+        # C carries the lane payload (cb, s=8, l=128) => C >= 1024 preferred;
+        # R is the first-pass column length, <= 4096.
+        C = 1024
+        while n // C > 4096:
+            C *= 2
+        R = n // C
+        assert R >= 4, f"transform too small for pallas path (n={n})"
+        return cls(p=plan.p, n=n, R=R, C=C, rs=make_split(R),
+                   cs=make_split(C), widths=plan.widths,
+                   max_word=plan.max_word)
+
+
+# ---------------------------------------------------------------------------
+# Table building (runs in any namespace; big tables built on device via jit)
+# ---------------------------------------------------------------------------
+
+def _pow_mod_vec(F, base: int, e, nbits: int):
+    """base^e[...] mod P for an exponent array (u64), via bit decomposition."""
+    xp = F.xp
+    out = xp.ones(e.shape, dtype=xp.uint64)
+    sq = base % P
+    for b in range(max(nbits, 1)):
+        bit = ((e >> xp.uint64(b)) & xp.uint64(1)) != 0
+        out = xp.where(bit, F.mul(out, xp.uint64(sq)), out)
+        sq = (sq * sq) % P
+    return out
+
+
+def shift_exponents(L1: int) -> list[tuple[int, list[int]]]:
+    """Per-DIF-level (m, [e_j]) shift exponents for a length-L1 block:
+    level half-size m has twiddles omega_{2m}^j = 2^(192/(2m)*j), j < m."""
+    out = []
+    m = L1 // 2
+    while m >= 1:
+        step = 192 // (2 * m)
+        out.append((m, [step * j for j in range(m)]))
+        m //= 2
+    return out
+
+
+@dataclasses.dataclass(eq=False)
+class FourStepTables:
+    """Device tables for the kernel pipeline. All general-twiddle tables are
+    u64 pairs stored as (lo, hi) u32 arrays, pre-shaped for the kernels.
+
+    With payload granularity G (8 on TPU: each transform element owns 8
+    sublanes; 1 for numpy oracle tests):
+      t_r:   (R1, R2*G, 1)        omega_R^(r2 * freq1[p1])  [R-pass T layer]
+      t_c:   (C1, C2*G, 1)        omega_C^(c2 * freq1'[q1]) [C-pass T layer]
+      w,iw:  (R1, R2, CB, G, LN)  weights / inv-weights*1/n, digit order
+      mid:   (R1, R2, CB, G, LN)  omega_n^(c * kR(pos)), AX layout
+      widths32/masks: same 5D layout (u32 / pair)
+    where the digit at [r1, r2, cb, s, l] is x[(r1*R2+r2)*C + cb*G*LN + s*LN + l].
+    """
+    fp: FourStepPlan
+    G: int
+    w: Any
+    iw: Any
+    t_r: Any
+    t_r_inv: Any
+    mid: Any
+    mid_inv: Any
+    t_c: Any
+    t_c_inv: Any
+    widths32: Any
+    masks_lo: Any
+    masks_hi: Any
+
+    @classmethod
+    def build(cls, fp: FourStepPlan, xp, G: int = 8, lanes: int = 128):
+        """Build all tables in namespace xp (jit this under jax)."""
+        from ...core.field import FieldOps
+        F = FieldOps(xp)
+        p, n, R, C = fp.p, fp.n, fp.R, fp.C
+        nbits = n.bit_length()
+
+        j = xp.arange(n, dtype=xp.int64)
+        # weights (digit order, reshaped (R, C) row-major: digit = r*C + c)
+        nr2 = field.root_two_nth(n)
+        e_w = ((-(p % n) * j) % n).astype(xp.uint64)
+        w = _pow_mod_vec(F, nr2, e_w, nbits).reshape(R, C)
+        iw = _pow_mod_vec(F, field.inv(nr2), e_w, nbits)
+        iw = F.mul(iw, xp.uint64(field.inv(n))).reshape(R, C)
+
+        # T layer of the R-pass: exponent r2 * freq1[p1] of omega_R
+        wR = root_554(R)
+        f1 = xp.asarray(fp.rs.freq1, dtype=xp.int64)
+        r2 = xp.arange(fp.rs.L2, dtype=xp.int64)
+        e_tr = ((f1[:, None] * r2[None, :]) % R).astype(xp.uint64)
+        t_r = _pow_mod_vec(F, wR, e_tr, R.bit_length())
+        t_r_inv = _pow_mod_vec(F, field.inv(wR), e_tr, R.bit_length())
+
+        # mid layer: exponent c * kR(p1, p2) of omega_n
+        wn = root_554(n)
+        kR = xp.asarray(fp.rs.freq.reshape(R), dtype=xp.int64)
+        c = xp.arange(C, dtype=xp.int64)
+        e_mid = ((kR[:, None] % n) * c[None, :] % n).astype(xp.uint64)
+        mid = _pow_mod_vec(F, wn, e_mid, nbits)
+        mid_inv = _pow_mod_vec(F, field.inv(wn), e_mid, nbits)
+
+        # T layer of the C-pass
+        wC = root_554(C)
+        g1 = xp.asarray(fp.cs.freq1, dtype=xp.int64)
+        c2 = xp.arange(fp.cs.L2, dtype=xp.int64)
+        e_tc = ((g1[:, None] * c2[None, :]) % C).astype(xp.uint64)
+        t_c = _pow_mod_vec(F, wC, e_tc, C.bit_length())
+        t_c_inv = _pow_mod_vec(F, field.inv(wC), e_tc, C.bit_length())
+
+        widths = xp.asarray(fp.widths.reshape(R, C).astype(np.uint32))
+        masks64 = (xp.uint64(1) << widths.astype(xp.uint64)) - xp.uint64(1)
+
+        R1, R2 = fp.rs.L1, fp.rs.L2
+        C1, C2 = fp.cs.L1, fp.cs.L2
+        CB = max(C // (G * lanes), 1)
+        ln = C // (CB * G)  # actual lane extent (= lanes when C >= G*lanes)
+
+        def ax5(a):  # (R, C) -> AX kernel layout
+            return a.reshape(R1, R2, CB, G, ln)
+
+        def texp(a, L2x):  # (L1, L2) -> (L1, L2*G, 1)
+            return xp.repeat(a, G, axis=1).reshape(a.shape[0],
+                                                   L2x * G, 1)
+
+        def pair(a):
+            return ((a & xp.uint64(0xFFFFFFFF)).astype(xp.uint32),
+                    (a >> xp.uint64(32)).astype(xp.uint32))
+
+        return cls(
+            fp=fp, G=G,
+            w=pair(ax5(w)), iw=pair(ax5(iw)),
+            t_r=pair(texp(t_r, R2)), t_r_inv=pair(texp(t_r_inv, R2)),
+            mid=pair(ax5(mid)), mid_inv=pair(ax5(mid_inv)),
+            t_c=pair(texp(t_c, C2)), t_c_inv=pair(texp(t_c_inv, C2)),
+            widths32=ax5(widths),
+            masks_lo=ax5((masks64 & xp.uint64(0xFFFFFFFF)).astype(xp.uint32)),
+            masks_hi=ax5((masks64 >> xp.uint64(32)).astype(xp.uint32)),
+        )
+
+
+def _register_pytree():
+    try:
+        from jax import tree_util
+    except ImportError:
+        return
+
+    def flatten(t):
+        children = (t.w, t.iw, t.t_r, t.t_r_inv, t.mid, t.mid_inv,
+                    t.t_c, t.t_c_inv, t.widths32, t.masks_lo, t.masks_hi)
+        return children, (t.fp, t.G)
+
+    def unflatten(aux, children):
+        return FourStepTables(aux[0], aux[1], *children)
+
+    tree_util.register_pytree_node(FourStepTables, flatten, unflatten)
+
+
+_register_pytree()
+
+
+# ---------------------------------------------------------------------------
+# Namespace-generic transform pieces
+#
+# Data convention inside a tile: x is a pair of u32 arrays shaped
+# (L1, L2*G, lanes) where G is the per-element sublane payload (8 on TPU,
+# 1 in numpy tests): axis 0 = leading transform index (free slicing),
+# axis 1 = r2*G + payload-sublane, axis 2 = lanes.
+# ---------------------------------------------------------------------------
+
+def dft_axis0(g: GL, x0, x1, L1: int, inverse: bool):
+    """Length-L1 DIF (or mirrored DIT) along axis 0; shift twiddles only."""
+    xp = g.xp
+    levels = shift_exponents(L1)
+    if inverse:
+        levels = levels[::-1]
+    rest = x0.shape[1:]
+    for m, exps in levels:
+        B = L1 // (2 * m)
+        sh = (B, 2, m) + rest
+        v0 = x0.reshape(sh)
+        v1 = x1.reshape(sh)
+        a0, a1 = v0[:, 0], v1[:, 0]
+        b0, b1 = v0[:, 1], v1[:, 1]
+        if not inverse:
+            s0, s1 = g.add(a0, a1, b0, b1)
+            d0, d1 = g.sub(a0, a1, b0, b1)
+            # twiddle the difference branch, slice by static exponent
+            outs0 = [None] * m
+            outs1 = [None] * m
+            for jj, e in enumerate(exps):
+                t0, t1 = d0[:, jj], d1[:, jj]
+                if e:
+                    t0, t1 = g.shiftmul(t0, t1, e)
+                outs0[jj], outs1[jj] = t0, t1
+            d0 = xp.stack(outs0, axis=1)
+            d1 = xp.stack(outs1, axis=1)
+            x0 = xp.stack([s0, d0], axis=1).reshape(x0.shape)
+            x1 = xp.stack([s1, d1], axis=1).reshape(x1.shape)
+        else:
+            # DIT: untwiddle b with omega^{-e} = 2^{192-e} = -2^{96-e} (e>0);
+            # the sign flip swaps the add/sub outputs for j > 0.
+            outs0 = [None] * m
+            outs1 = [None] * m
+            for jj, e in enumerate(exps):
+                t0, t1 = b0[:, jj], b1[:, jj]
+                if e:
+                    t0, t1 = g.shiftmul(t0, t1, 96 - e)
+                outs0[jj], outs1[jj] = t0, t1
+            bt0 = xp.stack(outs0, axis=1)
+            bt1 = xp.stack(outs1, axis=1)
+            s0, s1 = g.add(a0, a1, bt0, bt1)
+            d0, d1 = g.sub(a0, a1, bt0, bt1)
+            if m > 1:  # j = 0 has e = 0 (no swap); j >= 1 are negated
+                s0, d0 = (xp.concatenate([s0[:, :1], d0[:, 1:]], axis=1),
+                          xp.concatenate([d0[:, :1], s0[:, 1:]], axis=1))
+                s1, d1 = (xp.concatenate([s1[:, :1], d1[:, 1:]], axis=1),
+                          xp.concatenate([d1[:, :1], s1[:, 1:]], axis=1))
+            x0 = xp.stack([s0, d0], axis=1).reshape(x0.shape)
+            x1 = xp.stack([s1, d1], axis=1).reshape(x1.shape)
+    return x0, x1
+
+
+def dft_axis1(g: GL, x0, x1, L2: int, G: int, inverse: bool):
+    """Length-L2 DIF/DIT along axis 1 (element stride G sublanes)."""
+    xp = g.xp
+    if L2 == 1:
+        return x0, x1
+    L1 = x0.shape[0]
+    lanes = x0.shape[2]
+    levels = shift_exponents(L2)
+    if inverse:
+        levels = levels[::-1]
+    for m, exps in levels:
+        B = L2 // (2 * m)
+        sh = (L1, B, 2, m * G, lanes)
+        v0 = x0.reshape(sh)
+        v1 = x1.reshape(sh)
+        a0, a1 = v0[:, :, 0], v1[:, :, 0]
+        b0, b1 = v0[:, :, 1], v1[:, :, 1]
+        if not inverse:
+            s0, s1 = g.add(a0, a1, b0, b1)
+            d0, d1 = g.sub(a0, a1, b0, b1)
+            outs0, outs1 = [], []
+            for jj, e in enumerate(exps):
+                t0 = d0[:, :, jj * G:(jj + 1) * G]
+                t1 = d1[:, :, jj * G:(jj + 1) * G]
+                if e:
+                    t0, t1 = g.shiftmul(t0, t1, e)
+                outs0.append(t0)
+                outs1.append(t1)
+            d0 = xp.concatenate(outs0, axis=2)
+            d1 = xp.concatenate(outs1, axis=2)
+            x0 = xp.stack([s0, d0], axis=2).reshape(x0.shape)
+            x1 = xp.stack([s1, d1], axis=2).reshape(x1.shape)
+        else:
+            outs0, outs1 = [], []
+            for jj, e in enumerate(exps):
+                t0 = b0[:, :, jj * G:(jj + 1) * G]
+                t1 = b1[:, :, jj * G:(jj + 1) * G]
+                if e:
+                    t0, t1 = g.shiftmul(t0, t1, 96 - e)
+                outs0.append(t0)
+                outs1.append(t1)
+            bt0 = xp.concatenate(outs0, axis=2)
+            bt1 = xp.concatenate(outs1, axis=2)
+            s0, s1 = g.add(a0, a1, bt0, bt1)
+            d0, d1 = g.sub(a0, a1, bt0, bt1)
+            if m > 1:  # j = 0 untwiddled; j >= 1 negated -> swap outputs
+                s0, d0 = (xp.concatenate([s0[:, :, :G], d0[:, :, G:]], axis=2),
+                          xp.concatenate([d0[:, :, :G], s0[:, :, G:]], axis=2))
+                s1, d1 = (xp.concatenate([s1[:, :, :G], d1[:, :, G:]], axis=2),
+                          xp.concatenate([d1[:, :, :G], s1[:, :, G:]], axis=2))
+            x0 = xp.stack([s0, d0], axis=2).reshape(x0.shape)
+            x1 = xp.stack([s1, d1], axis=2).reshape(x1.shape)
+    return x0, x1
+
+
+def col_transform(g: GL, x0, x1, sp: SplitSpec, tw0, tw1, G: int,
+                  inverse: bool):
+    """Full length-L column transform on a (L1, L2*G, lanes) tile.
+
+    tw0, tw1: the T-layer table pair pre-expanded to (L1, L2*G, 1).
+    Forward: DFT_L1(axis0) -> T -> DFT_L2(axis1).
+    Inverse: DFT_L2(axis1) -> T^inv -> DFT_L1(axis0).
+    """
+    if not inverse:
+        x0, x1 = dft_axis0(g, x0, x1, sp.L1, False)
+        if sp.L2 > 1:
+            x0, x1 = g.mul(x0, x1, tw0, tw1)
+            x0, x1 = dft_axis1(g, x0, x1, sp.L2, G, False)
+    else:
+        if sp.L2 > 1:
+            x0, x1 = dft_axis1(g, x0, x1, sp.L2, G, True)
+            x0, x1 = g.mul(x0, x1, tw0, tw1)
+        x0, x1 = dft_axis0(g, x0, x1, sp.L1, True)
+    return x0, x1
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation of the full pipeline (numpy; mirrors the kernel
+# sequence block-for-block; used as the oracle for kernel tests)
+# ---------------------------------------------------------------------------
+
+def square_ref(t: FourStepTables, digits64: np.ndarray,
+               lanes: int = 128) -> np.ndarray:
+    """One IBDWT squaring (pre-carry) on numpy, following the exact kernel
+    dataflow. Returns the unnormalized convolution digit vector (u64 exact
+    integers < max_word)."""
+    g = GL(np)
+    fp, G = t.fp, t.G
+    R, C = fp.R, fp.C
+    R1, R2 = fp.rs.L1, fp.rs.L2
+    C1, C2 = fp.cs.L1, fp.cs.L2
+    CB = t.w[0].shape[2]
+    LN = t.w[0].shape[4]
+    x0, x1 = to_pairs(digits64)
+    x0 = x0.reshape(R1, R2, CB, G, LN)
+    x1 = x1.reshape(R1, R2, CB, G, LN)
+
+    # K1: weights, forward R-column transform, mid twiddle (per cb block)
+    o0 = np.empty_like(x0)
+    o1 = np.empty_like(x1)
+    for cb in range(CB):
+        a0 = x0[:, :, cb].reshape(R1, R2 * G, LN)
+        a1 = x1[:, :, cb].reshape(R1, R2 * G, LN)
+        w0 = t.w[0][:, :, cb].reshape(R1, R2 * G, LN)
+        w1 = t.w[1][:, :, cb].reshape(R1, R2 * G, LN)
+        a0, a1 = g.mul(a0, a1, w0, w1)
+        a0, a1 = col_transform(g, a0, a1, fp.rs, t.t_r[0], t.t_r[1], G, False)
+        m0 = t.mid[0][:, :, cb].reshape(R1, R2 * G, LN)
+        m1 = t.mid[1][:, :, cb].reshape(R1, R2 * G, LN)
+        a0, a1 = g.mul(a0, a1, m0, m1)
+        o0[:, :, cb] = a0.reshape(R1, R2, G, LN)
+        o1[:, :, cb] = a1.reshape(R1, R2, G, LN)
+
+    # transpose (R, C) -> (C, R), reshape to AY layout
+    RB = max(R // (G * lanes), 1)
+    LN2 = R // (RB * G)
+    y0 = o0.reshape(R, C).T.reshape(C1, C2, RB, G, LN2).copy()
+    y1 = o1.reshape(R, C).T.reshape(C1, C2, RB, G, LN2).copy()
+
+    # K2: forward C transform, dyadic square, inverse C transform
+    for rb in range(RB):
+        a0 = y0[:, :, rb].reshape(C1, C2 * G, LN2)
+        a1 = y1[:, :, rb].reshape(C1, C2 * G, LN2)
+        a0, a1 = col_transform(g, a0, a1, fp.cs, t.t_c[0], t.t_c[1], G, False)
+        a0, a1 = g.sqr(a0, a1)
+        a0, a1 = col_transform(g, a0, a1, fp.cs, t.t_c_inv[0], t.t_c_inv[1],
+                               G, True)
+        y0[:, :, rb] = a0.reshape(C1, C2, G, LN2)
+        y1[:, :, rb] = a1.reshape(C1, C2, G, LN2)
+
+    # transpose back to AX layout
+    z0 = y0.reshape(C, R).T.reshape(R1, R2, CB, G, LN)
+    z1 = y1.reshape(C, R).T.reshape(R1, R2, CB, G, LN)
+
+    # K3: inverse mid, inverse R transform, inverse weights (x 1/n)
+    for cb in range(CB):
+        a0 = z0[:, :, cb].reshape(R1, R2 * G, LN)
+        a1 = z1[:, :, cb].reshape(R1, R2 * G, LN)
+        m0 = t.mid_inv[0][:, :, cb].reshape(R1, R2 * G, LN)
+        m1 = t.mid_inv[1][:, :, cb].reshape(R1, R2 * G, LN)
+        a0, a1 = g.mul(a0, a1, m0, m1)
+        a0, a1 = col_transform(g, a0, a1, fp.rs, t.t_r_inv[0], t.t_r_inv[1],
+                               G, True)
+        i0 = t.iw[0][:, :, cb].reshape(R1, R2 * G, LN)
+        i1 = t.iw[1][:, :, cb].reshape(R1, R2 * G, LN)
+        a0, a1 = g.mul(a0, a1, i0, i1)
+        a0, a1 = g.canon(a0, a1)
+        z0[:, :, cb] = a0.reshape(R1, R2, G, LN)
+        z1[:, :, cb] = a1.reshape(R1, R2, G, LN)
+
+    from .gl64 import from_pairs
+    return from_pairs(z0.reshape(fp.n), z1.reshape(fp.n))
