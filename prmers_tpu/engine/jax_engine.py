@@ -230,6 +230,9 @@ class JaxEngine(Engine):
 
     def sync(self) -> None:
         self.regs.block_until_ready()
+        # force completion through remote-device tunnels (block_until_ready
+        # alone can return early there)
+        np.asarray(self.regs[0, 0:1])
 
     # -- host exchange ---------------------------------------------------
     def get_digits(self, src: Reg) -> np.ndarray:

@@ -245,8 +245,11 @@ class PallasEngine(Engine):
         self.regs[src] = [r0, r1, z11, z11, False]
 
     def sync(self) -> None:
+        # block_until_ready does not reliably wait through the axon tunnel;
+        # a scalar device->host fetch does.
         for st in self.regs:
             st[0].block_until_ready()
+        np.asarray(self.regs[0][2])
 
     # -- host exchange ----------------------------------------------------
     def get_digits(self, src: Reg) -> np.ndarray:

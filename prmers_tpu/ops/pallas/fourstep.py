@@ -155,10 +155,9 @@ class FourStepTables:
     """Device tables for the kernel pipeline. All general-twiddle tables are
     u64 pairs stored as (lo, hi) u32 arrays, pre-shaped for the kernels.
 
-    With payload granularity G (8 on TPU: each transform element owns 8
-    sublanes; 1 for numpy oracle tests):
-      t_r:   (R1, R2*G, 1)        omega_R^(r2 * freq1[p1])  [R-pass T layer]
-      t_c:   (C1, C2*G, 1)        omega_C^(c2 * freq1'[q1]) [C-pass T layer]
+    With payload granularity G (8 on TPU; 1 for numpy oracle tests):
+      t_r:   (R1, R2, 1, 1, 1)    omega_R^(r2 * freq1[p1])  [R-pass T layer]
+      t_c:   (C1, C2, 1, 1, 1)    omega_C^(c2 * freq1'[q1]) [C-pass T layer]
       w,iw:  (R1, R2, CB, G, LN)  weights / inv-weights*1/n, digit order
       mid:   (R1, R2, CB, G, LN)  omega_n^(c * kR(pos)), AX layout
       widths32/masks: same 5D layout (u32 / pair)
@@ -229,9 +228,8 @@ class FourStepTables:
         def ax5(a):  # (R, C) -> AX kernel layout
             return a.reshape(R1, R2, CB, G, ln)
 
-        def texp(a, L2x):  # (L1, L2) -> (L1, L2*G, 1)
-            return xp.repeat(a, G, axis=1).reshape(a.shape[0],
-                                                   L2x * G, 1)
+        def t5(a):  # (L1, L2) -> broadcast form (L1, L2, 1, 1, 1)
+            return a.reshape(a.shape[0], a.shape[1], 1, 1, 1)
 
         def pair(a):
             return ((a & xp.uint64(0xFFFFFFFF)).astype(xp.uint32),
@@ -240,9 +238,9 @@ class FourStepTables:
         return cls(
             fp=fp, G=G,
             w=pair(ax5(w)), iw=pair(ax5(iw)),
-            t_r=pair(texp(t_r, R2)), t_r_inv=pair(texp(t_r_inv, R2)),
+            t_r=pair(t5(t_r)), t_r_inv=pair(t5(t_r_inv)),
             mid=pair(ax5(mid)), mid_inv=pair(ax5(mid_inv)),
-            t_c=pair(texp(t_c, C2)), t_c_inv=pair(texp(t_c_inv, C2)),
+            t_c=pair(t5(t_c)), t_c_inv=pair(t5(t_c_inv)),
             widths32=ax5(widths),
             masks_lo=ax5((masks64 & xp.uint64(0xFFFFFFFF)).astype(xp.uint32)),
             masks_hi=ax5((masks64 >> xp.uint64(32)).astype(xp.uint32)),
@@ -428,6 +426,15 @@ def square_ref(t: FourStepTables, digits64: np.ndarray,
     x0 = x0.reshape(R1, R2, CB, G, LN)
     x1 = x1.reshape(R1, R2, CB, G, LN)
 
+    def texp(pairs, L1x, L2x):  # broadcast 5D -> (L1, L2*G, 1)
+        return tuple(np.repeat(a.reshape(L1x, L2x), G, axis=1)[:, :, None]
+                     for a in pairs)
+
+    t_r_e = texp(t.t_r, R1, R2)
+    t_r_ie = texp(t.t_r_inv, R1, R2)
+    t_c_e = texp(t.t_c, C1, C2)
+    t_c_ie = texp(t.t_c_inv, C1, C2)
+
     # K1: weights, forward R-column transform, mid twiddle (per cb block)
     o0 = np.empty_like(x0)
     o1 = np.empty_like(x1)
@@ -437,7 +444,7 @@ def square_ref(t: FourStepTables, digits64: np.ndarray,
         w0 = t.w[0][:, :, cb].reshape(R1, R2 * G, LN)
         w1 = t.w[1][:, :, cb].reshape(R1, R2 * G, LN)
         a0, a1 = g.mul(a0, a1, w0, w1)
-        a0, a1 = col_transform(g, a0, a1, fp.rs, t.t_r[0], t.t_r[1], G, False)
+        a0, a1 = col_transform(g, a0, a1, fp.rs, t_r_e[0], t_r_e[1], G, False)
         m0 = t.mid[0][:, :, cb].reshape(R1, R2 * G, LN)
         m1 = t.mid[1][:, :, cb].reshape(R1, R2 * G, LN)
         a0, a1 = g.mul(a0, a1, m0, m1)
@@ -454,9 +461,9 @@ def square_ref(t: FourStepTables, digits64: np.ndarray,
     for rb in range(RB):
         a0 = y0[:, :, rb].reshape(C1, C2 * G, LN2)
         a1 = y1[:, :, rb].reshape(C1, C2 * G, LN2)
-        a0, a1 = col_transform(g, a0, a1, fp.cs, t.t_c[0], t.t_c[1], G, False)
+        a0, a1 = col_transform(g, a0, a1, fp.cs, t_c_e[0], t_c_e[1], G, False)
         a0, a1 = g.sqr(a0, a1)
-        a0, a1 = col_transform(g, a0, a1, fp.cs, t.t_c_inv[0], t.t_c_inv[1],
+        a0, a1 = col_transform(g, a0, a1, fp.cs, t_c_ie[0], t_c_ie[1],
                                G, True)
         y0[:, :, rb] = a0.reshape(C1, C2, G, LN2)
         y1[:, :, rb] = a1.reshape(C1, C2, G, LN2)
@@ -472,7 +479,7 @@ def square_ref(t: FourStepTables, digits64: np.ndarray,
         m0 = t.mid_inv[0][:, :, cb].reshape(R1, R2 * G, LN)
         m1 = t.mid_inv[1][:, :, cb].reshape(R1, R2 * G, LN)
         a0, a1 = g.mul(a0, a1, m0, m1)
-        a0, a1 = col_transform(g, a0, a1, fp.rs, t.t_r_inv[0], t.t_r_inv[1],
+        a0, a1 = col_transform(g, a0, a1, fp.rs, t_r_ie[0], t_r_ie[1],
                                G, True)
         i0 = t.iw[0][:, :, cb].reshape(R1, R2 * G, LN)
         i1 = t.iw[1][:, :, cb].reshape(R1, R2 * G, LN)

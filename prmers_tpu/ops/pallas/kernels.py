@@ -1,23 +1,26 @@
 """Pallas TPU kernels for the four-step IBDWT squaring pipeline.
 
-Pipeline per squaring (state = u32-pair digit arrays in AX layout):
+Every transform stage is ONE generic pass kernel: an optional elementwise
+pre-multiply, a DFT along the leading axis of a small VMEM tile, an
+optional middle op (dyadic square / multiplicand multiply, plus the second
+sub-factor's forward+inverse around it), and an optional post-multiply.
+The four-step factors n = (R1*R2) x (C1*C2); per squaring the passes are
 
-  K1  (grid cb): carry-wrap inject + weights + forward R-column transform
-      + mid twiddle                                   [AX -> AX spectral-R]
-  T   XLA transpose (R, C) -> (C, R)                  [AX -> AY]
-  K2  (grid rb): forward C transform + dyadic square (or multiplicand mul)
-      + inverse C transform                           [AY -> AY]
-  T'  XLA transpose back                              [AY -> AX]
-  K3  (grid cb): inverse mid + inverse R transform + inverse weights
-      (x 1/n folded) + canonicalize                   [-> exact conv digits]
-  K4  (grid r1, sequential): two-phase carry with in-tile settle loop; the
-      final wraparound carry is returned as a scalar and injected by the
-      next iteration's K1 (2^p ≡ 1 mod M_p).
+  P1  r1-DFT    pre=weights            post=T_R      [AX tiles (64,k,8,128)]
+  P2  r2-DFT                           post=mid
+  T   XLA transpose (R, C) -> (C, R)
+  P3  c1-DFT                           post=T_C
+  P4  c2-DFT + square + c2-iDFT        post=T_C^-1   [whole c2 axis in-tile]
+  P5  c1-iDFT
+  T'  XLA transpose back
+  P6  r2-iDFT   pre=mid^-1             post=T_R^-1
+  P7  r1-iDFT   post=inv-weights (x 1/n) + canonicalize
+  P8  carry (sequential grid, wraparound carry deferred to next iteration)
 
-The reference's equivalent is the engine_gpu dispatch of forward/sqr/
-backward/carry kernels (reference: include/marin/engine_gpu.h:1568-1630,
-kernels/marin.cl:1696-2414); the decomposition here is re-designed for the
-TPU tiling model (see fourstep.py docstring).
+Small tiles keep Mosaic register pressure low (a fused full-column design
+spilled ~270 MB of VMEM at n = 2^23). The reference reaches the same
+arithmetic through radix dispatch tables on one GPU queue
+(reference: include/marin/engine_gpu.h:1568-1630, kernels/marin.cl).
 """
 
 from __future__ import annotations
@@ -41,7 +44,8 @@ g = GL(jnp)
 
 LANES = 128
 G = 8
-VMEM_LIMIT = 100 * 1024 * 1024
+SUBBLK = 8          # sub-factor slice width per tile in leading-axis passes
+VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _cparams(**kw):
@@ -49,100 +53,208 @@ def _cparams(**kw):
 
 
 # ---------------------------------------------------------------------------
-# K1: weights + forward R transform + mid twiddle (+ carry wrap inject)
+# The generic pass kernel
 # ---------------------------------------------------------------------------
 
-def _k1_kernel(fp: FourStepPlan, x0_ref, x1_ref,
-               w0_ref, w1_ref, tr0_ref, tr1_ref, m0_ref, m1_ref,
-               o0_ref, o1_ref):
-    R1, R2 = fp.rs.L1, fp.rs.L2
-    LN = x0_ref.shape[-1]
-    sh = (R1, R2 * G, LN)
-    x0 = x0_ref[:].reshape(sh)
-    x1 = x1_ref[:].reshape(sh)
-    w0 = w0_ref[:].reshape(sh)
-    w1 = w1_ref[:].reshape(sh)
-    x0, x1 = g.mul(x0, x1, w0, w1)
-    x0, x1 = fsm.col_transform(g, x0, x1, fp.rs, tr0_ref[:], tr1_ref[:],
-                               G, False)
-    m0 = m0_ref[:].reshape(sh)
-    m1 = m1_ref[:].reshape(sh)
-    x0, x1 = g.mul(x0, x1, m0, m1)
-    o0_ref[:] = x0.reshape(x0_ref.shape)
-    o1_ref[:] = x1.reshape(x1_ref.shape)
+def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
+                 has_post: bool, *refs):
+    """Tile = (L, S, 1, G, LN) [leading-axis pass] or (1, L, 1, G, LN)
+    [second-axis pass]; the wrapper always arranges the transform axis
+    first and payload after, so the kernel sees (L, S, G, LN).
 
+    mode: "plain" | "sqr" | "mul" | "fwd" | "mid_sqr" | "mid_mul" |
+          "mid_fwd".  mid_* run fwd-DFT, the op, then inv-DFT (the whole
+          sub-factor axis is in-tile); fwd/mid_fwd skip the inverse.
+    """
+    i = 0
+    x0_ref, x1_ref = refs[i], refs[i + 1]
+    i += 2
+    if mode in ("mul", "mid_mul"):
+        u0_ref, u1_ref = refs[i], refs[i + 1]
+        i += 2
+    if has_pre:
+        pre0_ref, pre1_ref = refs[i], refs[i + 1]
+        i += 2
+    if has_post:
+        post0_ref, post1_ref = refs[i], refs[i + 1]
+        i += 2
+    o0_ref, o1_ref = refs[i], refs[i + 1]
 
-# ---------------------------------------------------------------------------
-# K2: forward C + square/mul + inverse C
-# ---------------------------------------------------------------------------
-
-def _k2_kernel(fp: FourStepPlan, mode: str, *refs):
-    if mode == "mul":
-        (y0_ref, y1_ref, u0_ref, u1_ref, tc0_ref, tc1_ref,
-         tci0_ref, tci1_ref, o0_ref, o1_ref) = refs
+    sh = x0_ref.shape
+    # squeeze so the transform axis leads: axis-0 passes tile
+    # (L, S, 1, G, LN) -> view (L, S, G, LN); axis-1 passes tile
+    # (1, L, 1, G, LN) -> view (L, G, LN) (pure squeeze, no data movement).
+    if sh[0] == 1:
+        v = (L, sh[3], sh[4])
+        tb = (L, 1, 1)
     else:
-        (y0_ref, y1_ref, tc0_ref, tc1_ref, tci0_ref, tci1_ref,
-         o0_ref, o1_ref) = refs
-    C1, C2 = fp.cs.L1, fp.cs.L2
-    LN2 = y0_ref.shape[-1]
-    sh = (C1, C2 * G, LN2)
-    x0 = y0_ref[:].reshape(sh)
-    x1 = y1_ref[:].reshape(sh)
-    x0, x1 = fsm.col_transform(g, x0, x1, fp.cs, tc0_ref[:], tc1_ref[:],
-                               G, False)
-    if mode == "sqr":
-        x0, x1 = g.sqr(x0, x1)
-    elif mode == "mul":
-        u0 = u0_ref[:].reshape(sh)
-        u1 = u1_ref[:].reshape(sh)
-        x0, x1 = g.mul(x0, x1, u0, u1)
-    elif mode == "fwd":
-        pass  # spectral output (multiplicand preparation)
-    if mode != "fwd":
-        x0, x1 = fsm.col_transform(g, x0, x1, fp.cs, tci0_ref[:],
-                                   tci1_ref[:], G, True)
-    o0_ref[:] = x0.reshape(y0_ref.shape)
-    o1_ref[:] = x1.reshape(y1_ref.shape)
+        v = (L, sh[1], sh[3], sh[4])
+        tb = (L, sh[1], 1, 1)
+
+    x0 = x0_ref[:].reshape(v)
+    x1 = x1_ref[:].reshape(v)
+
+    def tload(r0, r1):
+        s = r0.shape
+        if s[-1] == 1 and s[-2] == 1:   # broadcast table (L, S, 1, 1)
+            return r0[:].reshape(tb), r1[:].reshape(tb)
+        return r0[:].reshape(v), r1[:].reshape(v)
+
+    if has_pre:
+        p0, p1 = tload(pre0_ref, pre1_ref)
+        x0, x1 = g.mul(x0, x1, p0, p1)
+
+    if mode.startswith("mid_"):
+        x0, x1 = fsm.dft_axis0(g, x0, x1, L, False)
+        if mode == "mid_sqr":
+            x0, x1 = g.sqr(x0, x1)
+        elif mode == "mid_mul":
+            u0 = u0_ref[:].reshape(v)
+            u1 = u1_ref[:].reshape(v)
+            x0, x1 = g.mul(x0, x1, u0, u1)
+        if mode != "mid_fwd":
+            x0, x1 = fsm.dft_axis0(g, x0, x1, L, True)
+    else:
+        x0, x1 = fsm.dft_axis0(g, x0, x1, L, inverse)
+        if mode == "sqr":
+            x0, x1 = g.sqr(x0, x1)
+        elif mode == "mul":
+            u0 = u0_ref[:].reshape(v)
+            u1 = u1_ref[:].reshape(v)
+            x0, x1 = g.mul(x0, x1, u0, u1)
+
+    if has_post:
+        p0, p1 = tload(post0_ref, post1_ref)
+        x0, x1 = g.mul(x0, x1, p0, p1)
+
+    o0_ref[:] = x0.reshape(sh)
+    o1_ref[:] = x1.reshape(sh)
 
 
-# ---------------------------------------------------------------------------
-# K3: inverse mid + inverse R + inverse weights (+canon)
-# ---------------------------------------------------------------------------
-
-def _k3_kernel(fp: FourStepPlan, z0_ref, z1_ref, mi0_ref, mi1_ref,
-               tri0_ref, tri1_ref, iw0_ref, iw1_ref, o0_ref, o1_ref):
-    R1, R2 = fp.rs.L1, fp.rs.L2
-    LN = z0_ref.shape[-1]
-    sh = (R1, R2 * G, LN)
-    x0 = z0_ref[:].reshape(sh)
-    x1 = z1_ref[:].reshape(sh)
-    m0 = mi0_ref[:].reshape(sh)
-    m1 = mi1_ref[:].reshape(sh)
-    x0, x1 = g.mul(x0, x1, m0, m1)
-    x0, x1 = fsm.col_transform(g, x0, x1, fp.rs, tri0_ref[:], tri1_ref[:],
-                               G, True)
-    i0 = iw0_ref[:].reshape(sh)
-    i1 = iw1_ref[:].reshape(sh)
+def _post_canon_kernel(L: int, *refs):
+    """P7: r1-iDFT + inverse weights + canonicalize (digit-domain out)."""
+    x0_ref, x1_ref, iw0_ref, iw1_ref, o0_ref, o1_ref = refs
+    sh = x0_ref.shape
+    v = (L, sh[1], sh[3], sh[4])
+    x0 = x0_ref[:].reshape(v)
+    x1 = x1_ref[:].reshape(v)
+    x0, x1 = fsm.dft_axis0(g, x0, x1, L, True)
+    i0 = iw0_ref[:].reshape(v)
+    i1 = iw1_ref[:].reshape(v)
     x0, x1 = g.mul(x0, x1, i0, i1)
     x0, x1 = g.canon(x0, x1)
-    o0_ref[:] = x0.reshape(z0_ref.shape)
-    o1_ref[:] = x1.reshape(z1_ref.shape)
+    o0_ref[:] = x0.reshape(sh)
+    o1_ref[:] = x1.reshape(sh)
 
 
 # ---------------------------------------------------------------------------
-# K4: carry normalization (sequential grid over r1 blocks)
+# Pass wrappers. Data arrays are 5D: AX = (R1, R2, CB, G, LN) in the digit
+# domain (digit = ((r1*R2+r2)*C + cb*G*LN + s*LN + l)); AY = (C1, C2, RB,
+# G, LN2) after the transpose. Leading-axis passes (axis 0) tile
+# (L, SUBBLK, 1, G, LN) over grid (dim1/SUBBLK, dim2); second-axis passes
+# tile (1, L, 1, G, LN) over grid (dim0, dim2) and transpose-free views
+# put their axis first via jnp.swapaxes (an XLA relayout on small dims).
+# ---------------------------------------------------------------------------
+
+def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
+    """Transform along dim 0 of a 5D array; dims 1 and 2 go to the grid."""
+    sh = x0.shape
+    S = min(SUBBLK, sh[1])
+    grid = (sh[1] // S, sh[2])
+    blk = (L, S, 1, sh[3], sh[4])
+
+    def im(i, j):
+        return (i * 0, i, j, i * 0, i * 0)
+
+    def bspec(a):
+        s = a.shape
+        if s[-1] == 1 and s[-2] == 1:
+            return pl.BlockSpec((L, S, 1, 1, 1),
+                                lambda i, j: (i * 0, i, j * 0, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+
+    xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+    ins = [x0, x1]
+    in_specs = [xspec, xspec]
+    if mode in ("mul", "mid_mul"):
+        ins += [u[0], u[1]]
+        in_specs += [xspec, xspec]
+    if pre is not None:
+        ins += [pre[0], pre[1]]
+        in_specs += [bspec(pre[0]), bspec(pre[1])]
+    if post is not None:
+        ins += [post[0], post[1]]
+        in_specs += [bspec(post[0]), bspec(post[1])]
+    kern = functools.partial(_pass_kernel, L, inverse, mode,
+                             pre is not None, post is not None)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(xspec, xspec),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct(sh, jnp.uint32)),
+        compiler_params=_cparams(),
+    )(*ins)
+
+
+def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
+    """Transform along dim 1: tile (1, L, 1, G, LN) over grid (dim0, dim2);
+    the block is already transform-axis-major after squeezing the leading
+    1 — no data movement."""
+    sh = x0.shape
+    grid = (sh[0], sh[2])
+    blk = (1, L, 1, sh[3], sh[4])
+
+    def im(i, j):
+        return (i, i * 0, j, i * 0, i * 0)
+
+    def bspec(a):
+        s = a.shape
+        if s[-1] == 1 and s[-2] == 1:
+            return pl.BlockSpec((1, L, 1, 1, 1),
+                                lambda i, j: (i, i * 0, j * 0, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+
+    xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+    ins = [x0, x1]
+    in_specs = [xspec, xspec]
+    if mode in ("mul", "mid_mul"):
+        ins += [u[0], u[1]]
+        in_specs += [xspec, xspec]
+    if pre is not None:
+        ins += [pre[0], pre[1]]
+        in_specs += [bspec(pre[0]), bspec(pre[1])]
+    if post is not None:
+        ins += [post[0], post[1]]
+        in_specs += [bspec(post[0]), bspec(post[1])]
+    kern = functools.partial(_pass_kernel, L, inverse, mode,
+                             pre is not None, post is not None)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(xspec, xspec),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct(sh, jnp.uint32)),
+        compiler_params=_cparams(),
+    )(*ins)
+
+
+# ---------------------------------------------------------------------------
+# Carry pass (P8): sequential grid over r1 blocks
 # ---------------------------------------------------------------------------
 
 def _k4_kernel(fp: FourStepPlan, rounds: int,
                a0_ref, a1_ref, y0_ref, y1_ref, wd_ref, mk0_ref, mk1_ref,
                o0_ref, o1_ref, co0_ref, co1_ref, carry0, carry1):
     """Tile = (R2, CB, G, LN) digits in order (r2, cb, s, l). Multiplies by
-    the small scalar a (PRP x3 steps, reference 'mul by a' carry operand),
-    splits digit/carry by variable widths, and propagates carries along the
-    digit order with roll chains; the running inter-tile carry lives in
-    SMEM scratch (grid executes sequentially on one core)."""
-    xp = jnp
-    sh4 = y0_ref.shape[1:]  # block has a leading 1 (r1 grid dim)
+    the small carry operand a (PRP x3), splits digit/carry by the variable
+    widths, and propagates carries along the digit order with roll chains;
+    the inter-tile carry rides SMEM scratch (the grid is sequential)."""
+    sh4 = y0_ref.shape[1:]
     y0 = y0_ref[:].reshape(sh4)
     y1 = y1_ref[:].reshape(sh4)
     wd = wd_ref[:].reshape(sh4)
@@ -154,68 +266,50 @@ def _k4_kernel(fp: FourStepPlan, rounds: int,
         carry0[0] = jnp.uint32(0)
         carry1[0] = jnp.uint32(0)
 
-    # y * a (a < 2^32; exact since y < max_word << 2^57 and a small)
     a = a0_ref[0, 0]
-
     y0, y1 = g.mul_small(y0, y1, a)
     y0, y1 = g.canon(y0, y1)
 
-    # split: d = y & mask, c = y >> width  (variable per-digit width)
     rem = jnp.uint32(31) - wd
 
     def split(y0, y1):
         d0 = y0 & mk0
         d1 = y1 & mk1
-        c0 = (y0 >> wd) | (((y1 << jnp.uint32(1)) << rem) &
-                           jnp.uint32(0xFFFFFFFF))
+        c0 = (y0 >> wd) | ((y1 << jnp.uint32(1)) << rem)
         c1 = y1 >> wd
         return d0, d1, c0, c1
 
     d0, d1, c0, c1 = split(y0, y1)
 
     def shift_one(c0, c1, in0, in1):
-        """Shift carries to the next digit in (r2, cb, s, l) order; the
-        carry leaving the tile's last digit is returned, and (in0,in1)
-        enters at digit 0."""
-        # extract the tile's last-digit carry before rolling (static
-        # slices; scalar int indexing lowers to dynamic_slice in Mosaic)
         out0 = c0[-1:, -1:, -1:, -1:].reshape(())
         out1 = c1[-1:, -1:, -1:, -1:].reshape(())
 
         def sh(c, inject):
-            A = pltpu.roll(c, jnp.int32(1), axis=3)          # from l-1
-            B = pltpu.roll(A, jnp.int32(1), axis=2)          # from s-1,l=L-1
-            Cc = pltpu.roll(B, jnp.int32(1), axis=1)         # from cb-1
-            D = pltpu.roll(Cc, jnp.int32(1), axis=0)         # from r2-1
+            A = pltpu.roll(c, jnp.int32(1), axis=3)
+            B = pltpu.roll(A, jnp.int32(1), axis=2)
+            Cc = pltpu.roll(B, jnp.int32(1), axis=1)
+            D = pltpu.roll(Cc, jnp.int32(1), axis=0)
             l_ = lax.broadcasted_iota(jnp.int32, c.shape, 3)
             s_ = lax.broadcasted_iota(jnp.int32, c.shape, 2)
             b_ = lax.broadcasted_iota(jnp.int32, c.shape, 1)
             r_ = lax.broadcasted_iota(jnp.int32, c.shape, 0)
-            x = jnp.where(l_ > 0, A,
-                          jnp.where(s_ > 0, B,
-                                    jnp.where(b_ > 0, Cc,
-                                              jnp.where(r_ > 0, D, inject))))
-            return x
+            return jnp.where(l_ > 0, A,
+                             jnp.where(s_ > 0, B,
+                                       jnp.where(b_ > 0, Cc,
+                                                 jnp.where(r_ > 0, D,
+                                                           inject))))
 
-        n0 = sh(c0, in0)
-        n1 = sh(c1, in1)
-        return n0, n1, out0, out1
+        return sh(c0, in0), sh(c1, in1), out0, out1
 
-    # round 1: inject inter-tile carry-in
-    acc_out0 = jnp.uint32(0)
-    acc_out1 = jnp.uint32(0)
     c0, c1, o0c, o1c = shift_one(c0, c1, carry0[0], carry1[0])
-    # carry-out accumulates exactly (the out of round k adds to digit 0 of
-    # the next tile after k-1 settle rounds there; we sum outs as a 64-bit
-    # value since subsequent rounds' outs are the *carry of the carry*)
-    s0, cc = g.addc(acc_out0, o0c)
-    acc_out0 = s0
-    acc_out1 = acc_out1 + o1c + cc
+    s0, cc = g.addc(jnp.uint32(0), o0c)
+    acc0, acc1 = s0, o1c + cc
     y0, yc = g.addc(d0, c0)
     y1 = d1 + c1 + yc
     d0, d1, c0, c1 = split(y0, y1)
 
-    def more_rounds(state):
+    def more(state):
         d0, d1, c0, c1, a0_, a1_ = state
         c0, c1, o0c, o1c = shift_one(c0, c1, jnp.uint32(0), jnp.uint32(0))
         s0, cc = g.addc(a0_, o0c)
@@ -225,168 +319,38 @@ def _k4_kernel(fp: FourStepPlan, rounds: int,
         d0, d1, c0, c1 = split(y0, y1)
         return d0, d1, c0, c1, s0, a1_
 
-    def has_carry(state):
+    def pending(state):
         d0, d1, c0, c1, _, _ = state
-        # (jnp.any / unsigned reductions don't lower in Mosaic; use i32 max)
         nz = jnp.where((c0 | c1) != jnp.uint32(0), jnp.int32(1),
                        jnp.int32(0))
         return jnp.max(nz) > 0
 
-    state = (d0, d1, c0, c1, acc_out0, acc_out1)
+    state = (d0, d1, c0, c1, acc0, acc1)
     for _ in range(rounds - 1):
-        state = more_rounds(state)
-    state = lax.while_loop(has_carry, more_rounds, state)
-    d0, d1, c0, c1, acc_out0, acc_out1 = state
+        state = more(state)
+    state = lax.while_loop(pending, more, state)
+    d0, d1, c0, c1, acc0, acc1 = state
 
     o0_ref[:] = d0.reshape(o0_ref.shape)
     o1_ref[:] = d1.reshape(o1_ref.shape)
-    carry0[0] = acc_out0
-    carry1[0] = acc_out1
-    # last grid step's value is the mod-M_p wraparound carry
-    co0_ref[0, 0] = acc_out0
-    co1_ref[0, 0] = acc_out1
-
-
-# ---------------------------------------------------------------------------
-# pallas_call wrappers (jitted pipeline)
-# ---------------------------------------------------------------------------
-
-def _blk(shape5, dims):
-    """BlockSpec over the AX/AY 5D arrays blocking only the grid dim.
-
-    Zeros in the index map are derived from the loop index so every value
-    is i32 — literal python 0s trace as i64 under jax_enable_x64 and break
-    Mosaic's func.return legalization."""
-    R1, R2, CB, Gx, LN = shape5
-    return pl.BlockSpec((R1, R2, 1, Gx, LN),
-                        lambda i: (i * 0, i * 0, i, i * 0, i * 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _full(shape):
-    """Whole-array VMEM spec with an explicit all-i32 index map (default
-    index maps emit i64 literals under jax_enable_x64 and break Mosaic)."""
-    nd = len(shape)
-    return pl.BlockSpec(tuple(shape),
-                        lambda i: tuple(i * 0 for _ in range(nd)),
-                        memory_space=pltpu.VMEM)
-
-
-def inject_carry(fp: FourStepPlan, x0, x1, cin0, cin1):
-    """Fold the wraparound carry back into the low digits (XLA glue).
-
-    The carry is spread base-2^width over the first few digit positions so
-    no digit grows beyond ~2^(w+1) — injecting it all into digit 0 would
-    make digit0^2 exceed the field modulus in the next convolution.
-    """
-    cin = (cin0[0, 0].astype(jnp.uint64) |
-           (cin1[0, 0].astype(jnp.uint64) << jnp.uint64(32)))
-    widths = fp.widths
-    # number of leading digits needed to absorb a 64-bit carry
-    k, acc = 0, 0
-    while acc < 64:
-        acc += int(widths[k])
-        k += 1
-    sh = x0.shape
-    LN = sh[4]
-    rem = cin
-    for j in range(k):
-        w = jnp.uint64(int(widths[j]))
-        part = jnp.where(jnp.uint64(j) < jnp.uint64(k - 1),
-                         rem & ((jnp.uint64(1) << w) - jnp.uint64(1)), rem)
-        rem = rem >> w
-        # digit j lives at flat c-position j: (cb=0, s=j//LN, l=j%LN)
-        s_, l_ = divmod(j, LN)
-        lo = x0[0, 0, 0, s_, l_].astype(jnp.uint64)
-        hi = x1[0, 0, 0, s_, l_].astype(jnp.uint64)
-        v = (lo | (hi << jnp.uint64(32))) + part
-        x0 = x0.at[0, 0, 0, s_, l_].set(
-            (v & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
-        x1 = x1.at[0, 0, 0, s_, l_].set(
-            (v >> jnp.uint64(32)).astype(jnp.uint32))
-    return x0, x1
-
-
-def k1(fp: FourStepPlan, t: FourStepTables, x0, x1):
-    sh = x0.shape
-    CB = sh[2]
-    kern = functools.partial(_k1_kernel, fp)
-    return pl.pallas_call(
-        kern,
-        grid=(CB,),
-        in_specs=[
-            _blk(sh, None), _blk(sh, None),       # x pair
-            _blk(sh, None), _blk(sh, None),       # w pair
-            _full(t.t_r[0].shape), _full(t.t_r[1].shape),
-            _blk(sh, None), _blk(sh, None),       # mid pair
-        ],
-        out_specs=(_blk(sh, None), _blk(sh, None)),
-        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
-                   jax.ShapeDtypeStruct(sh, jnp.uint32)),
-        compiler_params=_cparams(),
-    )(x0, x1, t.w[0], t.w[1], t.t_r[0], t.t_r[1],
-      t.mid[0], t.mid[1])
-
-
-def k2(fp: FourStepPlan, t: FourStepTables, y0, y1, mode: str,
-       u0=None, u1=None):
-    sh = y0.shape
-    RB = sh[2]
-    kern = functools.partial(_k2_kernel, fp, mode)
-    ins = [y0, y1]
-    in_specs = [_blk(sh, None), _blk(sh, None)]
-    if mode == "mul":
-        ins += [u0, u1]
-        in_specs += [_blk(sh, None), _blk(sh, None)]
-    ins += [t.t_c[0], t.t_c[1], t.t_c_inv[0], t.t_c_inv[1]]
-    in_specs += [_full(t.t_c[0].shape), _full(t.t_c[1].shape),
-                 _full(t.t_c_inv[0].shape), _full(t.t_c_inv[1].shape)]
-    return pl.pallas_call(
-        kern,
-        grid=(RB,),
-        in_specs=in_specs,
-        out_specs=(_blk(sh, None), _blk(sh, None)),
-        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
-                   jax.ShapeDtypeStruct(sh, jnp.uint32)),
-        compiler_params=_cparams(),
-    )(*ins)
-
-
-def k3(fp: FourStepPlan, t: FourStepTables, z0, z1):
-    sh = z0.shape
-    CB = sh[2]
-    kern = functools.partial(_k3_kernel, fp)
-    return pl.pallas_call(
-        kern,
-        grid=(CB,),
-        in_specs=[_blk(sh, None), _blk(sh, None),
-                  _blk(sh, None), _blk(sh, None),
-                  _full(t.t_r_inv[0].shape), _full(t.t_r_inv[1].shape),
-                  _blk(sh, None), _blk(sh, None)],
-        out_specs=(_blk(sh, None), _blk(sh, None)),
-        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
-                   jax.ShapeDtypeStruct(sh, jnp.uint32)),
-        compiler_params=_cparams(),
-    )(z0, z1, t.mid_inv[0], t.mid_inv[1], t.t_r_inv[0], t.t_r_inv[1],
-      t.iw[0], t.iw[1])
+    carry0[0] = acc0
+    carry1[0] = acc1
+    co0_ref[0, 0] = acc0
+    co1_ref[0, 0] = acc1
 
 
 def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a):
-    """Carry pass: grid over r1 (sequential); returns digits + wrap carry."""
     sh = y0.shape
     R1 = sh[0]
-    # static pre-rounds until carries provably fit one digit, then while
     wmin = int(fp.widths.min())
     rounds = 1
-    bound = fp.max_word * 4  # a fits 2 bits typically; exact loop follows
+    bound = fp.max_word * 4
     while bound >> (rounds * wmin) > 1:
         rounds += 1
     kern = functools.partial(_k4_kernel, fp, max(rounds, 2))
-
-    def rblk(i):
-        return (i, i * 0, i * 0, i * 0, i * 0)
-
-    bs = pl.BlockSpec((1,) + sh[1:], rblk, memory_space=pltpu.VMEM)
+    bs = pl.BlockSpec((1,) + sh[1:],
+                      lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                      memory_space=pltpu.VMEM)
     smem11 = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
                           memory_space=pltpu.SMEM)
     return pl.pallas_call(
@@ -405,8 +369,37 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a):
 
 
 # ---------------------------------------------------------------------------
-# Full squaring step (XLA glue: transposes between kernels)
+# Full steps (XLA glue: carry inject + transposes)
 # ---------------------------------------------------------------------------
+
+def inject_carry(fp: FourStepPlan, x0, x1, cin0, cin1):
+    """Fold the wraparound carry into the low digits, spread base-2^width
+    so no digit grows past ~2^(w+1) (digit0^2 must stay below the field
+    modulus in the next convolution)."""
+    cin = (cin0[0, 0].astype(jnp.uint64) |
+           (cin1[0, 0].astype(jnp.uint64) << jnp.uint64(32)))
+    widths = fp.widths
+    k, acc = 0, 0
+    while acc < 64:
+        acc += int(widths[k])
+        k += 1
+    LN = x0.shape[4]
+    rem = cin
+    for j in range(k):
+        w = jnp.uint64(int(widths[j]))
+        part = rem & ((jnp.uint64(1) << w) - jnp.uint64(1)) if j < k - 1 \
+            else rem
+        rem = rem >> w
+        s_, l_ = divmod(j, LN)
+        lo = x0[0, 0, 0, s_, l_].astype(jnp.uint64)
+        hi = x1[0, 0, 0, s_, l_].astype(jnp.uint64)
+        v = (lo | (hi << jnp.uint64(32))) + part
+        x0 = x0.at[0, 0, 0, s_, l_].set(
+            (v & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+        x1 = x1.at[0, 0, 0, s_, l_].set(
+            (v >> jnp.uint64(32)).astype(jnp.uint32))
+    return x0, x1
+
 
 def _to_ay(fp: FourStepPlan, a):
     R, C = fp.R, fp.C
@@ -424,17 +417,60 @@ def _to_ax(fp: FourStepPlan, a):
     return a.reshape(C, R).T.reshape(R1, R2, CB, G, LN)
 
 
+def _forward_r(fp, t, x0, x1):
+    x0, x1 = _axis0_pass(x0, x1, fp.rs.L1, False, "plain",
+                         pre=t.w, post=t.t_r)
+    x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False, "plain", post=t.mid)
+    return x0, x1
+
+
+def _middle(fp, t, y0, y1, mode, u=None):
+    y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, False, "plain", post=t.t_c)
+    y0, y1 = _axis1_pass(y0, y1, fp.cs.L2, False,
+                         {"sqr": "mid_sqr", "mul": "mid_mul",
+                          "fwd": "mid_fwd"}[mode],
+                         post=None if mode == "fwd" else t.t_c_inv, u=u)
+    if mode != "fwd":
+        y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, True, "plain")
+    return y0, y1
+
+
+def _inverse_r(fp, t, z0, z1):
+    z0, z1 = _axis1_pass(z0, z1, fp.rs.L2, True, "plain",
+                         pre=t.mid_inv, post=t.t_r_inv)
+    # final pass: r1 inverse DFT + inverse weights + canon
+    sh = z0.shape
+    S = min(SUBBLK, sh[1])
+    grid = (sh[1] // S, sh[2])
+    blk = (fp.rs.L1, S, 1, sh[3], sh[4])
+
+    def im(i, j):
+        return (i * 0, i, j, i * 0, i * 0)
+
+    bspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+    kern = functools.partial(_post_canon_kernel, fp.rs.L1)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bspec] * 4,
+        out_specs=(bspec, bspec),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct(sh, jnp.uint32)),
+        compiler_params=_cparams(),
+    )(z0, z1, t.iw[0], t.iw[1])
+
+
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
                 cin0, cin1, a):
     """One full (x^2 * a) iteration. Returns (d0, d1, cout0, cout1)."""
     x0, x1 = inject_carry(fp, x0, x1, cin0, cin1)
-    s0, s1 = k1(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
-    y0, y1 = k2(fp, t, y0, y1, "sqr")
+    y0, y1 = _middle(fp, t, y0, y1, "sqr")
     z0 = _to_ax(fp, y0)
     z1 = _to_ax(fp, y1)
-    z0, z1 = k3(fp, t, z0, z1)
+    z0, z1 = _inverse_r(fp, t, z0, z1)
     return k4(fp, t, z0, z1, a)
 
 
@@ -442,20 +478,20 @@ def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
              cin0, cin1, a):
     """dst = dst * multiplicand(u) * a; u is an AY-layout spectral pair."""
     x0, x1 = inject_carry(fp, x0, x1, cin0, cin1)
-    s0, s1 = k1(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
-    y0, y1 = k2(fp, t, y0, y1, "mul", u0, u1)
+    y0, y1 = _middle(fp, t, y0, y1, "mul", u=(u0, u1))
     z0 = _to_ax(fp, y0)
     z1 = _to_ax(fp, y1)
-    z0, z1 = k3(fp, t, z0, z1)
+    z0, z1 = _inverse_r(fp, t, z0, z1)
     return k4(fp, t, z0, z1, a)
 
 
 def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     """Forward transform only (multiplicand preparation), AY spectral out."""
     x0, x1 = inject_carry(fp, x0, x1, cin0, cin1)
-    s0, s1 = k1(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
-    return k2(fp, t, y0, y1, "fwd")
+    return _middle(fp, t, y0, y1, "fwd")
