@@ -48,6 +48,7 @@ class PrpLlResult:
     iteration: int = 0
     quick: bool = False
     wagstaff_prp: bool | None = None
+    cofactor_prp: bool | None = None
 
 
 def _gl_extra_pack(itersave, jsave, checkpass, errcount):
@@ -247,9 +248,25 @@ def run_prp_or_ll(opts: Options, eng: Engine | None = None,
 
     x = eng.get_int(R0)
     wag = None
+    cofactor_prp = None
     if opts.wagstaff:
         fp = (1 << (p // 2)) + 1
         wag = (x % fp) == 9
+        is_prime = False
+    if mode == "prp" and opts.known_factors:
+        # type-5 cofactor PRP (reference: src/math/Cofactor.cpp:9-67):
+        # with KF = prod(known factors), C = M_p / KF, and x = 3^(2^p):
+        # 3^(M_p - 1) = x/9, and C is PRP iff x/9 ≡ 3^(KF-1) (mod C).
+        kf = 1
+        for f in opts.known_factors:
+            fi = int(f)
+            if mp % fi != 0:
+                raise ValueError(f"known factor {fi} does not divide M_{p}")
+            kf *= fi
+        assert mp % kf == 0, "known factors are not coprime"
+        c = mp // kf
+        lhs = (x * pow(9, -1, mp)) % mp % c
+        cofactor_prp = lhs == pow(3, kf - 1, c)
         is_prime = False
     if mode == "prp":
         r = res.prp_residue(p, x)
@@ -260,6 +277,7 @@ def run_prp_or_ll(opts: Options, eng: Engine | None = None,
         res64=res.res64_hex(r), res2048=res.res2048_hex(r),
         transform_size=n, elapsed=progress.elapsed() + restored_time,
         gerbicz_errors=opts.gerbicz_error_count,
-        iteration=total_iters, wagstaff_prp=wag)
+        iteration=total_iters, wagstaff_prp=wag,
+        cofactor_prp=cofactor_prp)
     ck.delete_checkpoints(ckpt_path)
     return result

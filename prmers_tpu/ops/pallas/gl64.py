@@ -79,27 +79,38 @@ class GL:
         return d0, d1, b1_ + b2
 
     def fold_carry(self, s0, s1, c):
-        """value + c*2^64 -> < 2^64 form (adds c*(2^32-1); c in {0,1,2})."""
+        """value + c*2^64 -> < 2^64 form (adds c*(2^32-1); c in {0,1,2}).
+
+        Tight form: u = s - c + c*2^32 computed wordwise; the net second
+        wrap is ca - cb (cb = 1 implies ca = 1), folded the same way.
+        """
         xp = self.xp
-        # c*(2^32-1) = (c<<32) - c: pair (0-c wrapping, c - (c!=0))
-        t0 = _c(xp, 0) - c
-        t1 = c - (c != 0).astype(xp.uint32)
-        r0, r1, c2 = self.add64(s0, s1, t0, t1)
-        # second-order fold: c2 in {0,1}, result now + c2*2^64
-        u0, u1, c3 = self.add64(r0, r1, _c(xp, 0) - c2,
-                                c2 - (c2 != 0).astype(xp.uint32))
-        # c3 provably 0: after one fold value < 2^33 when a wrap occurred
-        return u0, u1
+        u0 = s0 - c
+        b1 = (s0 < c).astype(xp.uint32)
+        u1a = s1 + c
+        ca = (u1a < s1).astype(xp.uint32)
+        u1 = u1a - b1
+        cb = (u1a < b1).astype(xp.uint32)
+        c2 = ca - cb            # in {0, 1}
+        v0 = u0 - c2
+        b2 = (u0 < c2).astype(xp.uint32)
+        v1 = u1 + c2 - b2       # cannot wrap: post-wrap values are tiny
+        return v0, v1
 
     def fold_borrow(self, d0, d1, br):
         """value - br*2^64 -> subtract br*(2^32-1) (br in {0,1})."""
         xp = self.xp
-        t0 = _c(xp, 0) - br
-        t1 = br - (br != 0).astype(xp.uint32)
-        r0, r1, b2 = self.sub64(d0, d1, t0, t1)
-        u0, u1, _ = self.sub64(r0, r1, _c(xp, 0) - b2,
-                               b2 - (b2 != 0).astype(xp.uint32))
-        return u0, u1
+        u0 = d0 + br
+        ca = (u0 < d0).astype(xp.uint32)
+        u1a = d1 - br
+        bb = (d1 < br).astype(xp.uint32)
+        u1 = u1a + ca
+        cc = (u1 < u1a).astype(xp.uint32)
+        b2 = bb - cc            # in {0, 1}
+        v0 = u0 + b2
+        ca2 = (v0 < u0).astype(xp.uint32)
+        v1 = u1 - b2 + ca2
+        return v0, v1
 
     # -- modular ops (lazy domain: in/out < 2^64, any residue class) ------
     def add(self, a0, a1, b0, b1):
@@ -175,12 +186,17 @@ class GL:
     def shl_small(self, a0, a1, e):
         """(a * 2^e) for static/int or traced-array e in [0, 32): 96-bit out.
 
-        Returns three words (w0, w1, w2). Uses the (x>>1)>>(31-e) funnel so
-        e = 0 is well-defined (TPU shifts are UB at >= 32).
+        Returns three words (w0, w1, w2). The traced-array path uses the
+        (x>>1)>>(31-e) funnel so e = 0 is well-defined (shifts >= 32 are UB).
         """
         xp = self.xp
         if isinstance(e, (int, np.integer)):
-            e = _c(xp, int(e))
+            e = int(e)
+            if e == 0:
+                return a0, a1, a0 * _c(xp, 0)
+            ec = _c(xp, e)
+            rc = _c(xp, 32 - e)
+            return a0 << ec, (a0 >> rc) | (a1 << ec), a1 >> rc
         w0 = a0 << e
         rem = _c(xp, 31) - e
         w1 = ((a0 >> _c(xp, 1)) >> rem) | (a1 << e)
@@ -188,12 +204,23 @@ class GL:
         return w0, w1, w2
 
     def fold96(self, w0, w1, w2):
-        """(w2:w1:w0) mod P -> pair, via 2^64 ≡ 2^32-1 (w2 < 2^32)."""
+        """(w2:w1:w0) mod P -> pair, via 2^64 ≡ 2^32-1 (w2 < 2^32).
+
+        value ≡ (w1:w0) + (w2<<32) - w2, computed wordwise with a single
+        net-wrap correction (cb = 1 implies ca = 1).
+        """
         xp = self.xp
-        t0 = _c(xp, 0) - w2
-        t1 = w2 - (w2 != 0).astype(xp.uint32)
-        s0, s1, c = self.add64(w0, w1, t0, t1)
-        return self.fold_carry(s0, s1, c)
+        u0 = w0 - w2
+        b = (w0 < w2).astype(xp.uint32)
+        u1a = w1 + w2
+        ca = (u1a < w1).astype(xp.uint32)
+        u1 = u1a - b
+        cb = (u1a < b).astype(xp.uint32)
+        c2 = ca - cb
+        v0 = u0 - c2
+        b2 = (u0 < c2).astype(xp.uint32)
+        v1 = u1 + c2 - b2
+        return v0, v1
 
     def mul_p32(self, a0, a1):
         """a * 2^32 mod P = (a0+a1)*2^32 - a1 (both < 2^64 after folds)."""

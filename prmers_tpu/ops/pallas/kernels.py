@@ -281,6 +281,11 @@ def _k4_kernel(fp: FourStepPlan, rounds: int,
 
     d0, d1, c0, c1 = split(y0, y1)
 
+    l_ = lax.broadcasted_iota(jnp.int32, sh4, 3)
+    s_ = lax.broadcasted_iota(jnp.int32, sh4, 2)
+    b_ = lax.broadcasted_iota(jnp.int32, sh4, 1)
+    r_ = lax.broadcasted_iota(jnp.int32, sh4, 0)
+
     def shift_one(c0, c1, in0, in1):
         out0 = c0[-1:, -1:, -1:, -1:].reshape(())
         out1 = c1[-1:, -1:, -1:, -1:].reshape(())
@@ -290,10 +295,6 @@ def _k4_kernel(fp: FourStepPlan, rounds: int,
             B = pltpu.roll(A, jnp.int32(1), axis=2)
             Cc = pltpu.roll(B, jnp.int32(1), axis=1)
             D = pltpu.roll(Cc, jnp.int32(1), axis=0)
-            l_ = lax.broadcasted_iota(jnp.int32, c.shape, 3)
-            s_ = lax.broadcasted_iota(jnp.int32, c.shape, 2)
-            b_ = lax.broadcasted_iota(jnp.int32, c.shape, 1)
-            r_ = lax.broadcasted_iota(jnp.int32, c.shape, 0)
             return jnp.where(l_ > 0, A,
                              jnp.where(s_ > 0, B,
                                        jnp.where(b_ > 0, Cc,
@@ -383,21 +384,23 @@ def inject_carry(fp: FourStepPlan, x0, x1, cin0, cin1):
     while acc < 64:
         acc += int(widths[k])
         k += 1
-    LN = x0.shape[4]
+    # one fused strip update per plane: digits 0..k-1 live at
+    # [0, 0, 0, 0, 0:k] (k < 128 lanes)
+    parts = []
     rem = cin
     for j in range(k):
         w = jnp.uint64(int(widths[j]))
-        part = rem & ((jnp.uint64(1) << w) - jnp.uint64(1)) if j < k - 1 \
-            else rem
+        parts.append(rem & ((jnp.uint64(1) << w) - jnp.uint64(1))
+                     if j < k - 1 else rem)
         rem = rem >> w
-        s_, l_ = divmod(j, LN)
-        lo = x0[0, 0, 0, s_, l_].astype(jnp.uint64)
-        hi = x1[0, 0, 0, s_, l_].astype(jnp.uint64)
-        v = (lo | (hi << jnp.uint64(32))) + part
-        x0 = x0.at[0, 0, 0, s_, l_].set(
-            (v & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
-        x1 = x1.at[0, 0, 0, s_, l_].set(
-            (v >> jnp.uint64(32)).astype(jnp.uint32))
+    part_vec = jnp.stack(parts)
+    lo = x0[0, 0, 0, 0, 0:k].astype(jnp.uint64)
+    hi = x1[0, 0, 0, 0, 0:k].astype(jnp.uint64)
+    v = (lo | (hi << jnp.uint64(32))) + part_vec
+    x0 = x0.at[0, 0, 0, 0, 0:k].set(
+        (v & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+    x1 = x1.at[0, 0, 0, 0, 0:k].set(
+        (v >> jnp.uint64(32)).astype(jnp.uint32))
     return x0, x1
 
 
