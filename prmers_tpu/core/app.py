@@ -1,0 +1,176 @@
+"""Application dispatcher — ties CLI/worktodo entries to mode drivers,
+result JSON, proofs, and worktodo bookkeeping.
+
+Analog of the reference App (reference: src/core/App.cpp:254-460 config
+merge + workload classification, :863-1095 run() dispatch). Where the
+reference execs itself between worktodo entries (restart_self,
+AlgoUtils.hpp:126), this loops in-process.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..engine.factory import configure_backend
+from ..io import json_out
+from ..io.options import Options
+from ..io.worktodo import (Worktodo, append_results_txt,
+                           write_individual_json)
+
+
+def _merge_worktodo(opts: Options, entry) -> Options:
+    opts.exponent = entry.exponent
+    opts.mode = entry.mode
+    opts.aid = entry.aid or opts.aid
+    if entry.known_factors:
+        opts.known_factors = entry.known_factors
+    if entry.b1:
+        opts.b1 = entry.b1
+    if entry.b2:
+        opts.b2 = entry.b2
+    if entry.curves:
+        opts.curves = entry.curves
+    return opts
+
+
+def run_once(opts: Options, log=print) -> tuple[object, str]:
+    """Run one workload; returns (result, json_line)."""
+    configure_backend(opts.backend if opts.backend != "auto" else "auto",
+                      opts.mode)
+    if opts.mode in ("prp", "ll"):
+        from ..modes.prp_ll import run_prp_or_ll
+        proof_set = None
+        proof = None
+        if (opts.mode == "prp" and opts.proof and not opts.wagstaff
+                and opts.exponent > 128):
+            from .proof import ProofSet, best_power
+            from .plan import cached_plan
+            power = opts.proof_power or best_power(opts.exponent)
+            proof_set = ProofSet(opts.exponent, power,
+                                 widths=cached_plan(opts.exponent).widths,
+                                 save_dir=opts.save_dir,
+                                 known_factors=opts.known_factors)
+        r = run_prp_or_ll(opts, proof_set=proof_set, log=log)
+        proof_md5 = ""
+        proof_power = 0
+        if proof_set is not None and not r.interrupted and not r.quick:
+            try:
+                proof = proof_set.compute_proof(log=log)
+                path = proof.save(proof.filename(opts.save_dir))
+                log(f"proof written to {path}")
+                proof_power = proof.power
+                import hashlib
+                with open(path, "rb") as f:
+                    proof_md5 = hashlib.md5(f.read()).hexdigest()
+                if opts.proof_verify:
+                    proof.verify(log=log)
+            except (OSError, RuntimeError, ValueError) as e:
+                log(f"proof generation failed: {e}")
+        if opts.mode == "prp" and opts.known_factors:
+            status = "PRP" if r.cofactor_prp else "C"
+        else:
+            status = "P" if r.is_prime else "C"
+        if opts.wagstaff:
+            status = "PRP" if r.wagstaff_prp else "C"
+        j = json_out.build_result_json(
+            exponent=opts.exponent,
+            worktype="PRP-3" if opts.mode == "prp" else "LL",
+            status=status, res64=r.res64.upper(),
+            res2048=r.res2048.upper(),
+            gerbicz_errors=r.gerbicz_errors,
+            fft_length=r.transform_size,
+            known_factors=opts.known_factors,
+            proof_power=proof_power, proof_md5=proof_md5,
+            user=opts.user, computer=opts.computer, aid=opts.aid)
+        return r, j
+    if opts.mode == "llsafe":
+        from ..modes.llsafe import run_llsafe
+        r = run_llsafe(opts, log=log)
+        j = json_out.build_result_json(
+            exponent=opts.exponent, worktype="LL",
+            status="P" if r.is_prime else "C", res64=r.res64.upper(),
+            gerbicz_errors=r.gerbicz_errors, fft_length=r.transform_size,
+            user=opts.user, computer=opts.computer, aid=opts.aid)
+        return r, j
+    if opts.mode == "pm1":
+        from ..modes.pm1 import run_pm1
+        r = run_pm1(opts, log=log)
+        factors = (str(r.factor),) if r.factor else ()
+        j = json_out.build_result_json(
+            exponent=opts.exponent, worktype="PM1",
+            status="F" if r.factor else "NF",
+            b1=opts.b1, b2=opts.b2, factors=factors,
+            gerbicz_errors=r.gerbicz_errors,
+            fft_length=r.transform_size,
+            user=opts.user, computer=opts.computer, aid=opts.aid)
+        return r, j
+    if opts.mode == "ecm":
+        from ..modes.ecm import run_ecm
+        r = run_ecm(opts, log=log)
+        factors = (str(r.factor),) if r.factor else ()
+        j = json_out.build_result_json(
+            exponent=opts.exponent, worktype="ECM",
+            status="F" if r.factor else "NF",
+            b1=opts.b1, b2=opts.b2, factors=factors,
+            curves=r.curves, curve_seed=opts.curve_seed,
+            edwards=False, torsion=opts.torsion, sigma=opts.sigma,
+            user=opts.user, computer=opts.computer, aid=opts.aid)
+        return r, j
+    if opts.mode == "bench":
+        from ..modes.bench import run_bench
+        r = run_bench(opts, log=log)
+        return r, ""
+    raise ValueError(f"unknown mode {opts.mode!r}")
+
+
+def run_app(opts: Options, log=print) -> int:
+    """Top-level driver: worktodo loop or single run. Returns exit code
+    (reference exit semantics: 0 = prime/PRP/factor found where
+    applicable)."""
+    gui = None
+    if opts.gui:
+        from ..ui.webgui import WebGui
+        gui = WebGui(opts)
+        gui.start()
+        log(f"web GUI on http://localhost:{opts.gui_port}")
+    try:
+        wt = Worktodo(opts.worktodo_path)
+        entry = wt.first_entry()
+        if entry is not None and opts.exponent == 0:
+            exit_code = 0
+            while entry is not None:
+                _merge_worktodo(opts, entry)
+                if gui:
+                    gui.set_state(status="running", exponent=opts.exponent,
+                                  mode=opts.mode)
+                r, j = run_once(opts, log=log)
+                if j:
+                    append_results_txt(opts.results_path, j)
+                    write_individual_json(opts.save_dir, opts.exponent,
+                                          opts.mode, j)
+                    log(j)
+                wt.remove_first_processed()
+                entry = wt.first_entry()
+            return exit_code
+        if opts.exponent == 0:
+            log("nothing to do: no exponent and no worktodo entries")
+            return 2
+        r, j = run_once(opts, log=log)
+        if j:
+            append_results_txt(opts.results_path, j)
+            write_individual_json(opts.save_dir, opts.exponent, opts.mode, j)
+            log(j)
+        is_prime = bool(getattr(r, "is_prime", False) or
+                        getattr(r, "factor", 0) or
+                        getattr(r, "wagstaff_prp", False) or
+                        getattr(r, "cofactor_prp", False))
+        return 0 if is_prime else 1
+    finally:
+        if gui:
+            gui.stop()
+
+
+def main(argv=None) -> int:
+    from ..io.cli import parse_args
+    opts = parse_args(argv)
+    return run_app(opts)

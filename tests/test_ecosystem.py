@@ -1,0 +1,136 @@
+"""CLI, worktodo, result JSON, app dispatcher, and web GUI tests."""
+
+import json
+import os
+import urllib.request
+
+import pytest
+
+from prmers_tpu.core.app import run_app, run_once
+from prmers_tpu.io.cli import parse_args
+from prmers_tpu.io.json_out import build_result_json
+from prmers_tpu.io.worktodo import Worktodo, parse_line
+
+
+class TestCli:
+    def test_prp_default(self):
+        o = parse_args(["9941", "-backend", "numpy"])
+        assert o.exponent == 9941 and o.mode == "prp"
+
+    def test_pm1_flags(self):
+        o = parse_args(["367", "-pm1", "-b1", "11981", "-b2", "38971"])
+        assert o.mode == "pm1" and o.b1 == 11981 and o.b2 == 38971
+
+    def test_factors(self):
+        o = parse_args(["2699", "-prp", "-factors", "5399,307687"])
+        assert o.known_factors == ("5399", "307687")
+
+    def test_config_expansion(self, tmp_path):
+        cfg = tmp_path / "c.cfg"
+        cfg.write_text("-pm1 -b1 100\n")
+        o = parse_args(["541", "-config", str(cfg)])
+        assert o.mode == "pm1" and o.b1 == 100
+
+
+class TestWorktodo:
+    def test_parse_prp_with_aid(self):
+        e = parse_line("PRP=ABCDEF0123456789ABCDEF0123456789,1,2,9941,-1")
+        assert e.mode == "prp" and e.exponent == 9941
+        assert e.aid == "ABCDEF0123456789ABCDEF0123456789"
+
+    def test_parse_pm1(self):
+        e = parse_line("Pminus1=1,2,367,-1,11981,38971")
+        assert e.mode == "pm1" and e.b1 == 11981 and e.b2 == 38971
+
+    def test_parse_known_factors(self):
+        e = parse_line('PRP=1,2,2699,-1,99,0,"5399,307687"')
+        assert e.known_factors == ("5399", "307687")
+
+    def test_parse_test_ll(self):
+        e = parse_line("Test=44497,74,1")
+        assert e.mode == "ll" and e.exponent == 44497
+
+    def test_remove_first(self, tmp_path):
+        wt_path = tmp_path / "worktodo.txt"
+        wt_path.write_text("# comment\nPRP=1,2,127,-1\nPRP=1,2,521,-1\n")
+        wt = Worktodo(str(wt_path))
+        assert wt.first_entry().exponent == 127
+        assert wt.remove_first_processed()
+        assert wt.first_entry().exponent == 521
+        assert (tmp_path / "worktodo_save.txt").read_text().strip() == \
+            "PRP=1,2,127,-1"
+
+
+class TestJson:
+    def test_prp_fields(self):
+        j = json.loads(build_result_json(
+            exponent=9941, worktype="PRP-3", status="P",
+            res64="0000000000000001", res2048="01", fft_length=512,
+            timestamp="2026-01-01 00:00:00"))
+        assert j["status"] == "P" and j["worktype"] == "PRP-3"
+        assert j["checksum"]["version"] == 1
+        assert len(j["checksum"]["checksum"]) == 8
+
+    def test_checksum_deterministic(self):
+        a = build_result_json(exponent=1, worktype="LL", status="C",
+                              res64="AB", timestamp="t")
+        b = build_result_json(exponent=1, worktype="LL", status="C",
+                              res64="AB", timestamp="t")
+        assert a == b
+
+
+class TestApp:
+    def test_worktodo_batch(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "worktodo.txt").write_text(
+            "PRP=1,2,1279,-1\nPminus1=1,2,541,-1,899,0\n")
+        o = parse_args(["-backend", "numpy", "-noproof", "-q"])
+        code = run_app(o, log=lambda *a: None)
+        assert code == 0
+        assert (tmp_path / "1279_prp_result.json").exists()
+        assert (tmp_path / "541_pm1_result.json").exists()
+        results = (tmp_path / "results.txt").read_text().strip().splitlines()
+        assert len(results) == 2
+        assert json.loads(results[1])["factors"] == ["4312790327"]
+        assert (tmp_path / "worktodo.txt").read_text().strip() == ""
+
+    def test_single_run_exit_codes(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        o = parse_args(["1279", "-backend", "numpy", "-noproof", "-q"])
+        assert run_app(o, log=lambda *a: None) == 0   # prime
+        o = parse_args(["1windows", "-q"]) if False else \
+            parse_args(["929", "-ll", "-backend", "numpy", "-q"])
+        assert run_app(o, log=lambda *a: None) == 1   # composite
+
+    def test_proof_via_app(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        o = parse_args(["1279", "-backend", "numpy", "-proofpower", "2",
+                        "-proofverify", "-q"])
+        lines = []
+        assert run_app(o, log=lines.append) == 0
+        assert any("Verification result: SUCCESS" in l for l in lines)
+        assert (tmp_path / "m1279-2.proof").exists()
+
+
+class TestGui:
+    def test_endpoints(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from prmers_tpu.ui.webgui import WebGui
+        o = parse_args(["-gui-port", "3977", "-q"])
+        g = WebGui(o)
+        g.start()
+        try:
+            g.set_state(status="running", exponent=127)
+            st = json.loads(urllib.request.urlopen(
+                "http://localhost:3977/api/state", timeout=5).read())
+            assert st["status"] == "running" and st["exponent"] == 127
+            req = urllib.request.Request(
+                "http://localhost:3977/api/append-worktodo",
+                data=b"PRP=1,2,127,-1", method="POST")
+            urllib.request.urlopen(req, timeout=5)
+            body = urllib.request.urlopen(
+                "http://localhost:3977/api/load-worktodo",
+                timeout=5).read().decode()
+            assert "PRP=1,2,127,-1" in body
+        finally:
+            g.stop()
