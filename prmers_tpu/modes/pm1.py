@@ -64,22 +64,33 @@ def _exp_by_reg(eng: Engine, dst: int, base_mult: int, e: int):
 
 
 def _exponentiate(eng: Engine, opts: Options, e_chunk: int, first: bool,
-                  mp: int, log) -> None:
-    """RS <- base^e_chunk where base = 3 (first chunk) or current RS."""
+                  mp: int, log, resume_blk: int = 0, resume_esum: int = 0,
+                  save_cb=None) -> None:
+    """RS <- base^e_chunk where base = 3 (first chunk) or current RS.
+
+    resume_blk/resume_esum restart a GL-checked chunk mid-way (the engine
+    registers were already restored from the checkpoint); save_cb(blk,
+    esum) fires after every passed verification (checkpoint hook).
+    """
     bits = e_chunk.bit_length()
     if bits == 0:
         return
     fast3 = first  # base 3: fold set bits into the carry multiplier
 
+    resuming = resume_blk > 0
     if first:
         eng.set(RT, 3)
         eng.set_multiplicand(RBASE, RT)
-        eng.set(RS, 3)           # consumes the MSB
+        if not resuming:
+            eng.set(RS, 3)       # consumes the MSB
         start = 1
     else:
-        eng.set_multiplicand(RBASE, RS)
-        eng.set(RS, 1)
+        if not resuming:
+            eng.set_multiplicand(RBASE, RS)
+            eng.set(RS, 1)
         start = 0
+    assert not (resuming and not first), \
+        "mid-chunk resume is only supported for the first (base-3) chunk"
 
     def bit_at(i: int) -> int:
         return (e_chunk >> (bits - 1 - i)) & 1
@@ -111,15 +122,16 @@ def _exponentiate(eng: Engine, opts: Options, e_chunk: int, first: bool,
     n_full = (bits - start) // B
     tail = (bits - start) - n_full * B
 
-    eng.set(RL, 1)
-    eng.set(RR, 1)
+    if not resuming:
+        eng.set(RL, 1)
+        eng.set(RR, 1)
     eng.copy(RSAVE_S, RS)
     eng.copy(RSAVE_L, RL)
     eng.copy(RSAVE_R, RR)
-    good_block = 0
-    good_esum = 0
-    blk = 0
-    esum = 0            # cumulative: the relation below holds cumulatively
+    good_block = resume_blk
+    good_esum = resume_esum
+    blk = resume_blk
+    esum = resume_esum  # cumulative: the relation below holds cumulatively
     blocks_in_window = 0
     retries = 0
     while blk < n_full:
@@ -147,6 +159,8 @@ def _exponentiate(eng: Engine, opts: Options, e_chunk: int, first: bool,
                 good_block = blk
                 good_esum = esum
                 retries = 0
+                if save_cb is not None:
+                    save_cb(blk, esum)
             else:
                 retries += 1
                 opts.gerbicz_error_count += 1
@@ -164,9 +178,32 @@ def _exponentiate(eng: Engine, opts: Options, e_chunk: int, first: bool,
         run_block(start + n_full * B, bits)
 
 
+def _s1_extra_pack(chunk_idx: int, blk: int, esum: int,
+                   b1: int, errs: int) -> bytes:
+    eb = esum.to_bytes((esum.bit_length() + 7) // 8 or 1, "little")
+    import struct
+    return struct.pack("<IIQII", chunk_idx, blk, b1, errs, len(eb)) + eb
+
+
+def _s1_extra_unpack(b: bytes):
+    import struct
+    hdr = struct.calcsize("<IIQII")
+    if len(b) < hdr:
+        return None
+    chunk_idx, blk, b1, errs, elen = struct.unpack_from("<IIQII", b, 0)
+    esum = int.from_bytes(b[hdr:hdr + elen], "little")
+    return chunk_idx, blk, esum, b1, errs
+
+
 def run_pm1_stage1(opts: Options, eng: Engine | None = None,
                    log=print) -> Pm1Result:
-    """Stage 1: x = 3^(E(B1) * 2p); factor = gcd(x-1, M_p) if > 1."""
+    """Stage 1: x = 3^(E(B1) * 2p); factor = gcd(x-1, M_p) if > 1.
+
+    Checkpoints at every passed GL verification (versioned file with the
+    chunk cursor + GL block/esum state, reference ckpt v3 semantics
+    RunPM1.cpp:6239-6290); resume restores registers and continues from
+    the verified block.
+    """
     p, b1 = opts.exponent, opts.b1
     assert b1 >= 2
     mp = res.mersenne(p)
@@ -174,20 +211,68 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
         eng = create_engine(p, S1_REGS, backend=opts.backend)
     t0 = time.monotonic()
     max_bits = opts.max_e_bits or (1 << 22)
+    mode_tag = ck.MODE_TAGS["pm1"]
+    ckpt_path = ck.ckpt_filename(p, "pm1", save_dir=opts.save_dir)
+
+    resume_chunk, resume_blk, resume_esum = -1, 0, 0
+    saved = ck.load_latest(ckpt_path, p, mode_tag)
+    if saved is not None:
+        st = _s1_extra_unpack(saved.extra)
+        if st is not None and st[3] == b1:
+            try:
+                eng.set_checkpoint(saved.regs)
+                resume_chunk, resume_blk, resume_esum = st[0], st[1], st[2]
+                opts.gerbicz_error_count = st[4]
+                log(f"Resuming P-1 stage 1 from chunk {st[0]} "
+                    f"block {st[1]}.")
+            except (AssertionError, ValueError):
+                resume_chunk = -1
+
+    last_save = time.monotonic()
+
+    def make_save_cb(chunk_idx: int):
+        def cb(blk: int, esum: int):
+            nonlocal last_save
+            now = time.monotonic()
+            if now - last_save < min(opts.backup_interval, 60):
+                return
+            ck.write_checkpoint(ckpt_path, ck.CheckpointData(
+                p=p, mode_tag=mode_tag, iteration=blk,
+                elapsed=time.monotonic() - t0,
+                extra=_s1_extra_pack(chunk_idx, blk, esum, b1,
+                                     opts.gerbicz_error_count),
+                regs=eng.get_checkpoint()))
+            last_save = now
+        return cb
 
     # E = 2p * prod(prime powers <= B1), consumed in chunks
     first = True
     # fold 2p into the first chunk so even tiny B1 runs include it
     lead = 2 * p
-    for e_chunk, _nxt in pr.build_e_chunks(b1, max_bits):
+    for idx, (e_chunk, _nxt) in enumerate(pr.build_e_chunks(b1, max_bits)):
         if first:
             e_chunk *= lead
-        if opts.erroriter and first:
-            pass  # error injection hook (parity with -erroriter) — stage 1
-        _exponentiate(eng, opts, e_chunk, first, mp, log)
+        if idx < resume_chunk:
+            first = False
+            continue  # completed before the checkpoint
+        # mid-chunk resume only for the base-3 first chunk (later chunks'
+        # base register is only recoverable at chunk boundaries)
+        mid = (idx == resume_chunk and idx == 0)
+        _exponentiate(eng, opts, e_chunk, first, mp, log,
+                      resume_blk=resume_blk if mid else 0,
+                      resume_esum=resume_esum if mid else 0,
+                      save_cb=make_save_cb(idx) if idx == 0 else None)
         first = False
+        # chunk-boundary checkpoint (clean resume point for chunk idx+1)
+        ck.write_checkpoint(ckpt_path, ck.CheckpointData(
+            p=p, mode_tag=mode_tag, iteration=0,
+            elapsed=time.monotonic() - t0,
+            extra=_s1_extra_pack(idx + 1, 0, 0, b1,
+                                 opts.gerbicz_error_count),
+            regs=eng.get_checkpoint()))
     if first:  # b1 < 2 edge (no chunks): still do 3^(2p)
         _exponentiate(eng, opts, lead, True, mp, log)
+    ck.delete_checkpoints(ckpt_path)
 
     x = eng.get_int(RS) % mp
     g = math.gcd((x - 1) % mp, mp)

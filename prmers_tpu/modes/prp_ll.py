@@ -164,6 +164,12 @@ def run_prp_or_ll(opts: Options, eng: Engine | None = None,
                 nxt = proof_set.next_checkpoint_after(iteration)
                 if nxt is not None and nxt - iteration < chunk:
                     chunk = max(nxt - iteration, 1)
+            # split at res64 display boundaries
+            ivl = opts.res64_display_interval
+            if ivl > 0:
+                nxt = (iteration // ivl + 1) * ivl
+                if nxt - iteration < chunk:
+                    chunk = max(nxt - iteration, 1)
             assert chunk >= 1
 
             if mode == "ll":
@@ -182,6 +188,12 @@ def run_prp_or_ll(opts: Options, eng: Engine | None = None,
             if proof_set is not None and iteration < total_iters and \
                     proof_set.should_checkpoint(iteration):
                 proof_set.checkpoint(eng.get_digits(R0), iteration)
+
+            if (opts.res64_display_interval > 0
+                    and iteration % opts.res64_display_interval == 0):
+                # reference format: src/opencl kernel_res64_display output
+                r64 = eng.get_int(R0) & 0xFFFFFFFFFFFFFFFF
+                log(f"Iter: {iteration}| Res64: {r64:016X}")
 
             at_boundary = use_gl and ((j != 0 and j % B == 0)
                                       or iteration == total_iters)

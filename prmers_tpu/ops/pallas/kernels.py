@@ -57,7 +57,7 @@ def _cparams(**kw):
 # ---------------------------------------------------------------------------
 
 def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
-                 has_post: bool, *refs):
+                 has_post: bool, cin_widths, *refs):
     """Tile = (L, S, 1, G, LN) [leading-axis pass] or (1, L, 1, G, LN)
     [second-axis pass]; the wrapper always arranges the transform axis
     first and payload after, so the kernel sees (L, S, G, LN).
@@ -65,8 +65,17 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
     mode: "plain" | "sqr" | "mul" | "fwd" | "mid_sqr" | "mid_mul" |
           "mid_fwd".  mid_* run fwd-DFT, the op, then inv-DFT (the whole
           sub-factor axis is in-tile); fwd/mid_fwd skip the inverse.
+
+    cin_widths: None, or the static widths of the leading digits — then the
+    first two refs are (1,1) SMEM scalars holding the wraparound carry,
+    folded base-2^width into lanes 0..k-1 of the grid-(0,0) tile (this is
+    the reference's carry phase 2 riding the next forward kernel,
+    kernels/marin.cl:2198).
     """
     i = 0
+    if cin_widths is not None:
+        cin0_ref, cin1_ref = refs[i], refs[i + 1]
+        i += 2
     x0_ref, x1_ref = refs[i], refs[i + 1]
     i += 2
     if mode in ("mul", "mid_mul"):
@@ -93,6 +102,41 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
 
     x0 = x0_ref[:].reshape(v)
     x1 = x1_ref[:].reshape(v)
+
+    if cin_widths is not None:
+        # digits are canonical (< 2^w) and the spread parts are < 2^w, so
+        # the injection never carries out of the low 32-bit word
+        lo = cin0_ref[0, 0]
+        hi = cin1_ref[0, 0]
+        k = len(cin_widths)
+        q = 0
+        vals = []
+        for j, w in enumerate(cin_widths):
+            if q == 0:
+                part = lo
+            elif q < 32:
+                part = (lo >> jnp.uint32(q)) | (hi << jnp.uint32(32 - q))
+            elif q == 32:
+                part = hi
+            else:
+                part = hi >> jnp.uint32(q - 32)
+            if j < k - 1:
+                part = part & jnp.uint32((1 << w) - 1)
+            vals.append(part)
+            q += w
+        on_first = ((pl.program_id(0) == 0) &
+                    (pl.program_id(1) == 0)).astype(jnp.uint32)
+        lane = lax.broadcasted_iota(jnp.int32, v, len(v) - 1)
+        row = lax.broadcasted_iota(jnp.int32, v, 0)
+        sub = lax.broadcasted_iota(jnp.int32, v, 1)
+        first = (row == 0) & (sub == 0)
+        if len(v) == 4:
+            g_ = lax.broadcasted_iota(jnp.int32, v, 2)
+            first = first & (g_ == 0)
+        add = jnp.zeros(v, jnp.uint32)
+        for j, val in enumerate(vals):
+            add = jnp.where(first & (lane == j), val * on_first, add)
+        x0 = x0 + add  # cannot wrap the low word (sum < 2^(w+1) < 2^32)
 
     def tload(r0, r1):
         s = r0.shape
@@ -156,7 +200,8 @@ def _post_canon_kernel(L: int, *refs):
 # put their axis first via jnp.swapaxes (an XLA relayout on small dims).
 # ---------------------------------------------------------------------------
 
-def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
+def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
+                cin=None, cin_widths=None):
     """Transform along dim 0 of a 5D array; dims 1 and 2 go to the grid."""
     sh = x0.shape
     S = min(SUBBLK, sh[1])
@@ -175,8 +220,15 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
         return pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
 
     xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
-    ins = [x0, x1]
-    in_specs = [xspec, xspec]
+    smem11 = pl.BlockSpec((1, 1), lambda i, j: (i * 0, i * 0),
+                          memory_space=pltpu.SMEM)
+    ins = []
+    in_specs = []
+    if cin is not None:
+        ins += [cin[0], cin[1]]
+        in_specs += [smem11, smem11]
+    ins += [x0, x1]
+    in_specs += [xspec, xspec]
     if mode in ("mul", "mid_mul"):
         ins += [u[0], u[1]]
         in_specs += [xspec, xspec]
@@ -187,7 +239,8 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
         ins += [post[0], post[1]]
         in_specs += [bspec(post[0]), bspec(post[1])]
     kern = functools.partial(_pass_kernel, L, inverse, mode,
-                             pre is not None, post is not None)
+                             pre is not None, post is not None,
+                             cin_widths if cin is not None else None)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -231,7 +284,7 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
         ins += [post[0], post[1]]
         in_specs += [bspec(post[0]), bspec(post[1])]
     kern = functools.partial(_pass_kernel, L, inverse, mode,
-                             pre is not None, post is not None)
+                             pre is not None, post is not None, None)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -420,9 +473,18 @@ def _to_ax(fp: FourStepPlan, a):
     return a.reshape(C, R).T.reshape(R1, R2, CB, G, LN)
 
 
-def _forward_r(fp, t, x0, x1):
+def _cin_widths(fp: FourStepPlan) -> tuple[int, ...]:
+    k, acc = 0, 0
+    while acc < 64:
+        acc += int(fp.widths[k])
+        k += 1
+    return tuple(int(w) for w in fp.widths[:k])
+
+
+def _forward_r(fp, t, x0, x1, cin=None):
     x0, x1 = _axis0_pass(x0, x1, fp.rs.L1, False, "plain",
-                         pre=t.w, post=t.t_r)
+                         pre=t.w, post=t.t_r, cin=cin,
+                         cin_widths=_cin_widths(fp) if cin else None)
     x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False, "plain", post=t.mid)
     return x0, x1
 
@@ -466,8 +528,7 @@ def _inverse_r(fp, t, z0, z1):
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
                 cin0, cin1, a):
     """One full (x^2 * a) iteration. Returns (d0, d1, cout0, cout1)."""
-    x0, x1 = inject_carry(fp, x0, x1, cin0, cin1)
-    s0, s1 = _forward_r(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1, cin=(cin0, cin1))
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
     y0, y1 = _middle(fp, t, y0, y1, "sqr")
@@ -480,8 +541,7 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
 def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
              cin0, cin1, a):
     """dst = dst * multiplicand(u) * a; u is an AY-layout spectral pair."""
-    x0, x1 = inject_carry(fp, x0, x1, cin0, cin1)
-    s0, s1 = _forward_r(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1, cin=(cin0, cin1))
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
     y0, y1 = _middle(fp, t, y0, y1, "mul", u=(u0, u1))
@@ -493,8 +553,7 @@ def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
 
 def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     """Forward transform only (multiplicand preparation), AY spectral out."""
-    x0, x1 = inject_carry(fp, x0, x1, cin0, cin1)
-    s0, s1 = _forward_r(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1, cin=(cin0, cin1))
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
     return _middle(fp, t, y0, y1, "fwd")
