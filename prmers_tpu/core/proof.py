@@ -32,6 +32,8 @@ import zlib
 from ..utils import digits as dg
 
 
+from ..utils import gmp
+
 def mersenne_reduce(v: int, p: int) -> int:
     m = (1 << p) - 1
     while v >> p:
@@ -183,7 +185,7 @@ class ProofSet:
                     b = bufs.pop()
                     a = bufs.pop()
                     h = hashes[p - 1 - k]
-                    bufs.append(mersenne_reduce(pow(a, h, mp) * b, E))
+                    bufs.append(mersenne_reduce(gmp.mul(gmp.powmod(a, h, mp), b), E))
                     k += 1
             assert len(bufs) == 1, f"proof tree imbalance at level {p}"
             middle = bufs[0] % mp
@@ -270,10 +272,10 @@ class Proof:
             h = _h64(hash_)
             if span % 2:
                 B = B * B % mp
-            B = mersenne_reduce(pow(M, h, mp) * B, E) % mp
-            A = mersenne_reduce(pow(A, h, mp) * M, E) % mp
+            B = mersenne_reduce(gmp.mul(gmp.powmod(M, h, mp), B), E) % mp
+            A = mersenne_reduce(gmp.mul(gmp.powmod(A, h, mp), M), E) % mp
             span = (span + 1) // 2
-        A = pow(A, 1 << span, mp)
+        A = gmp.powmod(A, 1 << span, mp)
         ok = (A % mp) == (B % mp)
         log(f"Verification result: {'SUCCESS' if ok else 'FAIL'}")
         return ok

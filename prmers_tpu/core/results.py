@@ -9,6 +9,8 @@ CRT branch when gcd(9, M_p) != 1.
 from __future__ import annotations
 
 
+from ..utils import gmp
+
 def mersenne(p: int) -> int:
     return (1 << p) - 1
 
@@ -17,7 +19,7 @@ def prp_residue(p: int, x: int) -> int:
     """Fermat residue x/9 mod M_p where x = 3^(2^p) mod M_p."""
     mp = mersenne(p)
     if mp % 3 != 0:
-        return x * pow(9, -1, mp) % mp
+        return gmp.mulmod(x, gmp.invert(9, mp), mp)
     # M_p divisible by 3^t: CRT between u = M_p/3^t and 3^t
     # (reference: RunPrpOrLlMarin.cpp:476-515)
     t = 0
@@ -27,8 +29,8 @@ def prp_residue(p: int, x: int) -> int:
         t += 1
     m3 = 3 ** t
     u = mp // m3
-    res_u = (x % u) * pow(9, -1, u) % u
-    k = (-res_u * pow(u, -1, m3)) % m3
+    res_u = gmp.mulmod(x % u, gmp.invert(9, u), u)
+    k = (-res_u * gmp.invert(u, m3)) % m3
     return (res_u + k * u) % mp
 
 

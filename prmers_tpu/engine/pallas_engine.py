@@ -46,6 +46,7 @@ def _get_tables(p: int, n: int):
         fp = FourStepPlan.from_plan(plan)
         t = jax.jit(lambda: FourStepTables.build(fp, jnp, G=kn.G,
                                                  lanes=kn.LANES))()
+        fsm.attach_mxu_tables(t, device_put=jax.device_put)
         jax.block_until_ready(jax.tree_util.tree_leaves(t))
         masks64 = ((jnp.uint64(1) <<
                     jnp.asarray(plan.widths.astype(np.uint64)))

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+
+from ..utils import gmp
 import time
 
 from ..engine.api import Engine
@@ -59,19 +61,19 @@ class _FactorFound(Exception):
 
 
 def _inv_or_factor(a: int, n: int) -> int:
-    g = math.gcd(a % n, n)
+    g = gmp.gcd(a % n, n)
     if g != 1:
         raise _FactorFound(g if g != n else 0)
-    return pow(a, -1, n)
+    return gmp.invert(a, n)
 
 
 def suyama_curve(sigma: int, n: int) -> tuple[int, int]:
     """(x0, a24) of the Suyama curve for parameter sigma, mod n."""
     u = (sigma * sigma - 5) % n
     v = (4 * sigma) % n
-    x0 = pow(u, 3, n) * _inv_or_factor(pow(v, 3, n), n) % n
-    a24 = pow(v - u, 3, n) * (3 * u + v) % n
-    a24 = a24 * _inv_or_factor(16 * pow(u, 3, n) * v % n, n) % n
+    x0 = gmp.mulmod(gmp.powmod(u, 3, n), _inv_or_factor(gmp.powmod(v, 3, n), n), n)
+    a24 = gmp.mulmod(gmp.powmod((v - u) % n, 3, n), 3 * u + v, n)
+    a24 = gmp.mulmod(a24, _inv_or_factor(gmp.mulmod(16 * u, gmp.mulmod(u, u * v % n, n), n), n), n)
     return x0, a24
 
 
@@ -183,7 +185,7 @@ def _stage1_backtrack(eng: Engine, m: MontOps, n: int, b1: int,
         _ladder_from(eng, m, GDX, GDZ, XA, ZA, pw)
         eng.copy(XA, GDX)
         eng.copy(ZA, GDZ)
-        g = math.gcd(eng.get_int(ZA) % n, n)
+        g = gmp.gcd(eng.get_int(ZA) % n, n)
         if 1 < g < n:
             return g
         if g == n:
@@ -310,7 +312,7 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
             continue
         eng.set_int(RA24, a24)
         _stage1(eng, m, x0, opts.b1)
-        g = math.gcd(eng.get_int(ZA) % n, n)
+        g = gmp.gcd(eng.get_int(ZA) % n, n)
         if g == n:
             log(f"ECM curve {c}: gcd == N, backtracking stage 1")
             g = _stage1_backtrack(eng, m, n, opts.b1, log)
@@ -321,7 +323,7 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
             break
         if g == 1 and opts.b2 > opts.b1:
             acc = _stage2(eng, m, opts, n, log)
-            g = math.gcd(acc % n, n)
+            g = gmp.gcd(acc % n, n)
             if 1 < g < n:
                 result.factor, result.stage = g, 2
                 result.factor_sigma, result.factor_curve = sigma, c

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+
+from ..utils import gmp
 import time
 
 from ..core import checkpoints as ck
@@ -275,7 +277,7 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
     ck.delete_checkpoints(ckpt_path)
 
     x = eng.get_int(RS) % mp
-    g = math.gcd((x - 1) % mp, mp)
+    g = gmp.gcd((x - 1) % mp, mp)
     factor = g if 1 < g < mp else 0
     if factor:
         log(f"P-1 stage 1 found factor {factor}")
@@ -350,7 +352,7 @@ def run_pm1_stage2(opts: Options, x1: int, eng: Engine | None = None,
     log(f"P-1 stage 2: accumulated {count} primes in ({b1}, {b2}]")
 
     acc = eng.get_int(RACC) % mp
-    g = math.gcd(acc, mp)
+    g = gmp.gcd(acc, mp)
     factor = g if 1 < g < mp else 0
     if factor:
         log(f"P-1 stage 2 found factor {factor}")

@@ -25,6 +25,7 @@ import time
 
 from ..core import checkpoints as ck
 from ..core import results as res
+from ..utils import gmp
 from ..core.progress import Progress
 from ..core.quickcheck import quick_check, validate_exponent
 from ..engine.api import Engine
@@ -277,8 +278,8 @@ def run_prp_or_ll(opts: Options, eng: Engine | None = None,
             kf *= fi
         assert mp % kf == 0, "known factors are not coprime"
         c = mp // kf
-        lhs = (x * pow(9, -1, mp)) % mp % c
-        cofactor_prp = lhs == pow(3, kf - 1, c)
+        lhs = gmp.mulmod(x, gmp.invert(9, mp), mp) % c
+        cofactor_prp = lhs == gmp.powmod(3, kf - 1, c)
         is_prime = False
     if mode == "prp":
         r = res.prp_residue(p, x)

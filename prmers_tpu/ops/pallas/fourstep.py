@@ -176,6 +176,14 @@ class FourStepTables:
     widths32: Any
     masks_lo: Any
     masks_hi: Any
+    mxu: Any = None        # {(L, inverse): (w8, corr)} device arrays
+    mxu_subs: Any = None   # (((L, inverse), (sub_lo, sub_hi)), ...) static
+
+    def mxu_sub(self, L: int, inverse: bool):
+        for k, v in (self.mxu_subs or ()):
+            if k == (L, inverse):
+                return v
+        return None
 
     @classmethod
     def build(cls, fp: FourStepPlan, xp, G: int = 8, lanes: int = 128):
@@ -255,11 +263,13 @@ def _register_pytree():
 
     def flatten(t):
         children = (t.w, t.iw, t.t_r, t.t_r_inv, t.mid, t.mid_inv,
-                    t.t_c, t.t_c_inv, t.widths32, t.masks_lo, t.masks_hi)
-        return children, (t.fp, t.G)
+                    t.t_c, t.t_c_inv, t.widths32, t.masks_lo, t.masks_hi,
+                    t.mxu)
+        return children, (t.fp, t.G, t.mxu_subs)
 
     def unflatten(aux, children):
-        return FourStepTables(aux[0], aux[1], *children)
+        return FourStepTables(aux[0], aux[1], *children[:-1],
+                              mxu=children[-1], mxu_subs=aux[2])
 
     tree_util.register_pytree_node(FourStepTables, flatten, unflatten)
 
@@ -490,3 +500,23 @@ def square_ref(t: FourStepTables, digits64: np.ndarray,
 
     from .gl64 import from_pairs
     return from_pairs(z0.reshape(fp.n), z1.reshape(fp.n))
+
+
+def attach_mxu_tables(t: FourStepTables, device_put=None):
+    """Build and attach the int8 MXU DFT tables for every (L, dir) the
+    plan's passes use (host numpy build; tables are a few hundred KB)."""
+    from .mxu_dft import build_mxu_tables
+    put = device_put if device_put is not None else (lambda a: a)
+    sizes = {t.fp.rs.L1, t.fp.rs.L2, t.fp.cs.L1, t.fp.cs.L2}
+    mxu = {}
+    subs = {}
+    for L in sorted(sizes):
+        if L < 32:   # int8 tiles are (32, 128); smaller DFTs stay on the VPU
+            continue
+        for inv in (False, True):
+            w8, corr, sub_lo, sub_hi = build_mxu_tables(L, inv)
+            mxu[(L, inv)] = (put(w8), put(corr))
+            subs[(L, inv)] = (int(sub_lo), int(sub_hi))
+    t.mxu = mxu
+    t.mxu_subs = tuple(sorted(subs.items()))
+    return t

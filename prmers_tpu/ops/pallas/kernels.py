@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .gl64 import GL
 from . import fourstep as fsm
+from . import mxu_dft as mxm
 from .fourstep import FourStepPlan, FourStepTables
 
 g = GL(jnp)
@@ -52,12 +53,22 @@ def _cparams(**kw):
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT, **kw)
 
 
+def _full(shape):
+    """Whole-array VMEM spec with an explicit all-i32 index map (default
+    maps emit i64 literals under jax_enable_x64, breaking Mosaic). Works
+    for 1- and 2-grid-dim pass kernels via *gs varargs."""
+    nd = len(shape)
+    return pl.BlockSpec(tuple(shape),
+                        lambda *gs: tuple(gs[0] * 0 for _ in range(nd)),
+                        memory_space=pltpu.VMEM)
+
+
 # ---------------------------------------------------------------------------
 # The generic pass kernel
 # ---------------------------------------------------------------------------
 
 def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
-                 has_post: bool, cin_widths, *refs):
+                 has_post: bool, cin_widths, mxu_subs, *refs):
     """Tile = (L, S, 1, G, LN) [leading-axis pass] or (1, L, 1, G, LN)
     [second-axis pass]; the wrapper always arranges the transform axis
     first and payload after, so the kernel sees (L, S, G, LN).
@@ -78,6 +89,11 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
         i += 2
     x0_ref, x1_ref = refs[i], refs[i + 1]
     i += 2
+    mxu_refs = None
+    if mxu_subs is not None:
+        nm = 2 if mode.startswith("mid_") and mode != "mid_fwd" else 1
+        mxu_refs = refs[i:i + 2 * nm]
+        i += 2 * nm
     if mode in ("mul", "mid_mul"):
         u0_ref, u1_ref = refs[i], refs[i + 1]
         i += 2
@@ -148,8 +164,17 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
         p0, p1 = tload(pre0_ref, pre1_ref)
         x0, x1 = g.mul(x0, x1, p0, p1)
 
+    def dft(x0, x1, inv, which):
+        if mxu_subs is None:
+            return fsm.dft_axis0(g, x0, x1, L, inv)
+        w8 = mxu_refs[2 * which][:]
+        corr = mxu_refs[2 * which + 1][:]
+        sub = mxu_subs[which]
+        return mxm.mxu_dft_apply(g, x0, x1, L, w8, corr,
+                                 jnp.uint32(sub[0]), jnp.uint32(sub[1]))
+
     if mode.startswith("mid_"):
-        x0, x1 = fsm.dft_axis0(g, x0, x1, L, False)
+        x0, x1 = dft(x0, x1, False, 0)
         if mode == "mid_sqr":
             x0, x1 = g.sqr(x0, x1)
         elif mode == "mid_mul":
@@ -157,9 +182,9 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
             u1 = u1_ref[:].reshape(v)
             x0, x1 = g.mul(x0, x1, u0, u1)
         if mode != "mid_fwd":
-            x0, x1 = fsm.dft_axis0(g, x0, x1, L, True)
+            x0, x1 = dft(x0, x1, True, 1)
     else:
-        x0, x1 = fsm.dft_axis0(g, x0, x1, L, inverse)
+        x0, x1 = dft(x0, x1, inverse, 0)
         if mode == "sqr":
             x0, x1 = g.sqr(x0, x1)
         elif mode == "mul":
@@ -175,14 +200,27 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
     o1_ref[:] = x1.reshape(sh)
 
 
-def _post_canon_kernel(L: int, *refs):
+def _post_canon_kernel(L: int, mxu_subs, *refs):
     """P7: r1-iDFT + inverse weights + canonicalize (digit-domain out)."""
-    x0_ref, x1_ref, iw0_ref, iw1_ref, o0_ref, o1_ref = refs
+    i = 0
+    x0_ref, x1_ref = refs[i], refs[i + 1]
+    i += 2
+    mxu_refs = None
+    if mxu_subs is not None:
+        mxu_refs = refs[i:i + 2]
+        i += 2
+    iw0_ref, iw1_ref, o0_ref, o1_ref = refs[i:i + 4]
     sh = x0_ref.shape
     v = (L, sh[1], sh[3], sh[4])
     x0 = x0_ref[:].reshape(v)
     x1 = x1_ref[:].reshape(v)
-    x0, x1 = fsm.dft_axis0(g, x0, x1, L, True)
+    if mxu_subs is not None:
+        sub = mxu_subs[0]
+        x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, mxu_refs[0][:],
+                                   mxu_refs[1][:], jnp.uint32(sub[0]),
+                                   jnp.uint32(sub[1]))
+    else:
+        x0, x1 = fsm.dft_axis0(g, x0, x1, L, True)
     i0 = iw0_ref[:].reshape(v)
     i1 = iw1_ref[:].reshape(v)
     x0, x1 = g.mul(x0, x1, i0, i1)
@@ -201,10 +239,13 @@ def _post_canon_kernel(L: int, *refs):
 # ---------------------------------------------------------------------------
 
 def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
-                cin=None, cin_widths=None):
-    """Transform along dim 0 of a 5D array; dims 1 and 2 go to the grid."""
+                cin=None, cin_widths=None, mxu=None):
+    """Transform along dim 0 of a 5D array; dims 1 and 2 go to the grid.
+
+    mxu: None, or (tables, subs) where tables = ((w8, corr), ...) and
+    subs = ((sub_lo, sub_hi), ...) per DFT application in the kernel."""
     sh = x0.shape
-    S = min(SUBBLK, sh[1])
+    S = 1 if mxu is not None else min(SUBBLK, sh[1])
     grid = (sh[1] // S, sh[2])
     blk = (L, S, 1, sh[3], sh[4])
 
@@ -232,6 +273,12 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
     if mode in ("mul", "mid_mul"):
         ins += [u[0], u[1]]
         in_specs += [xspec, xspec]
+    mxu_subs = None
+    if mxu is not None:
+        tables, mxu_subs = mxu
+        for w8, corr in tables:
+            ins += [w8, corr]
+            in_specs += [_full(w8.shape), _full(corr.shape)]
     if pre is not None:
         ins += [pre[0], pre[1]]
         in_specs += [bspec(pre[0]), bspec(pre[1])]
@@ -240,7 +287,8 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
         in_specs += [bspec(post[0]), bspec(post[1])]
     kern = functools.partial(_pass_kernel, L, inverse, mode,
                              pre is not None, post is not None,
-                             cin_widths if cin is not None else None)
+                             cin_widths if cin is not None else None,
+                             mxu_subs)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -252,7 +300,8 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
     )(*ins)
 
 
-def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
+def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
+                mxu=None):
     """Transform along dim 1: tile (1, L, 1, G, LN) over grid (dim0, dim2);
     the block is already transform-axis-major after squeezing the leading
     1 — no data movement."""
@@ -277,6 +326,12 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
     if mode in ("mul", "mid_mul"):
         ins += [u[0], u[1]]
         in_specs += [xspec, xspec]
+    mxu_subs = None
+    if mxu is not None:
+        tables, mxu_subs = mxu
+        for w8, corr in tables:
+            ins += [w8, corr]
+            in_specs += [_full(w8.shape), _full(corr.shape)]
     if pre is not None:
         ins += [pre[0], pre[1]]
         in_specs += [bspec(pre[0]), bspec(pre[1])]
@@ -284,7 +339,8 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None):
         ins += [post[0], post[1]]
         in_specs += [bspec(post[0]), bspec(post[1])]
     kern = functools.partial(_pass_kernel, L, inverse, mode,
-                             pre is not None, post is not None, None)
+                             pre is not None, post is not None, None,
+                             mxu_subs)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -473,6 +529,24 @@ def _to_ax(fp: FourStepPlan, a):
     return a.reshape(C, R).T.reshape(R1, R2, CB, G, LN)
 
 
+def _mx(t: FourStepTables, *specs, ln: int = 128):
+    """((w8, corr), ...), (subs, ...) for the given (L, inverse) specs, or
+    None when the tables carry no MXU data, the lane dim is not a whole
+    number of 128-lane tiles (lane concat/slice would be misaligned), or
+    it is disabled."""
+    import os
+    if not t.mxu or os.environ.get("PRMERS_NO_MXU") or ln % 128:
+        return None
+    tabs = []
+    subs = []
+    for L, inv in specs:
+        if (L, inv) not in t.mxu:
+            return None
+        tabs.append(t.mxu[(L, inv)])
+        subs.append(t.mxu_sub(L, inv))
+    return tuple(tabs), tuple(subs)
+
+
 def _cin_widths(fp: FourStepPlan) -> tuple[int, ...]:
     k, acc = 0, 0
     while acc < 64:
@@ -484,28 +558,36 @@ def _cin_widths(fp: FourStepPlan) -> tuple[int, ...]:
 def _forward_r(fp, t, x0, x1, cin=None):
     x0, x1 = _axis0_pass(x0, x1, fp.rs.L1, False, "plain",
                          pre=t.w, post=t.t_r, cin=cin,
-                         cin_widths=_cin_widths(fp) if cin else None)
-    x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False, "plain", post=t.mid)
+                         cin_widths=_cin_widths(fp) if cin else None,
+                         mxu=_mx(t, (fp.rs.L1, False), ln=x1.shape[-1]))
+    x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False, "plain", post=t.mid,
+                         mxu=_mx(t, (fp.rs.L2, False), ln=x1.shape[-1]))
     return x0, x1
 
 
 def _middle(fp, t, y0, y1, mode, u=None):
-    y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, False, "plain", post=t.t_c)
+    y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, False, "plain", post=t.t_c,
+                         mxu=_mx(t, (fp.cs.L1, False), ln=y1.shape[-1]))
+    mid_specs = ((fp.cs.L2, False),) if mode == "fwd" else         ((fp.cs.L2, False), (fp.cs.L2, True))
     y0, y1 = _axis1_pass(y0, y1, fp.cs.L2, False,
                          {"sqr": "mid_sqr", "mul": "mid_mul",
                           "fwd": "mid_fwd"}[mode],
-                         post=None if mode == "fwd" else t.t_c_inv, u=u)
+                         post=None if mode == "fwd" else t.t_c_inv, u=u,
+                         mxu=_mx(t, *mid_specs, ln=y1.shape[-1]))
     if mode != "fwd":
-        y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, True, "plain")
+        y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, True, "plain",
+                             mxu=_mx(t, (fp.cs.L1, True), ln=y1.shape[-1]))
     return y0, y1
 
 
 def _inverse_r(fp, t, z0, z1):
     z0, z1 = _axis1_pass(z0, z1, fp.rs.L2, True, "plain",
-                         pre=t.mid_inv, post=t.t_r_inv)
+                         pre=t.mid_inv, post=t.t_r_inv,
+                         mxu=_mx(t, (fp.rs.L2, True), ln=z1.shape[-1]))
     # final pass: r1 inverse DFT + inverse weights + canon
     sh = z0.shape
-    S = min(SUBBLK, sh[1])
+    mxu = _mx(t, (fp.rs.L1, True), ln=sh[-1])
+    S = 1 if mxu is not None else min(SUBBLK, sh[1])
     grid = (sh[1] // S, sh[2])
     blk = (fp.rs.L1, S, 1, sh[3], sh[4])
 
@@ -513,16 +595,25 @@ def _inverse_r(fp, t, z0, z1):
         return (i * 0, i, j, i * 0, i * 0)
 
     bspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
-    kern = functools.partial(_post_canon_kernel, fp.rs.L1)
+    ins = [z0, z1]
+    in_specs = [bspec, bspec]
+    subs = None
+    if mxu is not None:
+        (tabs, subs) = mxu
+        ins += [tabs[0][0], tabs[0][1]]
+        in_specs += [_full(tabs[0][0].shape), _full(tabs[0][1].shape)]
+    ins += [t.iw[0], t.iw[1]]
+    in_specs += [bspec, bspec]
+    kern = functools.partial(_post_canon_kernel, fp.rs.L1, subs)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bspec] * 4,
+        in_specs=in_specs,
         out_specs=(bspec, bspec),
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct(sh, jnp.uint32)),
         compiler_params=_cparams(),
-    )(z0, z1, t.iw[0], t.iw[1])
+    )(*ins)
 
 
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,

@@ -1,0 +1,213 @@
+"""MXU-backed small DFTs: the length-L (L <= 64) Goldilocks DFT as one int8
+matrix multiply on the systolic array.
+
+The per-pass DFT64 cascade is VPU-bound (~2.2 ms per pass at n = 2^23).
+Re-expressed as a matmul it rides the 394-TOPS int8 MXU instead:
+
+  out[r] = sum_c M[r, c] * x[c]  (mod P), M = the DIF-ordered DFT matrix.
+
+64-bit operands don't fit the MXU, so both sides are decomposed into 8-bit
+limbs (the "scaled-matrix" trick): with x = sum_l u_l 256^l (u_l unsigned
+bytes) and M_l = (M * 256^l mod P) pre-scaled host-side,
+
+  out = sum_l M_l @ u_l
+      = sum_m 2^(8m) * sum_l limb_m(M_l) @ u_l       (mod P)
+
+so ONE int8 matmul WBIG(8L x 8L) @ X(8L x batch) produces all 8 diagonal
+planes D_m, and the combine sum_m D_m 2^(8m) mod P is cheap VPU pair math.
+
+Two offset tricks keep everything in int8/int32 exactly:
+  * x-side: u_l - 128 = byte XOR 0x80 bitcast to int8; the constant
+    128 * rowsum(WBIG) is added back to D (corr vector).
+  * W-side: limbs of M_l are balanced digits in [-128, 127] (exact host
+    recode; a ninth digit is folded back via 2^64 ≡ 2^32 - 1).
+  * D-side: D + corr may be negative; adding 2^23 per plane and
+    subtracting the static sum(2^23 * 2^(8m)) mod P afterwards keeps the
+    combine unsigned. |D + corr| <= 8L * 128 * 128 < 2^23 guarantees it.
+
+This file has the host-side table builder and the in-kernel apply; the
+reference's counterpart is the radix kernel set (kernels/marin.cl) — the
+matmul formulation is TPU-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...core.field import P
+from .gl64 import GL, from_pairs, to_pairs
+
+OFF_PLANE = 1 << 23
+
+
+def dft_matrix(L: int, inverse: bool) -> np.ndarray:
+    """(L, L) u64 matrix reproducing fourstep.dft_axis0's map exactly
+    (including the DIF output ordering)."""
+    from . import fourstep as fsm
+    g = GL(np)
+    eye = np.eye(L, dtype=np.uint64)
+    x0, x1 = to_pairs(eye)
+    y0, y1 = fsm.dft_axis0(g, x0, x1, L, inverse)
+    c0, c1 = g.canon(y0, y1)
+    return from_pairs(c0, c1)  # column j = transform of basis vector e_j
+
+
+N_WPLANES = 9
+
+
+def _balanced_limbs(v: int) -> list[int]:
+    """Exact signed 9-limb base-256 decomposition (d in [-128, 127]):
+    eight digits only span ±2^63, so a ninth plane covers [0, 2^64)."""
+    digits = []
+    x = v
+    for _ in range(N_WPLANES):
+        d = x & 255
+        x >>= 8
+        if d >= 128:
+            d -= 256
+            x += 1
+        digits.append(d)
+    assert x == 0, f"value {v} out of 9-limb range"
+    return digits
+
+
+def build_mxu_tables(L: int, inverse: bool):
+    """Returns (W8 int8 (8L, 8L), corr int32 (8L, 1), sub_lo, sub_hi).
+
+    W8[m*L + r, l*L + c] = balanced limb m of (M[r, c] * 256^l mod P).
+    corr adds back the x-side 128 offset; (sub_lo, sub_hi) is the u64 pair
+    of sum_m 2^23 * 2^(8m) mod P (the plane-offset compensation).
+    """
+    M = dft_matrix(L, inverse)
+    W8 = np.zeros((N_WPLANES * L, 8 * L), dtype=np.int8)
+    for l in range(8):
+        scale = pow(256, l, P)
+        for r in range(L):
+            for c in range(L):
+                digits = _balanced_limbs((int(M[r, c]) * scale) % P)
+                for m in range(N_WPLANES):
+                    W8[m * L + r, l * L + c] = digits[m]
+    corr = (W8.astype(np.int64).sum(axis=1) * 128).astype(np.int32)
+    sub = sum((OFF_PLANE << (8 * m)) for m in range(N_WPLANES)) % P
+    return (W8, corr.reshape(-1, 1),
+            np.uint32(sub & 0xFFFFFFFF), np.uint32(sub >> 32))
+
+
+# ---------------------------------------------------------------------------
+# In-kernel apply (jnp inside Pallas; also runs under numpy for tests
+# when given an xp-appropriate dot)
+# ---------------------------------------------------------------------------
+
+def _pack_planes(g: GL, Xl, Xh):
+    """(L, N) u32 pair -> (8L, N) int8 limb planes (bytes XOR 0x80)."""
+    xp = g.xp
+    planes = []
+    for l in range(8):
+        src = Xl if l < 4 else Xh
+        sh = 8 * (l % 4)
+        byte = (src >> xp.uint32(sh)) & xp.uint32(0xFF)
+        byte = byte ^ xp.uint32(0x80)
+        if xp is np:
+            planes.append(byte.astype(np.uint8).view(np.int8))
+        else:
+            import jax
+            import jax.numpy as jnp
+            planes.append(jax.lax.bitcast_convert_type(
+                byte.astype(jnp.uint8), jnp.int8))
+    return xp.concatenate(planes, axis=0)
+
+
+def _combine_2d(g: GL, L, D, sub_lo, sub_hi):
+    """(9L, N) int32 diagonal planes -> exact (lo, hi) u32 pair mod P.
+
+    Row-slices D (Mosaic supports sublane slicing; it does NOT support the
+    (9L, N) -> (9, L, N) leading split). Accumulates sum_m Du[m] 2^(8m)
+    into 96 bits; shifted-out bits land in the next word.
+    """
+    xp = g.xp
+
+    def plane(m):
+        # D + OFF_PLANE is non-negative by construction, so the cast is safe
+        return (D[m * L:(m + 1) * L] + OFF_PLANE).astype(xp.uint32)
+
+    w0 = plane(0)
+    w1 = xp.zeros_like(w0)
+    w2 = xp.zeros_like(w0)
+    for m in range(1, N_WPLANES):
+        s = 8 * m
+        t = plane(m)
+        if s < 32:
+            t_lo, t_mid, t_hi = t << xp.uint32(s), t >> xp.uint32(32 - s), None
+        elif s == 32:
+            t_lo, t_mid, t_hi = None, t, None
+        elif s < 64:
+            t_lo = None
+            t_mid = t << xp.uint32(s - 32)
+            t_hi = t >> xp.uint32(64 - s)
+        else:  # s == 64
+            t_lo, t_mid, t_hi = None, None, t
+        cin = xp.uint32(0) * w0
+        if t_lo is not None:
+            w0, cin = g.addc(w0, t_lo)
+        if t_mid is not None:
+            s1, c1 = g.addc(w1, t_mid)
+            w1, c2 = g.addc(s1, cin)
+            cin = c1 + c2
+        w2 = w2 + cin if t_hi is None else w2 + t_hi + cin
+    y0, y1 = g.fold96(w0, w1, w2)
+    # subtract the aggregate plane offset
+    d0, d1, br = g.sub64(y0, y1, sub_lo + xp.uint32(0) * y0,
+                         sub_hi + xp.uint32(0) * y0)
+    return g.fold_borrow(d0, d1, br)
+
+
+def mxu_dft_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
+                  grp: int = 8):
+    """Transform along axis 0 of (L, ...batch) u32-pair arrays via the MXU.
+
+    x values may be any u64 (lazy); output is the exact DFT mod P in lazy
+    form, identical (mod P) to fourstep.dft_axis0.
+
+    Mosaic cannot reshape batch dims into the lane dim, so the batch is
+    kept as (MID, LN) and 2D views are built by slicing mid columns and
+    lane-concatenating groups of `grp`; one int8 (9L, 8L) @ (8L, grp*LN)
+    matmul per group feeds the VPU combine. All shape ops used here are
+    Mosaic-supported (verified on v5e): mid-merge/-split reshapes, scalar
+    mid indexing, lane/sublane slicing, axis-0/lane/mid concatenation.
+    """
+    xp = g.xp
+    is_np = xp is np
+    rest = x0.shape[1:]
+    B = 1
+    for d in rest:
+        B *= d
+    LN = rest[-1] if rest else 1
+    MID = B // LN
+    xl = x0.reshape((L, MID, LN))
+    xh = x1.reshape((L, MID, LN))
+
+    if is_np:
+        D = w8.astype(np.int32) @ _pack_planes(
+            g, xl.reshape(L, B), xh.reshape(L, B)).astype(np.int32)
+        y0, y1 = _combine_2d(g, L, D + corr, sub_lo, sub_hi)
+        return y0.reshape((L,) + rest), y1.reshape((L,) + rest)
+
+    from jax import lax
+    import jax.numpy as jnp
+    # One dot per mid column: lane-concat of sublane-offset slices is NOT
+    # Mosaic-supported (tpu.concatenate dim=1 rejects vpad offsets), so
+    # groups cannot be fused; N = LN = 128 is still a full MXU tile column.
+    outs0 = []
+    outs1 = []
+    for j in range(MID):
+        Xl = xl[:, j, :] if MID > 1 else xl.reshape(L, LN)
+        Xh = xh[:, j, :] if MID > 1 else xh.reshape(L, LN)
+        X8 = _pack_planes(g, Xl, Xh)
+        D = lax.dot_general(w8, X8, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        y0, y1 = _combine_2d(g, L, D + corr, sub_lo, sub_hi)
+        outs0.append(y0.reshape(L, 1, LN))
+        outs1.append(y1.reshape(L, 1, LN))
+    y0 = outs0[0] if len(outs0) == 1 else xp.concatenate(outs0, axis=1)
+    y1 = outs1[0] if len(outs1) == 1 else xp.concatenate(outs1, axis=1)
+    return y0.reshape((L,) + rest), y1.reshape((L,) + rest)

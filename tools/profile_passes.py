@@ -1,0 +1,110 @@
+"""Per-pass timing of the square_step pipeline at bench size (rep slopes).
+
+Usage: python tools/profile_passes.py [log2n] [reps]
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+import numpy as np
+from prmers_tpu import jaxconf  # noqa: F401
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from prmers_tpu.core.plan import build_plan
+from prmers_tpu.ops.pallas import fourstep as fs
+from prmers_tpu.ops.pallas import kernels as kn
+
+LOG2N = int(sys.argv[1]) if len(sys.argv) > 1 else 23
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+n = 1 << LOG2N
+p = int(n * 16.25) | 1
+plan = build_plan(p, n=n)
+fp = fs.FourStepPlan.from_plan(plan)
+print(f"p={p} n={n} R={fp.R} C={fp.C} rs=({fp.rs.L1},{fp.rs.L2}) "
+      f"cs=({fp.cs.L1},{fp.cs.L2})", flush=True)
+
+tbl = jax.jit(lambda: fs.FourStepTables.build(fp, jnp, G=8, lanes=128))()
+import os
+if not os.environ.get("PRMERS_NO_MXU"):
+    fs.attach_mxu_tables(tbl, device_put=jax.device_put)
+jax.block_until_ready(jax.tree_util.tree_leaves(tbl))
+print("tables ready", flush=True)
+
+R1, R2 = fp.rs.L1, fp.rs.L2
+CB = tbl.w[0].shape[2]
+LN = tbl.w[0].shape[4]
+key = jax.random.PRNGKey(0)
+ax_shape = (R1, R2, CB, 8, LN)
+x0 = jax.random.randint(key, ax_shape, 0, 1 << 30, dtype=jnp.int32
+                        ).astype(jnp.uint32)
+x1 = jax.random.randint(key, ax_shape, 0, 1 << 18, dtype=jnp.int32
+                        ).astype(jnp.uint32)
+z11 = jnp.zeros((1, 1), jnp.uint32)
+a_pair = (jnp.full((1, 1), np.uint32(1)), z11)
+
+s0 = kn._forward_r(fp, tbl, x0, x1, cin=(z11, z11))
+ay0 = kn._to_ay(fp, s0[0])
+ay1 = kn._to_ay(fp, s0[1])
+
+
+def timeit(fn, *args, reps=REPS, warm=2):
+    for _ in range(warm):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / reps
+
+
+def serial(fn2):
+    """Chain fn2 (pair->pair) K times with a data dependency."""
+    K = 8
+
+    @jax.jit
+    def run(a, b):
+        def step(i, ab):
+            return fn2(ab[0], ab[1])
+        return lax.fori_loop(0, K, step, (a, b))
+
+    def timed(a, b):
+        return timeit(run, a, b) / K
+    return timed
+
+
+stages = []
+
+stages.append(("P1+P2 fwd_r (incl cin)", serial(
+    lambda a, b: kn._forward_r(fp, tbl, a, b, cin=(z11, z11))), (x0, x1)))
+stages.append(("T to_ay (transpose)", serial(
+    lambda a, b: (kn._to_ay(fp, a), kn._to_ay(fp, b))), (s0[0], s0[1])))
+stages.append(("P3+P4+P5 middle sqr", serial(
+    lambda a, b: kn._middle(fp, tbl, a, b, "sqr")), (ay0, ay1)))
+stages.append(("T' to_ax (transpose)", serial(
+    lambda a, b: (kn._to_ax(fp, a), kn._to_ax(fp, b))), (ay0, ay1)))
+stages.append(("P6+P7 inverse_r", serial(
+    lambda a, b: kn._inverse_r(fp, tbl, a, b)), (x0, x1)))
+stages.append(("P8 carry k4", serial(
+    lambda a, b: kn.k4(fp, tbl, a, b, a_pair)[:2]), (x0, x1)))
+
+
+@jax.jit
+def full(a, b):
+    d0, d1, c0, c1 = kn.square_step(fp, tbl, a, b, z11, z11, a_pair)
+    return d0, d1
+
+
+total = 0.0
+for name, fn, args in stages:
+    dt = fn(*args)
+    total += dt
+    print(f"{name:28s} {dt*1e3:8.3f} ms", flush=True)
+print(f"{'SUM':28s} {total*1e3:8.3f} ms")
+dt_full = timeit(full, x0, x1)
+print(f"{'square_step (jit whole)':28s} {dt_full*1e3:8.3f} ms "
+      f"-> {1.0/dt_full:7.1f} iter/s")

@@ -26,8 +26,11 @@ print(f"p={p} n={n} R={fp.R} C={fp.C} rs=({fp.rs.L1},{fp.rs.L2}) "
 
 t0 = time.time()
 tbl = jax.jit(lambda: fs.FourStepTables.build(fp, jnp, G=8, lanes=128))()
+import os
+if not os.environ.get("PRMERS_NO_MXU"):
+    fs.attach_mxu_tables(tbl, device_put=jax.device_put)
 jax.block_until_ready(jax.tree_util.tree_leaves(tbl))
-print(f"tables built in {time.time()-t0:.1f}s")
+print(f"tables built in {time.time()-t0:.1f}s (mxu={bool(tbl.mxu)})")
 
 rng = np.random.default_rng(11)
 mp = (1 << p) - 1
@@ -42,27 +45,29 @@ x1 = jnp.asarray(hi.reshape(R1, R2, CB, 8, LN))
 z11 = jnp.zeros((1, 1), jnp.uint32)
 a_pair = (jnp.full((1, 1), np.uint32(A)), z11)
 
-step = jax.jit(lambda x0, x1, c0, c1: kn.square_step(fp, tbl, x0, x1, c0, c1,
-                                                     a_pair))
+# tables must be jit ARGS: closed-over they become HLO constants and the
+# remote compiler rejects the program with HTTP 413 at n >= 2^23
+step = jax.jit(lambda t, x0, x1, c0, c1: kn.square_step(fp, t, x0, x1,
+                                                        c0, c1, a_pair))
 t0 = time.time()
-d0, d1, co0, co1 = step(x0, x1, z11, z11)
+d0, d1, co0, co1 = step(tbl, x0, x1, z11, z11)
 out = np.asarray(d0), np.asarray(d1)
 print(f"first step (compile+run) {time.time()-t0:.1f}s")
 
 got_digits = from_pairs(out[0].reshape(n), out[1].reshape(n))
 cout = int(np.asarray(co0)[0, 0]) | (int(np.asarray(co1)[0, 0]) << 32)
-q = np.concatenate([[0], np.cumsum(plan.widths.astype(np.int64))])[:n]
-val = (sum(int(dj) << int(qj) for dj, qj in zip(got_digits, q)) + cout) % mp
-want = (v * v * A) % mp
+val = (dg.digits_to_int(got_digits, plan.widths) + cout) % mp
+from prmers_tpu.utils import gmp
+want = gmp.mod(gmp.mul(gmp.mul(v, v), A), mp)
 print("square_step correct:", val == want)
 assert val == want
 
 # second iteration consuming the carry
-d0b, d1b, co0b, co1b = step(d0, d1, co0, co1)
+d0b, d1b, co0b, co1b = step(tbl, d0, d1, co0, co1)
 out2 = from_pairs(np.asarray(d0b).reshape(n), np.asarray(d1b).reshape(n))
 cout2 = int(np.asarray(co0b)[0, 0]) | (int(np.asarray(co1b)[0, 0]) << 32)
-val2 = (sum(int(dj) << int(qj) for dj, qj in zip(out2, q)) + cout2) % mp
-want2 = (want * want * A) % mp
+val2 = (dg.digits_to_int(out2, plan.widths) + cout2) % mp
+want2 = gmp.mod(gmp.mul(gmp.mul(want, want), A), mp)
 print("second step (carry chain) correct:", val2 == want2)
 assert val2 == want2
 print("ALL OK")
