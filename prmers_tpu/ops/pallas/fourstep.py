@@ -176,12 +176,12 @@ class FourStepTables:
     widths32: Any
     masks_lo: Any
     masks_hi: Any
-    mxu: Any = None        # {(L, inverse): (w8, corr)} device arrays
-    mxu_subs: Any = None   # (((L, inverse), (sub_lo, sub_hi)), ...) static
+    mxu: Any = None        # {key: (w8, corr)} device arrays; string keys
+    mxu_subs: Any = None   # ((key, (sub_lo, sub_hi)), ...) static
 
-    def mxu_sub(self, L: int, inverse: bool):
+    def mxu_sub(self, key: str):
         for k, v in (self.mxu_subs or ()):
-            if k == (L, inverse):
+            if k == key:
                 return v
         return None
 
@@ -502,21 +502,57 @@ def square_ref(t: FourStepTables, digits64: np.ndarray,
     return from_pairs(z0.reshape(fp.n), z1.reshape(fp.n))
 
 
+def mxu_key(L: int, inverse: bool) -> str:
+    """Generic (unfolded) table key. String keys only: FourStepTables is a
+    pytree and jax sorts dict keys, so they must be mutually comparable."""
+    return f"g{L}{'i' if inverse else 'f'}"
+
+
 def attach_mxu_tables(t: FourStepTables, device_put=None):
-    """Build and attach the int8 MXU DFT tables for every (L, dir) the
-    plan's passes use (host numpy build; tables are a few hundred KB)."""
+    """Build and attach the int8 MXU DFT tables the plan's passes use.
+
+    Generic per-(L, dir) tables, plus twiddle-folded per-grid variants for
+    the four inter-factor twiddles (t_r, t_c, t_c_inv, t_r_inv): those
+    factors are constant across one kernel invocation's lanes, so they fold
+    into the DFT matrix as row scalings — one (9L, 8L) table per grid
+    index, eliminating a full general mulmod per element in passes
+    P1/P3/P4/P6 (the reference's analog: twiddles baked into fused radix
+    kernels, kernels/marin.cl forward*_0 variants).
+    """
     from .mxu_dft import build_mxu_tables
+    from .gl64 import from_pairs as _fp64
     put = device_put if device_put is not None else (lambda a: a)
-    sizes = {t.fp.rs.L1, t.fp.rs.L2, t.fp.cs.L1, t.fp.cs.L2}
+    fp = t.fp
+    sizes = {fp.rs.L1, fp.rs.L2, fp.cs.L1, fp.cs.L2}
     mxu = {}
     subs = {}
+
+    def add(key, L, inv, row_scale=None):
+        w8, corr, sub_lo, sub_hi = build_mxu_tables(L, inv,
+                                                    row_scale=row_scale)
+        mxu[key] = (put(w8), put(corr))
+        subs[key] = (int(sub_lo), int(sub_hi))
+
     for L in sorted(sizes):
         if L < 32:   # int8 tiles are (32, 128); smaller DFTs stay on the VPU
             continue
         for inv in (False, True):
-            w8, corr, sub_lo, sub_hi = build_mxu_tables(L, inv)
-            mxu[(L, inv)] = (put(w8), put(corr))
-            subs[(L, inv)] = (int(sub_lo), int(sub_hi))
+            add(mxu_key(L, inv), L, inv)
+
+    def fetch(pair):   # (L1, L2, 1, 1, 1) u32 pair -> (L1, L2) u64 host
+        lo = np.asarray(pair[0]).reshape(pair[0].shape[0], pair[0].shape[1])
+        hi = np.asarray(pair[1]).reshape(lo.shape)
+        return _fp64(lo, hi)
+
+    if fp.rs.L1 >= 32:
+        add("tr_fwd", fp.rs.L1, False, row_scale=fetch(t.t_r).T.copy())
+    if fp.cs.L1 >= 32:
+        add("tc_fwd", fp.cs.L1, False, row_scale=fetch(t.t_c).T.copy())
+    if fp.cs.L2 >= 32:
+        add("tc_inv", fp.cs.L2, True, row_scale=fetch(t.t_c_inv))
+    if fp.rs.L2 >= 32:
+        add("tr_inv", fp.rs.L2, True, row_scale=fetch(t.t_r_inv))
+
     t.mxu = mxu
     t.mxu_subs = tuple(sorted(subs.items()))
     return t

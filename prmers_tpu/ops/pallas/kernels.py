@@ -63,6 +63,17 @@ def _full(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _mxspec(shape):
+    """Spec for an MXU table input: 2D generic tables map whole; 3D
+    twiddle-folded tables select the grid-dim-0 slice (one per-invocation
+    (9L, 8L) variant)."""
+    if len(shape) == 3:
+        return pl.BlockSpec((1,) + tuple(shape[1:]),
+                            lambda i, j: (i, j * 0, j * 0),
+                            memory_space=pltpu.VMEM)
+    return _full(shape)
+
+
 # ---------------------------------------------------------------------------
 # The generic pass kernel
 # ---------------------------------------------------------------------------
@@ -169,6 +180,9 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
             return fsm.dft_axis0(g, x0, x1, L, inv)
         w8 = mxu_refs[2 * which][:]
         corr = mxu_refs[2 * which + 1][:]
+        if w8.ndim == 3:   # twiddle-folded per-grid variant (leading 1)
+            w8 = w8.reshape(w8.shape[1:])
+            corr = corr.reshape(corr.shape[1:])
         sub = mxu_subs[which]
         return mxm.mxu_dft_apply(g, x0, x1, L, w8, corr,
                                  jnp.uint32(sub[0]), jnp.uint32(sub[1]))
@@ -270,15 +284,15 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
         in_specs += [smem11, smem11]
     ins += [x0, x1]
     in_specs += [xspec, xspec]
-    if mode in ("mul", "mid_mul"):
-        ins += [u[0], u[1]]
-        in_specs += [xspec, xspec]
     mxu_subs = None
     if mxu is not None:
         tables, mxu_subs = mxu
         for w8, corr in tables:
             ins += [w8, corr]
-            in_specs += [_full(w8.shape), _full(corr.shape)]
+            in_specs += [_mxspec(w8.shape), _mxspec(corr.shape)]
+    if mode in ("mul", "mid_mul"):
+        ins += [u[0], u[1]]
+        in_specs += [xspec, xspec]
     if pre is not None:
         ins += [pre[0], pre[1]]
         in_specs += [bspec(pre[0]), bspec(pre[1])]
@@ -289,7 +303,7 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
                              pre is not None, post is not None,
                              cin_widths if cin is not None else None,
                              mxu_subs)
-    return pl.pallas_call(
+    r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
@@ -298,6 +312,7 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
                    jax.ShapeDtypeStruct(sh, jnp.uint32)),
         compiler_params=_cparams(),
     )(*ins)
+    return r0, r1
 
 
 def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
@@ -323,15 +338,15 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
     xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
     ins = [x0, x1]
     in_specs = [xspec, xspec]
-    if mode in ("mul", "mid_mul"):
-        ins += [u[0], u[1]]
-        in_specs += [xspec, xspec]
     mxu_subs = None
     if mxu is not None:
         tables, mxu_subs = mxu
         for w8, corr in tables:
             ins += [w8, corr]
-            in_specs += [_full(w8.shape), _full(corr.shape)]
+            in_specs += [_mxspec(w8.shape), _mxspec(corr.shape)]
+    if mode in ("mul", "mid_mul"):
+        ins += [u[0], u[1]]
+        in_specs += [xspec, xspec]
     if pre is not None:
         ins += [pre[0], pre[1]]
         in_specs += [bspec(pre[0]), bspec(pre[1])]
@@ -341,7 +356,7 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
     kern = functools.partial(_pass_kernel, L, inverse, mode,
                              pre is not None, post is not None, None,
                              mxu_subs)
-    return pl.pallas_call(
+    r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
@@ -350,6 +365,7 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
                    jax.ShapeDtypeStruct(sh, jnp.uint32)),
         compiler_params=_cparams(),
     )(*ins)
+    return r0, r1
 
 
 # ---------------------------------------------------------------------------
@@ -530,20 +546,22 @@ def _to_ax(fp: FourStepPlan, a):
 
 
 def _mx(t: FourStepTables, *specs, ln: int = 128):
-    """((w8, corr), ...), (subs, ...) for the given (L, inverse) specs, or
-    None when the tables carry no MXU data, the lane dim is not a whole
-    number of 128-lane tiles (lane concat/slice would be misaligned), or
-    it is disabled."""
+    """((w8, corr), ...), (subs, ...) for the given specs — each a string
+    key ("tr_fwd", "g64f", ...) or an (L, inverse) pair — or None when the
+    tables carry no MXU data, the lane dim is not a whole number of
+    128-lane tiles (lane concat/slice would be misaligned), or it is
+    disabled."""
     import os
     if not t.mxu or os.environ.get("PRMERS_NO_MXU") or ln % 128:
         return None
     tabs = []
     subs = []
-    for L, inv in specs:
-        if (L, inv) not in t.mxu:
+    for spec in specs:
+        key = spec if isinstance(spec, str) else fsm.mxu_key(*spec)
+        if key not in t.mxu:
             return None
-        tabs.append(t.mxu[(L, inv)])
-        subs.append(t.mxu_sub(L, inv))
+        tabs.append(t.mxu[key])
+        subs.append(t.mxu_sub(key))
     return tuple(tabs), tuple(subs)
 
 
@@ -556,24 +574,32 @@ def _cin_widths(fp: FourStepPlan) -> tuple[int, ...]:
 
 
 def _forward_r(fp, t, x0, x1, cin=None):
+    # P1: the t_r inter-factor twiddle folds into per-grid MXU tables
+    mx1 = _mx(t, "tr_fwd", ln=x1.shape[-1])
     x0, x1 = _axis0_pass(x0, x1, fp.rs.L1, False, "plain",
-                         pre=t.w, post=t.t_r, cin=cin,
+                         pre=t.w, post=None if mx1 else t.t_r, cin=cin,
                          cin_widths=_cin_widths(fp) if cin else None,
-                         mxu=_mx(t, (fp.rs.L1, False), ln=x1.shape[-1]))
+                         mxu=mx1)
     x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False, "plain", post=t.mid,
                          mxu=_mx(t, (fp.rs.L2, False), ln=x1.shape[-1]))
     return x0, x1
 
 
 def _middle(fp, t, y0, y1, mode, u=None):
-    y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, False, "plain", post=t.t_c,
-                         mxu=_mx(t, (fp.cs.L1, False), ln=y1.shape[-1]))
-    mid_specs = ((fp.cs.L2, False),) if mode == "fwd" else         ((fp.cs.L2, False), (fp.cs.L2, True))
+    # P3: t_c folds; P4: t_c_inv folds into the inverse-DFT tables
+    mx3 = _mx(t, "tc_fwd", ln=y1.shape[-1])
+    y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, False, "plain",
+                         post=None if mx3 else t.t_c, mxu=mx3)
+    if mode == "fwd":
+        mx4 = _mx(t, (fp.cs.L2, False), ln=y1.shape[-1])
+        post4 = None
+    else:
+        mx4 = _mx(t, (fp.cs.L2, False), "tc_inv", ln=y1.shape[-1])
+        post4 = None if mx4 else t.t_c_inv
     y0, y1 = _axis1_pass(y0, y1, fp.cs.L2, False,
                          {"sqr": "mid_sqr", "mul": "mid_mul",
                           "fwd": "mid_fwd"}[mode],
-                         post=None if mode == "fwd" else t.t_c_inv, u=u,
-                         mxu=_mx(t, *mid_specs, ln=y1.shape[-1]))
+                         post=post4, u=u, mxu=mx4)
     if mode != "fwd":
         y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, True, "plain",
                              mxu=_mx(t, (fp.cs.L1, True), ln=y1.shape[-1]))
@@ -581,12 +607,15 @@ def _middle(fp, t, y0, y1, mode, u=None):
 
 
 def _inverse_r(fp, t, z0, z1):
+    # P6: t_r_inv folds
+    mx6 = _mx(t, "tr_inv", ln=z1.shape[-1])
     z0, z1 = _axis1_pass(z0, z1, fp.rs.L2, True, "plain",
-                         pre=t.mid_inv, post=t.t_r_inv,
-                         mxu=_mx(t, (fp.rs.L2, True), ln=z1.shape[-1]))
+                         pre=t.mid_inv, post=None if mx6 else t.t_r_inv,
+                         mxu=mx6)
     # final pass: r1 inverse DFT + inverse weights + canon
     sh = z0.shape
     mxu = _mx(t, (fp.rs.L1, True), ln=sh[-1])
+    iw = t.iw
     S = 1 if mxu is not None else min(SUBBLK, sh[1])
     grid = (sh[1] // S, sh[2])
     blk = (fp.rs.L1, S, 1, sh[3], sh[4])
@@ -601,11 +630,11 @@ def _inverse_r(fp, t, z0, z1):
     if mxu is not None:
         (tabs, subs) = mxu
         ins += [tabs[0][0], tabs[0][1]]
-        in_specs += [_full(tabs[0][0].shape), _full(tabs[0][1].shape)]
-    ins += [t.iw[0], t.iw[1]]
+        in_specs += [_mxspec(tabs[0][0].shape), _mxspec(tabs[0][1].shape)]
+    ins += [iw[0], iw[1]]
     in_specs += [bspec, bspec]
     kern = functools.partial(_post_canon_kernel, fp.rs.L1, subs)
-    return pl.pallas_call(
+    r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
@@ -614,6 +643,7 @@ def _inverse_r(fp, t, z0, z1):
                    jax.ShapeDtypeStruct(sh, jnp.uint32)),
         compiler_params=_cparams(),
     )(*ins)
+    return r0, r1
 
 
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,

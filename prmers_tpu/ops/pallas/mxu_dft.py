@@ -71,25 +71,59 @@ def _balanced_limbs(v: int) -> list[int]:
     return digits
 
 
-def build_mxu_tables(L: int, inverse: bool):
-    """Returns (W8 int8 (8L, 8L), corr int32 (8L, 1), sub_lo, sub_hi).
+def _balanced_limbs_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized _balanced_limbs: u64 array -> int8 array (9, *v.shape)."""
+    x = v.copy()
+    out = np.empty((N_WPLANES,) + v.shape, dtype=np.int8)
+    for m in range(N_WPLANES):
+        d = (x & np.uint64(255)).astype(np.int64)
+        x = x >> np.uint64(8)
+        neg = d >= 128
+        d = np.where(neg, d - 256, d)
+        x = x + neg.astype(np.uint64)
+        out[m] = d.astype(np.int8)
+    assert not x.any(), "value out of 9-limb range"
+    return out
+
+
+def _mulmod_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    g = GL(np)
+    a0, a1 = to_pairs(np.ascontiguousarray(a))
+    b0, b1 = to_pairs(np.ascontiguousarray(b))
+    r0, r1 = g.canon(*g.mul(a0, a1, b0, b1))
+    return from_pairs(r0, r1)
+
+
+def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None):
+    """Returns (W8 int8, corr int32, sub_lo, sub_hi).
 
     W8[m*L + r, l*L + c] = balanced limb m of (M[r, c] * 256^l mod P).
     corr adds back the x-side 128 offset; (sub_lo, sub_hi) is the u64 pair
     of sum_m 2^23 * 2^(8m) mod P (the plane-offset compensation).
+
+    row_scale: optional (K, L) u64 — per-variant row scalings (the
+    inter-factor twiddles, constant across an invocation's lanes, folded
+    into the matrix: variant k encodes diag(row_scale[k]) @ M). Then W8 is
+    (K, 9L, 8L) and corr is (K, 9L, 1); without it they are 2D/(9L, 1).
     """
-    M = dft_matrix(L, inverse)
-    W8 = np.zeros((N_WPLANES * L, 8 * L), dtype=np.int8)
-    for l in range(8):
-        scale = pow(256, l, P)
-        for r in range(L):
-            for c in range(L):
-                digits = _balanced_limbs((int(M[r, c]) * scale) % P)
-                for m in range(N_WPLANES):
-                    W8[m * L + r, l * L + c] = digits[m]
-    corr = (W8.astype(np.int64).sum(axis=1) * 128).astype(np.int32)
+    M = dft_matrix(L, inverse)           # (L, L) u64
+    if row_scale is None:
+        Mk = M[None]                     # K = 1
+    else:
+        Mk = _mulmod_u64(row_scale[:, :, None], M[None])   # (K, L, L)
+    K = Mk.shape[0]
+    scales = np.array([pow(256, l, P) for l in range(8)], dtype=np.uint64)
+    # (K, L, 8, L): entry [k, r, l, c] = M_k[r, c] * 256^l mod P
+    Ml = _mulmod_u64(Mk[:, :, None, :], scales[None, None, :, None])
+    limbs = _balanced_limbs_vec(Ml)      # (9, K, L, 8, L) int8
+    W8 = np.ascontiguousarray(
+        limbs.transpose(1, 0, 2, 3, 4).reshape(K, N_WPLANES * L, 8 * L))
+    corr = (W8.astype(np.int64).sum(axis=2) * 128).astype(np.int32)
+    corr = corr.reshape(K, N_WPLANES * L, 1)
     sub = sum((OFF_PLANE << (8 * m)) for m in range(N_WPLANES)) % P
-    return (W8, corr.reshape(-1, 1),
+    if row_scale is None:
+        W8, corr = W8[0], corr[0]
+    return (W8, corr,
             np.uint32(sub & 0xFFFFFFFF), np.uint32(sub >> 32))
 
 

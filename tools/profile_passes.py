@@ -63,13 +63,15 @@ def timeit(fn, *args, reps=REPS, warm=2):
 
 
 def serial(fn2):
-    """Chain fn2 (pair->pair) K times with a data dependency."""
+    """Chain fn2 (pair->pair) K times with a data dependency; outputs are
+    reshaped back to the input shape (values are irrelevant for timing)."""
     K = 8
 
     @jax.jit
     def run(a, b):
         def step(i, ab):
-            return fn2(ab[0], ab[1])
+            r0, r1 = fn2(ab[0], ab[1])
+            return r0.reshape(ab[0].shape), r1.reshape(ab[1].shape)
         return lax.fori_loop(0, K, step, (a, b))
 
     def timed(a, b):
