@@ -105,7 +105,13 @@ def run_once(opts: Options, log=print) -> tuple[object, str]:
             user=opts.user, computer=opts.computer, aid=opts.aid)
         return r, j
     if opts.mode == "ecm":
-        from ..modes.ecm import run_ecm
+        # twisted Edwards is the default ECM path, Montgomery the fallback
+        # (reference: App::run dispatches runECMMarinTwistedEdwards unless
+        # -ecm_montgomery, src/core/App.cpp)
+        if getattr(opts, "edwards", True):
+            from ..modes.ecm_edwards import run_ecm_edwards as run_ecm
+        else:
+            from ..modes.ecm import run_ecm
         r = run_ecm(opts, log=log)
         factors = (str(r.factor),) if r.factor else ()
         j = json_out.build_result_json(

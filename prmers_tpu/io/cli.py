@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                       help="LL with sqrt(3)-pair error checking")
     mode.add_argument("-pm1", action="store_true", help="P-1 factoring")
     mode.add_argument("-ecm", action="store_true", help="ECM factoring")
+    ap.add_argument("-ecm_check_interval", type=int, default=0,
+                    help="Edwards invariant-check cadence in group ops")
     mode.add_argument("-bench", action="store_true", help="benchmark mode")
     ap.add_argument("-wagstaff", action="store_true",
                     help="Wagstaff PRP (exponent = 2q)")
@@ -111,7 +113,7 @@ def parse_args(argv: list[str] | None = None) -> Options:
         sigma=ns.sigma, torsion=ns.torsion, edwards=not ns.montgomery,
         known_factors=factors, worktodo_path=ns.worktodo_path,
         results_path=ns.results_path, aid=ns.aid, user=ns.user,
-        computer=ns.computer,
+        computer=ns.computer, ecm_check_interval=ns.ecm_check_interval,
         res64_display_interval=ns.res64_display_interval,
         profile=ns.profile, verbose=not ns.quiet, gui=ns.gui,
         gui_port=ns.gui_port, bench_iters=ns.bench_iters,

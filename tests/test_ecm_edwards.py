@@ -1,0 +1,110 @@
+"""Twisted-Edwards ECM: curve construction, group-law sanity, factor finds."""
+
+import pytest
+
+from prmers_tpu.engine.factory import create_engine
+from prmers_tpu.io.options import Options
+from prmers_tpu.modes.ecm_edwards import (
+    ED_BASE_REGS, EX, EY, EZ, ET, BQ0, EdOps, edwards_curve,
+    run_ecm_edwards)
+from prmers_tpu.utils import gmp
+
+
+def _silent(*a, **k):
+    pass
+
+
+class TestCurve:
+    def test_point_on_curve(self):
+        n = (1 << 101) - 1
+        x0, y0, d = edwards_curve(12345, n)
+        lhs = (y0 * y0 - x0 * x0) % n
+        rhs = (1 + d * x0 % n * x0 % n * y0 % n * y0) % n
+        assert lhs == rhs
+
+    def test_deterministic(self):
+        n = (1 << 61) - 1
+        assert edwards_curve(7, n) == edwards_curve(7, n)
+        assert edwards_curve(7, n) != edwards_curve(8, n)
+
+
+def _affine(eng, n):
+    z = eng.get_int(EZ) % n
+    zi = gmp.invert(z, n)
+    return (eng.get_int(EX) * zi % n, eng.get_int(EY) * zi % n)
+
+
+class TestGroupLaw:
+    """Verify dbl/add against host affine Edwards arithmetic mod a PRIME
+    Mersenne (so inverses exist and affine reference math is exact)."""
+
+    P = 127  # M127 is prime
+
+    def _host_add(self, p1, p2, d, n):
+        x1, y1 = p1
+        x2, y2 = p2
+        dx = d * x1 % n * x2 % n * y1 % n * y2 % n
+        x3 = (x1 * y2 + y1 * x2) % n * gmp.invert((1 + dx) % n, n) % n
+        y3 = (y1 * y2 + x1 * x2) % n * gmp.invert((1 - dx) % n, n) % n
+        return (x3, y3)
+
+    def test_dbl_add_match_host(self):
+        n = (1 << self.P) - 1
+        x0, y0, d = edwards_curve(99, n)
+        eng = create_engine(self.P, ED_BASE_REGS, backend="numpy")
+        ops = EdOps(eng, n, d)
+        ops.set_affine(x0, y0)
+        ops.prep_quad_host(BQ0, x0, y0)
+        assert ops.invariant_ok()
+
+        ops.dbl()                      # 2P
+        assert ops.invariant_ok()
+        want = self._host_add((x0, y0), (x0, y0), d, n)
+        assert _affine(eng, n) == want
+
+        ops.add_quad(BQ0)              # 3P
+        assert ops.invariant_ok()
+        want = self._host_add(want, (x0, y0), d, n)
+        assert _affine(eng, n) == want
+
+        # T consistency: T = X*Y/Z
+        z = eng.get_int(EZ) % n
+        t = eng.get_int(ET) % n
+        assert t * z % n == eng.get_int(EX) * eng.get_int(EY) % n
+
+    def test_scalar_mul_is_repeated_add(self):
+        n = (1 << self.P) - 1
+        x0, y0, d = edwards_curve(5, n)
+        eng = create_engine(self.P, ED_BASE_REGS, backend="numpy")
+        ops = EdOps(eng, n, d)
+        ops.set_affine(x0, y0)
+        ops.prep_quad_host(BQ0, x0, y0)
+        ops.scalar_mul_quad(13, BQ0)
+        got = _affine(eng, n)
+        want = (x0, y0)
+        for _ in range(12):
+            want = self._host_add(want, (x0, y0), d, n)
+        assert got == want
+
+
+class TestEcmEdwardsFactors:
+    def test_m29_small_factors(self):
+        o = Options(exponent=29, mode="ecm", b1=300, b2=0, curves=3,
+                    curve_seed=7, backend="numpy")
+        r = run_ecm_edwards(o, log=_silent)
+        assert r.factor > 1
+        assert ((1 << 29) - 1) % r.factor == 0
+
+    def test_m37_stage2(self):
+        o = Options(exponent=37, mode="ecm", b1=20, b2=400, curves=6,
+                    curve_seed=3, backend="numpy")
+        r = run_ecm_edwards(o, log=_silent)
+        assert r.factor > 1
+        assert ((1 << 37) - 1) % r.factor == 0
+
+    @pytest.mark.slow
+    def test_m67_stage2(self):
+        o = Options(exponent=67, mode="ecm", b1=2000, b2=50000, curves=12,
+                    curve_seed=1, backend="numpy")
+        r = run_ecm_edwards(o, log=_silent)
+        assert r.factor == 193707721
