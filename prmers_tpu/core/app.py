@@ -83,8 +83,11 @@ def run_once(opts: Options, log=print) -> tuple[object, str]:
             proof_power=proof_power, proof_md5=proof_md5,
             user=opts.user, computer=opts.computer, aid=opts.aid)
         return r, j
-    if opts.mode == "llsafe":
-        from ..modes.llsafe import run_llsafe
+    if opts.mode in ("llsafe", "llsafe2"):
+        if opts.mode == "llsafe2":
+            from ..modes.llsafe import run_llsafe2 as run_llsafe
+        else:
+            from ..modes.llsafe import run_llsafe
         r = run_llsafe(opts, log=log)
         j = json_out.build_result_json(
             exponent=opts.exponent, worktype="LL",

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("-ll", action="store_true", help="Lucas-Lehmer (unsafe)")
     mode.add_argument("-llsafe", action="store_true",
                       help="LL with sqrt(3)-pair error checking")
+    mode.add_argument("-llsafe2", action="store_true",
+                      help="LL with block-replay error checking")
+    ap.add_argument("-llsafeb", type=int, default=0,
+                    help="llsafe2 replay block size (default sqrt(p))")
     mode.add_argument("-pm1", action="store_true", help="P-1 factoring")
     mode.add_argument("-ecm", action="store_true", help="ECM factoring")
     ap.add_argument("-ecm_check_interval", type=int, default=0,
@@ -61,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-curve-seed", dest="curve_seed", type=int, default=0)
     ap.add_argument("-torsion", type=int, default=0)
     ap.add_argument("-montgomery", action="store_true",
-                    help="ECM Montgomery curves (default in this build)")
+                    help="ECM Montgomery/Suyama curves instead of the "
+                         "default twisted Edwards")
 
     ap.add_argument("-factors", default="",
                     help="comma-separated known factors (cofactor PRP)")
@@ -97,7 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
 def parse_args(argv: list[str] | None = None) -> Options:
     argv = _expand_config(list(sys.argv[1:] if argv is None else argv))
     ns = build_parser().parse_args(argv)
-    mode = ("ll" if ns.ll else "llsafe" if ns.llsafe else
+    mode = ("ll" if ns.ll else "llsafe2" if ns.llsafe2 else
+            "llsafe" if ns.llsafe else
             "pm1" if ns.pm1 else "ecm" if ns.ecm else
             "bench" if ns.bench else "prp")
     factors = tuple(f.strip() for f in ns.factors.split(",") if f.strip())
@@ -114,6 +120,7 @@ def parse_args(argv: list[str] | None = None) -> Options:
         known_factors=factors, worktodo_path=ns.worktodo_path,
         results_path=ns.results_path, aid=ns.aid, user=ns.user,
         computer=ns.computer, ecm_check_interval=ns.ecm_check_interval,
+        llsafe_block=ns.llsafeb,
         res64_display_interval=ns.res64_display_interval,
         profile=ns.profile, verbose=not ns.quiet, gui=ns.gui,
         gui_port=ns.gui_port, bench_iters=ns.bench_iters,

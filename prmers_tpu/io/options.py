@@ -52,6 +52,7 @@ class Options:
     torsion: int = 8             # 0 | 8 | 16
     edwards: bool = True
     ecm_check_interval: int = 0
+    llsafe_block: int = 0        # llsafe2 replay block size (-llsafeb)
     invariant_error_iter: int = 0
 
     # cofactor PRP

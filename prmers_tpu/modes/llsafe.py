@@ -188,3 +188,99 @@ def run_llsafe(opts: Options, eng: Engine | None = None,
         p=p, is_prime=is_prime, res64=res.res64_hex(s_final),
         transform_size=n, elapsed=time.monotonic() - t0,
         gerbicz_errors=opts.gerbicz_error_count, iteration=total)
+
+
+# ---------------------------------------------------------------------------
+# LL-safe2: block-replay verification on the (V, U) companion pair
+# (reference: App::runLlSafeMarinDoubling, src/modes/RunLlSafeMarin.cpp:95-330)
+# ---------------------------------------------------------------------------
+
+# register map for llsafe2 (8 regs like the reference)
+(L2V, L2U, L2VC, L2UC, L2TMP, L2VCHK, L2UCHK, L2SCR) = range(8)
+LLSAFE2_REGS = 8
+
+
+def _ll2_step(eng: Engine, v: int, u: int, tmp: int):
+    """U <- U*V; V <- V^2 - 2 (the reference's coupled iteration)."""
+    eng.set_multiplicand(tmp, v)
+    eng.mul(u, tmp)
+    eng.square_mul(v)
+    eng.sub(v, 2)
+
+
+def run_llsafe2(opts: Options, eng: Engine | None = None,
+                log=print) -> LlSafeResult:
+    """LL with block-replay error detection: V follows the LL sequence
+    (V0 = 4), U accumulates prod(V_i) (U0 = 2) so any transient error
+    persists into U; every block is recomputed from the last verified
+    snapshot into check registers and both sequences compared exactly.
+    Mismatch restores the snapshot and rewinds (block size -llsafeb,
+    default floor(sqrt(p)) like the reference's p/sqrt(p))."""
+    p = opts.exponent
+    validate_exponent(p)
+    qc = quick_check(p)
+    if qc is not None:
+        return LlSafeResult(p=p, is_prime=qc, quick=True)
+
+    if eng is None:
+        eng = create_engine(p, LLSAFE2_REGS, backend=opts.backend)
+    n = eng.get_size()
+    mp = res.mersenne(p)
+    total = p - 2
+    log(f"LL-SAFE2 on 2^{p} - 1 with {n} words")
+
+    eng.set(L2V, 4)
+    eng.set(L2U, 2)
+    eng.copy(L2VC, L2V)
+    eng.copy(L2UC, L2U)
+
+    B = opts.llsafe_block if opts.llsafe_block > 0 else \
+        max(int(math.isqrt(max(total, 1))), 1)
+    B = min(B, total) if total else 1
+
+    progress = Progress(total, label=f"M{p} llsafe2")
+    t0 = time.monotonic()
+    it = 0
+    itersave = 0
+    retries = 0
+    error_injected = False
+    while it < total:
+        blk = min(B, total - it)
+        for _ in range(blk):
+            _ll2_step(eng, L2V, L2U, L2TMP)
+        it += blk
+        if opts.erroriter and not error_injected and it >= opts.erroriter:
+            eng.sub(L2V, 2)
+            error_injected = True
+            log(f"Injected error at iteration {it}")
+        # replay the block from the snapshot and compare both sequences
+        eng.copy(L2VCHK, L2VC)
+        eng.copy(L2UCHK, L2UC)
+        for _ in range(blk):
+            _ll2_step(eng, L2VCHK, L2UCHK, L2TMP)
+        ok = (eng.get_int(L2VCHK) % mp == eng.get_int(L2V) % mp and
+              eng.get_int(L2UCHK) % mp == eng.get_int(L2U) % mp)
+        if ok:
+            log(f"[Error check] Check passed! iter={it}")
+            eng.copy(L2VC, L2V)
+            eng.copy(L2UC, L2U)
+            itersave = it
+            retries = 0
+        else:
+            retries += 1
+            opts.gerbicz_error_count += 1
+            log(f"[Error check] Check FAILED! iter={it} — "
+                f"restore iter={itersave}")
+            if retries > 2:
+                raise RuntimeError("LL-safe2 check failing repeatedly")
+            eng.copy(L2V, L2VC)
+            eng.copy(L2U, L2UC)
+            it = itersave
+            error_injected = True  # injected fault now cleared
+        progress.maybe_display(it)
+
+    v = eng.get_int(L2V) % mp
+    return LlSafeResult(
+        p=p, is_prime=(v == 0), res64=res.res64_hex(v),
+        transform_size=n, elapsed=time.monotonic() - t0,
+        gerbicz_errors=opts.gerbicz_error_count, iteration=total)

@@ -51,3 +51,35 @@ class TestCofactorPrp:
                     known_factors=("7",), verbose=False, proof=False)
         with pytest.raises(ValueError):
             run_prp_or_ll(o, log=_silent)
+
+
+class TestLlSafe2:
+    def test_m127_prime(self):
+        from prmers_tpu.modes.llsafe import run_llsafe2
+        o = Options(exponent=127, mode="llsafe2", backend="numpy")
+        r = run_llsafe2(o, log=_silent)
+        assert r.is_prime
+
+    def test_m257_composite(self):
+        from prmers_tpu.modes.llsafe import run_llsafe2
+        o = Options(exponent=257, mode="llsafe2", backend="numpy")
+        r = run_llsafe2(o, log=_silent)
+        assert not r.is_prime
+
+    def test_error_injection_recovers(self):
+        from prmers_tpu.modes.llsafe import run_llsafe2
+        logs = []
+        o = Options(exponent=127, mode="llsafe2", backend="numpy",
+                    erroriter=40, llsafe_block=16)
+        r = run_llsafe2(o, log=logs.append)
+        assert r.is_prime
+        joined = "\n".join(str(x) for x in logs)
+        assert "Injected error" in joined
+        assert "Check FAILED" in joined
+        assert r.gerbicz_errors >= 1
+
+    def test_block_size_flag(self):
+        from prmers_tpu.io.cli import parse_args
+        o = parse_args(["127", "-llsafe2", "-llsafeb", "32"])
+        assert o.mode == "llsafe2"
+        assert o.llsafe_block == 32
