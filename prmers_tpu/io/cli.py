@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="llsafe2 replay block size (default sqrt(p))")
     mode.add_argument("-pm1", action="store_true", help="P-1 factoring")
     mode.add_argument("-ecm", action="store_true", help="ECM factoring")
+    ap.add_argument("-s2variant", dest="stage2_variant", default="vtrace",
+                    choices=["vtrace", "classic"],
+                    help="P-1 stage 2 algorithm")
+    ap.add_argument("-s2regs", dest="stage2_regs_cap", type=int, default=0,
+                    help="V-trace register budget (memory cap)")
     ap.add_argument("-ecm_check_interval", type=int, default=0,
                     help="Edwards invariant-check cadence in group ops")
     mode.add_argument("-bench", action="store_true", help="benchmark mode")
@@ -120,7 +125,8 @@ def parse_args(argv: list[str] | None = None) -> Options:
         known_factors=factors, worktodo_path=ns.worktodo_path,
         results_path=ns.results_path, aid=ns.aid, user=ns.user,
         computer=ns.computer, ecm_check_interval=ns.ecm_check_interval,
-        llsafe_block=ns.llsafeb,
+        llsafe_block=ns.llsafeb, stage2_variant=ns.stage2_variant,
+        stage2_regs_cap=ns.stage2_regs_cap,
         res64_display_interval=ns.res64_display_interval,
         profile=ns.profile, verbose=not ns.quiet, gui=ns.gui,
         gui_port=ns.gui_port, bench_iters=ns.bench_iters,

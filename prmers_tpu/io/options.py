@@ -53,6 +53,8 @@ class Options:
     edwards: bool = True
     ecm_check_interval: int = 0
     llsafe_block: int = 0        # llsafe2 replay block size (-llsafeb)
+    stage2_variant: str = "vtrace"  # vtrace (default) | classic
+    stage2_regs_cap: int = 0     # V-trace register budget (0 = default)
     invariant_error_iter: int = 0
 
     # cofactor PRP

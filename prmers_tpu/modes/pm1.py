@@ -383,7 +383,10 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
     r1 = run_pm1_stage1(opts, log=log)
     if opts.b2 <= opts.b1:
         return r1
-    r2 = run_pm1_stage2(opts, r1._stage1_x, log=log)
+    if getattr(opts, "stage2_variant", "vtrace") == "classic":
+        r2 = run_pm1_stage2(opts, r1._stage1_x, log=log)
+    else:
+        r2 = run_pm1_stage2_vtrace(opts, r1._stage1_x, log=log)
     r2.gerbicz_errors = r1.gerbicz_errors
     if r1.factor and not r2.factor:
         return r1
@@ -391,3 +394,232 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
     # stage-1 factor as well — reference golden values are these raw gcds)
     r2.stage1_factor = r1.factor
     return r2
+
+
+# ---------------------------------------------------------------------------
+# Stage 2, V-trace variant (the reference default):
+# scalar traces V_n = H^n + H^-n with +-j prime pairing and auto-D
+# (reference: runPM1Stage2MarinVTrace, src/modes/RunPM1.cpp:1931-4334;
+#  memory-aware D planner :2030-2075; compact checkpoints — acc + giant
+#  state only, babies rebuilt deterministically, README.md:609-611)
+# ---------------------------------------------------------------------------
+#
+# Identity: V_m - V_j = H^-m (H^(m+j) - 1)(H^(m-j) - 1), so ONE subtraction
+# covers BOTH primes mD+j and mD-j — the Atnashev-Woltman pairing for free.
+# Recurrences (V_0 = 2): V_{2n} = V_n^2 - 2, V_{m+n} = V_m V_n - V_{m-n}.
+
+# register map (fixed low slots; babies allocate upward)
+(V_H, V_ACC, V_T, V_V1, V_V2M, V_GLO, V_GHI, V_VDM, V_M) = range(9)
+VTRACE_BASE_REGS = 9
+
+
+def _trace_ladder(eng: Engine, lo: int, hi: int, v1: int, k: int,
+                  t: int, m: int):
+    """(lo, hi) = (V_k, V_{k+1}) of the Lucas V-sequence whose V_1 is in
+    register v1 (so laddering V_1 = V_D computes V_{kD}). Montgomery-style
+    pair ladder: per bit one square + one general mul."""
+    assert k >= 1
+    eng.copy(lo, v1)                    # V_1
+    eng.copy(hi, v1)
+    eng.square_mul(hi)
+    eng.sub(hi, 2)                      # V_2
+    for i in range(k.bit_length() - 2, -1, -1):
+        bit = (k >> i) & 1
+        # t = V_{2n+1} = V_n V_{n+1} - V_1
+        eng.copy(t, hi)
+        eng.set_multiplicand(m, t)
+        eng.copy(t, lo)
+        eng.mul(t, m)
+        eng.sub_reg(t, v1)
+        if bit == 0:
+            eng.square_mul(lo)
+            eng.sub(lo, 2)              # V_2n
+            eng.copy(hi, t)
+        else:
+            eng.square_mul(hi)
+            eng.sub(hi, 2)              # V_2n+2
+            eng.copy(lo, t)
+
+
+def _phi_half_count(D: int) -> int:
+    return len([j for j in range(1, D // 2 + 1) if math.gcd(j, D) == 1])
+
+
+def _vtrace_auto_d(b1: int, b2: int, regs_cap: int) -> int:
+    """Memory-aware D: minimize  babies*2 + giants*2 + pairs*2  transforms
+    subject to phi(D)/2 + base regs fitting the register budget
+    (reference cost model: RunPM1.cpp:2030-2075)."""
+    n_primes = max(b2 / math.log(max(b2, 3)) - b1 / math.log(max(b1, 3)), 1.0)
+    best_d, best_cost = 30, float("inf")
+    for D in (30, 60, 120, 210, 420, 840, 2310, 4620, 9240):
+        nb = _phi_half_count(D)
+        if VTRACE_BASE_REGS + nb > regs_cap:
+            continue
+        giants = (b2 - b1) / D + 2
+        pairs = n_primes * 0.78   # measured dedupe rate of the +-j wheel
+        setup = 4 * max(D.bit_length() + (b1 // D + 1).bit_length(), 1)
+        cost = 2 * nb + 2 * giants + 2 * pairs + setup
+        if cost < best_cost:
+            best_d, best_cost = D, cost
+    return best_d
+
+
+def _vtrace_ckpt_blob(eng: Engine, m_cur: int, count: int) -> bytes:
+    import struct as _s
+    parts = [_s.pack("<qq", m_cur, count)]
+    for r in (V_ACC, V_GLO, V_GHI):
+        d = eng.get_digits(r).astype("<u8").tobytes()
+        parts.append(len(d).to_bytes(4, "little") + d)
+    return b"".join(parts)
+
+
+def _vtrace_ckpt_restore(eng: Engine, blob: bytes) -> tuple[int, int]:
+    import struct as _s
+    import numpy as np
+    m_cur, count = _s.unpack_from("<qq", blob, 0)
+    off = 16
+    for r in (V_ACC, V_GLO, V_GHI):
+        ln = int.from_bytes(blob[off:off + 4], "little")
+        off += 4
+        eng.set_digits(r, np.frombuffer(blob[off:off + ln], dtype="<u8"))
+        off += ln
+    return m_cur, count
+
+
+def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
+                          log=print) -> Pm1Result:
+    """V-trace BSGS stage 2 with +-j pairing and compact checkpoints."""
+    p, b1, b2 = opts.exponent, opts.b1, opts.b2
+    assert b2 > b1
+    mp = res.mersenne(p)
+    t0 = time.monotonic()
+
+    regs_cap = opts.stage2_regs_cap or 224
+    D = opts.stage2_d or _vtrace_auto_d(b1, b2, regs_cap)
+    if D % 2:
+        raise ValueError("V-trace stage 2 requires even D")
+    baby_js = [j for j in range(1, D // 2 + 1) if math.gcd(j, D) == 1]
+    NB = len(baby_js)
+    if eng is None:
+        eng = create_engine(p, VTRACE_BASE_REGS + NB, backend=opts.backend)
+    BABY0 = VTRACE_BASE_REGS
+    log(f"P-1 stage 2 (V-trace): D={D}, {NB} babies, "
+        f"giants from m0 to {(b2 + D // 2) // D}")
+
+    # V_1 = H + H^-1 (host inverse mod the composite is fine: H is a unit)
+    eng.set_int(V_H, x1)
+    v1 = (x1 + gmp.invert(x1 % mp, mp)) % mp
+    eng.set_int(V_V1, v1)
+
+    # babies V_j, odd j coprime to D: V_{j+2} = V_2 V_j - V_{j-2}
+    eng.copy(V_T, V_V1)
+    eng.square_mul(V_T)
+    eng.sub(V_T, 2)                     # V_2
+    eng.set_multiplicand(V_V2M, V_T)
+    slots = {}
+    # walk (prev, cur) = (V_{j-2}, V_j) over odd j, V_{-1} == V_1
+    eng.copy(V_GLO, V_V1)               # prev = V_1 (j-2 = -1)
+    eng.copy(V_GHI, V_V1)               # cur  = V_1 (j = 1)
+    j = 1
+    for jj in baby_js:
+        while j < jj:
+            eng.copy(V_T, V_GHI)
+            eng.mul(V_T, V_V2M)
+            eng.sub_reg(V_T, V_GLO)     # V_{j+2}
+            eng.copy(V_GLO, V_GHI)
+            eng.copy(V_GHI, V_T)
+            j += 2
+        slot = BABY0 + len(slots)
+        eng.copy(slot, V_GHI)
+        slots[jj] = slot
+
+    # V_D multiplicand and giant seed (V_{m0 D}, V_{(m0+1) D})
+    _trace_ladder(eng, V_GLO, V_GHI, V_V1, D, V_T, V_M)
+    eng.copy(V_T, V_GLO)                # V_D
+    eng.set_multiplicand(V_VDM, V_T)
+    m0 = max((b1 + D // 2) // D, 1)
+    # ladder on base V_D: V'_k = V_{kD}
+    eng.copy(V_V2M, V_GLO)              # reuse V_V2M slot as V_D digit copy
+    _trace_ladder(eng, V_GLO, V_GHI, V_V2M, m0, V_T, V_M)
+
+    eng.set(V_ACC, 1)
+    m_cur = m0
+    count = 0
+
+    mode_tag = ck.MODE_TAGS["pm1s2"]
+    ckpt_path = ck.ckpt_filename(p, "pm1s2", save_dir=opts.save_dir)
+    saved = ck.load_latest(ckpt_path, p, mode_tag)
+    if saved is not None and saved.iteration == D:
+        m_cur, count = _vtrace_ckpt_restore(eng, saved.extra)
+        log(f"Resuming P-1 stage 2 from giant m={m_cur}")
+    last_save = time.monotonic()
+
+    def giant_of(q: int) -> int:
+        return (q + D // 2) // D
+
+    pending: set[int] = set()
+    pend_m = m_cur
+
+    def flush(mset: set[int]):
+        nonlocal count
+        for jj in sorted(mset):
+            eng.copy(V_T, V_GLO)
+            eng.sub_reg(V_T, slots[jj])      # V_{mD} - V_j
+            eng.set_multiplicand(V_M, V_T)
+            eng.mul(V_ACC, V_M)
+            count += 1
+
+    for block in pr.segmented_primes(b1 + 1, b2 + 1):
+        for q in block.tolist():
+            if math.gcd(q, D) != 1:
+                continue
+            mq = giant_of(q)
+            if mq < m_cur:
+                continue  # resumed past this giant; pair already accumulated
+            if mq != pend_m:
+                if pending:
+                    flush(pending)
+                    pending = set()
+                while m_cur < mq:
+                    # V_{(m+1)D} = V_D V_{mD'} ... advance (lo, hi)
+                    eng.copy(V_T, V_GHI)
+                    eng.mul(V_T, V_VDM)
+                    eng.sub_reg(V_T, V_GLO)
+                    eng.copy(V_GLO, V_GHI)
+                    eng.copy(V_GHI, V_T)
+                    m_cur += 1
+                pend_m = mq
+                if (time.monotonic() - last_save) >= opts.backup_interval:
+                    ck.write_checkpoint(ckpt_path, ck.CheckpointData(
+                        p=p, mode_tag=mode_tag, iteration=D,
+                        elapsed=time.monotonic() - t0,
+                        extra=_vtrace_ckpt_blob(eng, m_cur, count),
+                        regs=b""))
+                    last_save = time.monotonic()
+            jj = abs(q - mq * D)
+            if jj:
+                pending.add(jj)
+    if pending:
+        while m_cur < pend_m:
+            eng.copy(V_T, V_GHI)
+            eng.mul(V_T, V_VDM)
+            eng.sub_reg(V_T, V_GLO)
+            eng.copy(V_GLO, V_GHI)
+            eng.copy(V_GHI, V_T)
+            m_cur += 1
+        flush(pending)
+
+    log(f"P-1 stage 2 (V-trace): {count} paired trace products for primes "
+        f"in ({b1}, {b2}]")
+    ck.delete_checkpoints(ckpt_path)
+
+    acc = eng.get_int(V_ACC) % mp
+    g = gmp.gcd(acc, mp)
+    factor = g if 1 < g < mp else 0
+    if factor:
+        log(f"P-1 stage 2 found factor {factor}")
+    return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
+                     stage=2 if factor else 0,
+                     res64=res.res64_hex(acc),
+                     elapsed=time.monotonic() - t0,
+                     transform_size=eng.get_size())

@@ -72,3 +72,62 @@ class TestPm1Golden:
                     checklevel=2)
         r = run_pm1_stage1(o, log=_silent)
         assert r.factor == 4312790327
+
+
+class TestVTrace:
+    def test_m367_stage2_vtrace_golden(self):
+        o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                    backend="numpy", stage2_variant="vtrace")
+        r = run_pm1(o, log=_silent)
+        assert r.factor == 50500996776315830904406967
+        assert r.stage == 2
+
+    def test_classic_variant_still_selectable(self):
+        o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                    backend="numpy", stage2_variant="classic")
+        r = run_pm1(o, log=_silent)
+        assert r.factor == 50500996776315830904406967
+
+    def test_auto_d_memory_cap(self):
+        from prmers_tpu.modes.pm1 import _vtrace_auto_d, _phi_half_count, \
+            VTRACE_BASE_REGS
+        d_small = _vtrace_auto_d(10_000, 1_000_000, regs_cap=40)
+        assert _phi_half_count(d_small) + VTRACE_BASE_REGS <= 40
+        d_big = _vtrace_auto_d(10_000, 1_000_000, regs_cap=400)
+        assert d_big >= d_small
+
+    def test_vtrace_resume(self, tmp_path, monkeypatch):
+        """Interrupt after a few giants via a poisoned prime iterator, then
+        resume from the compact checkpoint and still find the factor."""
+        from prmers_tpu.modes import pm1 as pm1mod
+        from prmers_tpu.utils import primes as pr
+
+        o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                    backend="numpy", stage2_variant="vtrace",
+                    backup_interval=0.0, save_dir=str(tmp_path))
+        r1 = pm1mod.run_pm1_stage1(o, log=_silent)
+
+        real = pr.segmented_primes
+
+        def poisoned(lo, hi):
+            # re-chunk into small sub-blocks so several giants advance (and
+            # checkpoint, backup_interval=0) before the interrupt fires
+            for block in real(lo, hi):
+                for s in range(0, len(block), 50):
+                    sub = block[s:s + 50]
+                    if int(sub[0]) > 20000:
+                        raise KeyboardInterrupt
+                    yield sub
+
+        monkeypatch.setattr(pm1mod.pr, "segmented_primes", poisoned)
+        try:
+            pm1mod.run_pm1_stage2_vtrace(o, r1._stage1_x, log=_silent)
+            assert False, "poison should have fired"
+        except KeyboardInterrupt:
+            pass
+        monkeypatch.setattr(pm1mod.pr, "segmented_primes", real)
+
+        logs = []
+        r2 = pm1mod.run_pm1_stage2_vtrace(o, r1._stage1_x, log=logs.append)
+        assert any("Resuming" in str(x) for x in logs)
+        assert r2.factor == 50500996776315830904406967
