@@ -70,8 +70,10 @@ def shard_tables(t: ntt.NttTables, mesh: Mesh) -> ntt.NttTables:
     )
 
 
-class ShardedSquareStep:
-    """One PRP squaring step jitted over a device mesh."""
+class ShardedSquareStepGSPMD:
+    """One PRP squaring step jitted over a device mesh — GSPMD
+    auto-partitioned variant (kept for comparison; the explicit shard_map
+    path in parallel/sharded.py is the primary one)."""
 
     def __init__(self, p: int, reg_count: int, mesh: Mesh):
         self.plan = cached_plan(p)
@@ -93,3 +95,7 @@ class ShardedSquareStep:
         self.regs = self._step(self.regs, self.t, jnp.int32(src),
                                jnp.uint64(a))
         return self.regs
+
+
+# primary explicit-collectives implementation
+from .sharded import ShardedSquareStep  # noqa: E402,F401

@@ -1,0 +1,206 @@
+"""Explicit shard_map multi-chip squaring: limb-sharded four-step NTT.
+
+The reference is single-GPU (SURVEY.md §2.6); this layer is TPU-first and
+new. Design (per PRP squaring, mesh axis "limb" of size s):
+
+  at rest:  digits (n,) sharded contiguously -> local rows block (dR, C)
+  P1  local weights mul                         [R-sharded (dR, C)]
+  A2A row->col reshard                          [(R, dC) C-sharded]
+  P2  col_fwd over R (full R local)             + mid twiddle
+  A2A transpose                                 [(C, dR) R-sharded]
+  P3  col_fwd over C + dyadic square + col_inv over C
+  T   local transpose                           [(dR, C) R-sharded]
+  P4  mid-inverse twiddle
+  A2A row->col reshard                          [(R, dC)]
+  P5  col_inv over R + inverse weights
+  A2A back to rest layout                       [(dR, C) -> (n/s,)]
+  P6  carry: local split/propagate, boundary carry rides a ppermute ring
+      whose wrap (last shard -> shard 0) IS the mod-M_p fold; the settle
+      loop's condition is made mesh-uniform with a psum.
+
+Four all-to-alls per squaring (two are the four-step's global transposes,
+two move between the carry's digit-contiguous rest layout and the
+transform's column sharding). Collectives ride ICI on a real mesh; the
+test suite drives the same code on an 8-virtual-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from .. import jaxconf  # noqa: F401
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.field import FieldOps
+from ..core.plan import cached_plan
+from ..ops import ntt
+from ..ops import carry as carry_ops
+
+LIMB = "limb"
+F = FieldOps(jnp)
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(devices, (LIMB,))
+
+
+def _a2a(x, split_axis: int, concat_axis: int):
+    return lax.all_to_all(x, LIMB, split_axis, concat_axis, tiled=True)
+
+
+def _mid_full(t: ntt.NttTables, inverse: bool):
+    """Materialized (R, C) mid-twiddle matrix (t1/t2 factored form exists
+    to save memory single-chip; sharded we want clean slicing)."""
+    t1 = t.mid_t1_inv if inverse else t.mid_t1
+    t2 = t.mid_t2_inv if inverse else t.mid_t2
+    jhi = t.C // t.mid_tile
+    m = F.mul(t1[:, :, None], t2[:, None, :])
+    return m.reshape(t.R, t.C)
+
+
+def _carry_local(y, wid, msk, a, s: int):
+    """Digit-contiguous local carry with a ppermute boundary ring."""
+    c, d = carry_ops.split(F, y, wid, msk)
+    is_one = isinstance(a, int) and a == 1
+    if not is_one:
+        a64 = jnp.uint64(a) if isinstance(a, int) else a
+        t = d * a64
+        c = c * a64 + (t >> wid)
+        d = t & msk
+    perm = [(i, (i + 1) % s) for i in range(s)]
+
+    def inject(c, d):
+        recv = lax.ppermute(c[-1:], LIMB, perm)  # wrap = mod-M_p fold
+        c = jnp.concatenate([recv, c[:-1]])
+        t = d + c
+        return t >> wid, t & msk
+
+    def cond(state):
+        c, _ = state
+        local = (c != jnp.uint64(0)).any().astype(jnp.int32)
+        return lax.psum(local, LIMB) > 0
+
+    c, d = inject(c, d)
+    c, d = lax.while_loop(cond, lambda st: inject(*st), (c, d))
+    return d
+
+
+def _square_local(xd, w_rc, iw_rc, mid_f, mid_i, wid, msk,
+                  stages_r, stages_c, a, R: int, C: int, s: int):
+    """One squaring on the local shard (runs inside shard_map)."""
+    dR = R // s
+    x = xd.reshape(dR, C)
+    x = F.mul(x, w_rc)                 # weights          [R-sharded]
+    x = _a2a(x, 1, 0)                  # -> (R, dC)       [C-sharded]
+    x = ntt.col_fwd(F, x, stages_r)
+    x = F.mul(x, mid_f)                # mid twiddle
+    x = _a2a(x.T, 1, 0)                # -> (C, dR)       [R-sharded]
+    x = ntt.col_fwd(F, x, stages_c)
+    x = F.sqr(x)                       # the dyadic square
+    x = ntt.col_inv(F, x, stages_c)
+    x = x.T                            # (dR, C) rows block [R-sharded]
+    x = F.mul(x, mid_i)
+    x = _a2a(x, 1, 0)                  # -> (R, dC)       [C-sharded]
+    x = ntt.col_inv(F, x, stages_r)
+    x = F.mul(x, iw_rc)                # inverse weights (x 1/n)
+    x = _a2a(x, 0, 1)                  # -> (dR, C) rest layout
+    y = x.reshape(dR * C)
+    return _carry_local(y, wid, msk, a, s)
+
+
+class ShardedEngineTables:
+    """Per-mesh table placement for the sharded step."""
+
+    def __init__(self, p: int, mesh: Mesh):
+        self.plan = cached_plan(p)
+        self.mesh = mesh
+        with jax.default_device(mesh.devices.flat[0]):
+            t = jax.jit(lambda: ntt.NttTables.from_plan(self.plan, jnp))()
+            mid_f = jax.jit(lambda: _mid_full(t, False))()
+            mid_i = jax.jit(lambda: _mid_full(t, True))()
+        R, C = t.R, t.C
+        s = mesh.size
+        if R % s or C % s:
+            raise ValueError(f"mesh size {s} must divide R={R} and C={C}")
+        self.t = t
+        self.R, self.C, self.s = R, C, s
+
+        def put(a, spec):
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        rc_r = P(LIMB, None)   # (R, C) sharded by rows
+        rc_c = P(None, LIMB)   # (R, C) sharded by cols
+        self.w_rc = put(t.weights.reshape(R, C), rc_r)
+        self.iw_rc = put(t.inv_weights_n.reshape(R, C), rc_c)
+        self.mid_f = put(mid_f, rc_c)
+        self.mid_i = put(mid_i, rc_r)
+        self.wid = put(t.widths, P(LIMB))
+        self.msk = put(t.masks, P(LIMB))
+        rep = P()
+        self.stages_r = jax.tree.map(lambda a: put(a, rep), t.stages_r)
+        self.stages_c = jax.tree.map(lambda a: put(a, rep), t.stages_c)
+
+
+def build_sharded_square(tb: ShardedEngineTables):
+    """jitted (regs, src, a) -> regs with regs (reg_count, n) P(None, limb)."""
+    mesh, R, C, s = tb.mesh, tb.R, tb.C, tb.s
+    vec = P(LIMB)
+
+    body = functools.partial(_square_local, R=R, C=C, s=s)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(vec, P(LIMB, None), P(None, LIMB), P(None, LIMB),
+                  P(LIMB, None), vec, vec, P(), P(), P()),
+        out_specs=vec,
+        check_rep=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(regs, src, a):
+        x = fn(regs[src], tb.w_rc, tb.iw_rc, tb.mid_f, tb.mid_i,
+               tb.wid, tb.msk, tb.stages_r, tb.stages_c, a)
+        return regs.at[src].set(x)
+
+    return step
+
+
+def psum_res64(tb: ShardedEngineTables, digits):
+    """Low-64-bit residue via a mesh reduction (the Gerbicz/res64 export
+    pattern: each shard folds its digits' contribution, psum combines)."""
+    plan = tb.plan
+    import numpy as np
+    q = np.concatenate([[0], np.cumsum(plan.widths.astype(np.int64))])[:plan.n]
+    qv = jnp.asarray(q % 64)            # shift within the low word
+    inplay = jnp.asarray(q < 64)
+
+    def local(d, qs, ip):
+        contrib = jnp.where(ip, d << qs.astype(jnp.uint64), jnp.uint64(0))
+        return lax.psum(contrib.sum(), LIMB)
+
+    fn = shard_map(local, mesh=tb.mesh, in_specs=(P(LIMB),) * 3,
+                   out_specs=P(), check_rep=False)
+    return fn(digits, qv, inplay)
+
+
+class ShardedSquareStep:
+    """One PRP squaring step jitted over a device mesh (explicit shard_map
+    collectives; supersedes the GSPMD auto-partitioned path)."""
+
+    def __init__(self, p: int, reg_count: int, mesh: Mesh):
+        self.tables = ShardedEngineTables(p, mesh)
+        self.plan = self.tables.plan
+        self.mesh = mesh
+        rs = NamedSharding(mesh, P(None, LIMB))
+        self.regs = jax.device_put(
+            jnp.zeros((reg_count, self.plan.n), dtype=jnp.uint64), rs)
+        self._step = build_sharded_square(self.tables)
+
+    def step(self, src: int = 0, a: int = 1):
+        self.regs = self._step(self.regs, jnp.int32(src), jnp.uint64(a))
+        return self.regs

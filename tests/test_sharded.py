@@ -1,0 +1,64 @@
+"""Explicit shard_map multi-chip squaring on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from prmers_tpu.core.plan import cached_plan
+from prmers_tpu.parallel import sharded
+from prmers_tpu.utils import digits as dg
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return sharded.make_mesh(8)
+
+
+class TestShardedSquare:
+    P_EXP = 9941
+
+    def test_square_chain_matches_bigint(self, mesh8):
+        p = self.P_EXP
+        plan = cached_plan(p)
+        mp = (1 << p) - 1
+        step = sharded.ShardedSquareStep(p, 2, mesh8)
+        host = np.zeros((2, plan.n), dtype=np.uint64)
+        host[0] = dg.int_to_digits(3, plan.widths)
+        step.regs = jax.device_put(
+            jnp.asarray(host), NamedSharding(mesh8, P(None, "limb")))
+        want = 3
+        for a in (1, 3, 1, 3, 3):
+            step.step(0, a)
+            want = want * want * a % mp
+        got = dg.digits_to_int(np.asarray(step.regs[0]), plan.widths)
+        assert got == want
+
+    def test_wraparound_carry(self, mesh8):
+        """A state near M_p forces the last-shard carry to wrap to shard 0."""
+        p = self.P_EXP
+        plan = cached_plan(p)
+        mp = (1 << p) - 1
+        v = mp - 5  # (M_p - 5)^2 mod M_p == 25 — exercises the fold
+        step = sharded.ShardedSquareStep(p, 1, mesh8)
+        host = dg.int_to_digits(v, plan.widths)[None, :]
+        step.regs = jax.device_put(
+            jnp.asarray(host), NamedSharding(mesh8, P(None, "limb")))
+        step.step(0, 1)
+        got = dg.digits_to_int(np.asarray(step.regs[0]), plan.widths)
+        assert got % mp == 25
+
+    def test_psum_res64(self, mesh8):
+        p = self.P_EXP
+        plan = cached_plan(p)
+        tb = sharded.ShardedEngineTables(p, mesh8)
+        rng = np.random.default_rng(0)
+        v = int.from_bytes(rng.bytes(p // 8), "little") % ((1 << p) - 1)
+        host = dg.int_to_digits(v, plan.widths)
+        d = jax.device_put(jnp.asarray(host), NamedSharding(mesh8, P("limb")))
+        r = int(sharded.psum_res64(tb, d))
+        assert r == v & 0xFFFFFFFFFFFFFFFF
