@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="P-1 stage 2 algorithm")
     ap.add_argument("-s2regs", dest="stage2_regs_cap", type=int, default=0,
                     help="V-trace register budget (memory cap)")
+    ap.add_argument("-resume_save", default="",
+                    help="write a GMP-ECM P-1 resume file after stage 1")
+    ap.add_argument("-p95_save", default="",
+                    help="write a Prime95 stage-1 save after stage 1")
+    ap.add_argument("-resume_load", default="",
+                    help="import a stage-1 X from a GMP-ECM or Prime95 file")
     ap.add_argument("-ecm_check_interval", type=int, default=0,
                     help="Edwards invariant-check cadence in group ops")
     mode.add_argument("-bench", action="store_true", help="benchmark mode")
@@ -127,6 +133,8 @@ def parse_args(argv: list[str] | None = None) -> Options:
         computer=ns.computer, ecm_check_interval=ns.ecm_check_interval,
         llsafe_block=ns.llsafeb, stage2_variant=ns.stage2_variant,
         stage2_regs_cap=ns.stage2_regs_cap,
+        resume_save=ns.resume_save, p95_save=ns.p95_save,
+        resume_load=ns.resume_load,
         res64_display_interval=ns.res64_display_interval,
         profile=ns.profile, verbose=not ns.quiet, gui=ns.gui,
         gui_port=ns.gui_port, bench_iters=ns.bench_iters,

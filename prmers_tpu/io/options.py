@@ -55,6 +55,9 @@ class Options:
     llsafe_block: int = 0        # llsafe2 replay block size (-llsafeb)
     stage2_variant: str = "vtrace"  # vtrace (default) | classic
     stage2_regs_cap: int = 0     # V-trace register budget (0 = default)
+    resume_save: str = ""        # export GMP-ECM P-1 resume line after S1
+    p95_save: str = ""           # export Prime95 stage-1 save after S1
+    resume_load: str = ""        # import a stage-1 X (either format)
     invariant_error_iter: int = 0
 
     # cofactor PRP

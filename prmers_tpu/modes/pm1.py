@@ -374,13 +374,63 @@ def _exp_by_reg_mult(eng: Engine, dst: int, base_reg: int, e: int, tmp: int):
             eng.mul(dst, tmp)
 
 
+def _load_stage1_x(opts: Options, log) -> tuple[int, int]:
+    """(b1_eff, x) from a GMP-ECM resume line or Prime95 stage-1 save,
+    extending B1 on the engine when opts.b1 exceeds the file's bound
+    (reference: B1-extension delta path, RunPM1.cpp .save/.p95 import)."""
+    from ..io import interop
+    path = opts.resume_load
+    with open(path, "rb") as f:
+        head = f.read(6)
+    if head.startswith(b"METHOD"):
+        b1_old, p_in, x = interop.read_ecm_resume(path)
+    else:
+        p_in, b1_old, x = interop.read_prime95_s1(path)
+    if p_in != opts.exponent:
+        raise ValueError(f"resume file is for M{p_in}, not M{opts.exponent}")
+    log(f"Imported stage-1 state from {path} (B1={b1_old})")
+    if opts.b1 > b1_old:
+        delta = pr.build_e_delta(b1_old, opts.b1)
+        log(f"Extending B1 {b1_old} -> {opts.b1} "
+            f"({delta.bit_length()} exponent bits)")
+        eng = create_engine(opts.exponent, 3, backend=opts.backend)
+        eng.set_int(0, x)
+        _exp_by_reg_mult(eng, 1, 0, delta, 2)
+        x = eng.get_int(1)
+        return opts.b1, x
+    return b1_old, x
+
+
 def run_pm1(opts: Options, log=print) -> Pm1Result:
     """Full P-1: stage 1, then stage 2 when B2 > B1.
 
     Stage 2 runs even when stage 1 already found a factor (reference
     behavior: each stage reports its own factor, unit_tests.sh:54-71); a
     stage-2 gcd that merely repeats the stage-1 factor is reduced."""
-    r1 = run_pm1_stage1(opts, log=log)
+    if opts.resume_load:
+        mp = res.mersenne(opts.exponent)
+        b1_eff, x = _load_stage1_x(opts, log)
+        g = gmp.gcd((x - 1) % mp, mp)
+        factor = g if 1 < g < mp else 0
+        if factor:
+            log(f"P-1 stage 1 found factor {factor}")
+        r1 = Pm1Result(p=opts.exponent, b1=b1_eff, b2=opts.b2,
+                       factor=factor, stage=1 if factor else 0,
+                       res64=res.res64_hex(x % mp))
+        r1._stage1_x = x % mp
+        opts = dataclasses.replace(opts, b1=b1_eff)
+    else:
+        r1 = run_pm1_stage1(opts, log=log)
+    if opts.resume_save:
+        from ..io import interop
+        interop.write_ecm_resume(opts.resume_save, opts.b1, opts.exponent,
+                                 r1._stage1_x)
+        log(f"GMP-ECM resume file written to: {opts.resume_save}")
+    if opts.p95_save:
+        from ..io import interop
+        interop.write_prime95_s1(opts.p95_save, opts.exponent, opts.b1,
+                                 r1._stage1_x)
+        log(f"Prime95 stage-1 save written to: {opts.p95_save}")
     if opts.b2 <= opts.b1:
         return r1
     if getattr(opts, "stage2_variant", "vtrace") == "classic":

@@ -103,3 +103,25 @@ def build_e_chunks(b1: int, max_bits: int, start_prime: int = 2
             last = q
     if buf:
         yield product_tree(buf), last + 1
+
+
+def build_e_delta(b1_old: int, b1_new: int) -> int:
+    """Exponent extending a stage-1 result from b1_old to b1_new:
+    prod q^(floor(log_q b1_new) - floor(log_q b1_old)) over primes
+    q <= b1_new (the reference's B1-extension delta path)."""
+    assert b1_new > b1_old
+    parts: list[int] = []
+    for block in segmented_primes(2, b1_new + 1):
+        for q in block.tolist():
+            pw_new = q
+            while pw_new * q <= b1_new:
+                pw_new *= q
+            if q > b1_old:
+                parts.append(pw_new)
+                continue
+            pw_old = q
+            while pw_old * q <= b1_old:
+                pw_old *= q
+            if pw_new > pw_old:
+                parts.append(pw_new // pw_old)
+    return product_tree(parts)
