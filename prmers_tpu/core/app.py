@@ -129,6 +129,14 @@ def run_once(opts: Options, log=print) -> tuple[object, str]:
         from ..modes.bench import run_bench
         r = run_bench(opts, log=log)
         return r, ""
+    if opts.mode == "memtest":
+        from ..modes.memtest import run_memtest
+        r = run_memtest(opts, log=log)
+        return r, ""
+    if opts.mode == "tune":
+        from .tune import run_tune
+        r = run_tune(opts, log=log)
+        return r, ""
     raise ValueError(f"unknown mode {opts.mode!r}")
 
 

@@ -1,0 +1,87 @@
+"""Autotuning cache: measured iteration rates per transform size.
+
+The reference persists `tune.txt` / `ztune.txt` throughput+capacity tables
+that plan selection consults (reference: third_party/aevum/tune.cpp,
+TuneEntry.cpp, tune.h:18-30). TPU analog: `-tune` measures PRP iter/s per
+transform size on the attached device and persists prmers_tune.json; the
+engine factory and benchmark report consult it. ROE-based capacity tuning
+(ztune) does not apply — the integer NTT is exact; capacity is the static
+convolution bound from the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+TUNE_FILE = "prmers_tune.json"
+
+# the reference's benchmark exponent ladder, truncated to sizes a single
+# chip can set up quickly (reference: src/core/App.cpp:670-674)
+TUNE_EXPONENTS = (127, 9941, 216091, 756839, 3021377, 25964951,
+                  57885161, 136279841)
+
+
+def tune_path(save_dir: str = ".") -> str:
+    return os.path.join(save_dir, TUNE_FILE)
+
+
+def load(save_dir: str = ".") -> dict:
+    try:
+        with open(tune_path(save_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def save(data: dict, save_dir: str = ".") -> None:
+    with open(tune_path(save_dir), "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+
+
+def record(n: int, backend: str, ips: float, save_dir: str = ".") -> None:
+    data = load(save_dir)
+    key = str(n)
+    ent = data.setdefault(key, {})
+    prev = ent.get(backend, 0.0)
+    ent[backend] = max(float(ips), prev)   # keep the best observed rate
+    save(data, save_dir)
+
+
+def lookup(n: int, backend: str, save_dir: str = ".") -> float:
+    return float(load(save_dir).get(str(n), {}).get(backend, 0.0))
+
+
+def measure_ips(eng, iters: int = 64, warm: int = 8) -> float:
+    """Iterations/second of the PRP squaring chain on an engine."""
+    eng.set(0, 3)
+    eng.square_mul_seq(0, [1] * warm)
+    eng.sync()
+    t0 = time.perf_counter()
+    eng.square_mul_seq(0, [1] * iters)
+    eng.sync()
+    return iters / (time.perf_counter() - t0)
+
+
+def run_tune(opts, log=print):
+    """Measure every ladder size on the attached device and persist."""
+    from ..engine.factory import create_engine
+
+    iters = opts.bench_iters or 64
+    results = {}
+    for p in TUNE_EXPONENTS:
+        if opts.exponent and p > opts.exponent:
+            break
+        try:
+            eng = create_engine(p, 2, backend=opts.backend)
+        except Exception as e:  # noqa: BLE001 — skip sizes the device can't fit
+            log(f"tune: skip p={p}: {e}")
+            continue
+        ips = measure_ips(eng, iters=iters)
+        n = eng.get_size()
+        record(n, type(eng).__name__, ips, opts.save_dir)
+        results[n] = ips
+        log(f"tune: p={p} n={n} {ips:.2f} iter/s")
+        del eng
+    return results

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-ecm_check_interval", type=int, default=0,
                     help="Edwards invariant-check cadence in group ops")
     mode.add_argument("-bench", action="store_true", help="benchmark mode")
+    mode.add_argument("-memtest", action="store_true",
+                      help="device determinism / memory test")
+    mode.add_argument("-tune", action="store_true",
+                      help="measure iter/s per transform size and persist")
     ap.add_argument("-wagstaff", action="store_true",
                     help="Wagstaff PRP (exponent = 2q)")
 
@@ -116,7 +120,8 @@ def parse_args(argv: list[str] | None = None) -> Options:
     mode = ("ll" if ns.ll else "llsafe2" if ns.llsafe2 else
             "llsafe" if ns.llsafe else
             "pm1" if ns.pm1 else "ecm" if ns.ecm else
-            "bench" if ns.bench else "prp")
+            "bench" if ns.bench else "memtest" if ns.memtest else
+            "tune" if ns.tune else "prp")
     factors = tuple(f.strip() for f in ns.factors.split(",") if f.strip())
     return Options(
         exponent=ns.exponent, mode=mode, wagstaff=ns.wagstaff,
