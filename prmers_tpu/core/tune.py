@@ -74,7 +74,8 @@ def run_tune(opts, log=print):
         if opts.exponent and p > opts.exponent:
             break
         try:
-            eng = create_engine(p, 2, backend=opts.backend)
+            eng = create_engine(p, 2, backend=opts.backend,
+                               arith=getattr(opts, "arith", "auto"))
         except Exception as e:  # noqa: BLE001 — skip sizes the device can't fit
             log(f"tune: skip p={p}: {e}")
             continue

@@ -1,0 +1,257 @@
+"""Engine over the paired GF(M31^2) x GF(M61^2) NTT (the "fft3161" path).
+
+Implements the same Engine register API as the Goldilocks engines so every
+mode runs unchanged on the second arithmetic (reference: the Aevum backend
+behind the same engine::Reg contract, src/aevum/EngineAevum.cpp). Works in
+both array namespaces: numpy (host oracle) and jax.numpy (XLA device path;
+jitted step functions, tables passed as pytree arguments so the remote
+compiler never sees them as constants).
+
+Spectral multiplicands are four (n,) planes; they live in a side store
+keyed by register index (digit slab rows for those registers are unused —
+same checkpoint caveat as the Pallas engine's spectral flags).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..core.field2 import Fq2Ops, M31, M61
+from ..ops import ntt2
+from ..utils import digits as dg
+from .api import Engine, Reg
+
+_OPS31_NP = Fq2Ops(np, M31, 31)
+_OPS61_NP = Fq2Ops(np, M61, 61)
+
+
+def _register_pytrees():
+    try:
+        from jax import tree_util
+    except ImportError:
+        return
+
+    # radix ints and dmat keys are STATIC (python control flow depends on
+    # them); only the twiddle/weight arrays are traced leaves
+    def pt_flatten(t):
+        radixes = tuple(r for (r, _, _) in t.stages)
+        tws = [tw for (_, tw, _) in t.stages]
+        twis = [twi for (_, _, twi) in t.stages]
+        dkeys = tuple(sorted(t.dmat))
+        dvals = [t.dmat[k] for k in dkeys]
+        kids = (tws, twis, dvals, t.weights, t.unweights)
+        return kids, (t.q, t.s, radixes, dkeys)
+
+    def pt_unflatten(aux, kids):
+        q, s, radixes, dkeys = aux
+        tws, twis, dvals, w, uw = kids
+        stages = [(r, tw, twi) for r, tw, twi in zip(radixes, tws, twis)]
+        return ntt2.PlaneTables(q=q, s=s, stages=stages,
+                                dmat=dict(zip(dkeys, dvals)),
+                                weights=w, unweights=uw)
+
+    def t3_flatten(t):
+        kids = (t.widths, t.masks, t.p31, t.p61)
+        return kids, (t.p, t.n, t.crt_minv)
+
+    def t3_unflatten(aux, kids):
+        return ntt2.Tables3161(p=aux[0], n=aux[1], widths=kids[0],
+                               masks=kids[1], p31=kids[2], p61=kids[3],
+                               crt_minv=aux[2])
+
+    try:
+        tree_util.register_pytree_node(ntt2.PlaneTables, pt_flatten,
+                                       pt_unflatten)
+        tree_util.register_pytree_node(ntt2.Tables3161, t3_flatten,
+                                       t3_unflatten)
+    except ValueError:
+        pass  # already registered
+
+
+_register_pytrees()
+
+
+class Engine3161(Engine):
+    """fft3161 engine; xp = numpy (oracle) or jax.numpy (device)."""
+
+    def __init__(self, p: int, reg_count: int, xp=np, n: int | None = None):
+        super().__init__(p, reg_count)
+        self.xp = xp
+        self.is_np = xp is np
+        # tables are always built host-side (scalar python loops) and
+        # shipped with device_put — building under jit would trace every
+        # scalar field op into the graph
+        t_np = ntt2.build_tables(p, n, np)
+        if self.is_np:
+            self.t = t_np
+            self.ops31, self.ops61 = _OPS31_NP, _OPS61_NP
+        else:
+            import jax
+            self.t = jax.tree_util.tree_map(jax.device_put, t_np)
+            jax.block_until_ready(jax.tree_util.tree_leaves(self.t))
+            self.ops31 = Fq2Ops(xp, M31, 31)
+            self.ops61 = Fq2Ops(xp, M61, 61)
+        self.n = int(self.t.n)
+        self.regs = xp.zeros((reg_count, self.n), dtype=xp.uint64)
+        self._spec: dict[int, tuple] = {}
+        self._w32 = np.asarray(self.t.widths).astype(np.uint32)
+        self._sub_cache: dict[int, np.ndarray] = {}
+        if not self.is_np:
+            self._jit_square = _jit_square
+            self._jit_mul = _jit_mul
+            self._jit_fwd = _jit_fwd
+
+    # -- helpers ----------------------------------------------------------
+    def get_size(self) -> int:
+        return self.n
+
+    @property
+    def widths(self) -> np.ndarray:
+        return self._w32
+
+    def _row(self, r: Reg):
+        return self.regs[r]
+
+    def _setrow(self, r: Reg, v):
+        if self.is_np:
+            self.regs[r] = v
+        else:
+            self.regs = self.regs.at[r].set(v)
+
+    def _square_np(self, d, a):
+        s31, s61 = ntt2.forward_3161(self.ops31, self.ops61, self.t, d)
+        lo, hi = ntt2.inverse_3161(self.ops31, self.ops61, self.t,
+                                   self.ops31.sqr(s31), self.ops61.sqr(s61))
+        return ntt2.carry_3161(self.xp, lo, hi, self.t.widths, self.t.masks,
+                               a)
+
+    # -- ops --------------------------------------------------------------
+    def set(self, dst: Reg, a: int) -> None:
+        self.set_int(dst, a)
+
+    def copy(self, dst: Reg, src: Reg) -> None:
+        self._setrow(dst, self._row(src))
+        if src in self._spec:
+            self._spec[dst] = self._spec[src]
+        else:
+            self._spec.pop(dst, None)
+
+    def square_mul(self, src: Reg, a: int = 1) -> None:
+        if self.is_np:
+            self._setrow(src, self._square_np(self._row(src), a))
+        else:
+            xp = self.xp
+            self.regs = self._jit_square(self.regs, self.t, xp.int32(src),
+                                         xp.uint64(a))
+        self._spec.pop(src, None)
+
+    def set_multiplicand(self, dst: Reg, src: Reg) -> None:
+        if self.is_np:
+            s31, s61 = ntt2.forward_3161(self.ops31, self.ops61, self.t,
+                                         self._row(src))
+        else:
+            s31, s61 = self._jit_fwd(self.regs, self.t,
+                                     self.xp.int32(src))
+        self._spec[dst] = (s31, s61)
+
+    def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
+        m31, m61 = self._spec[src]
+        if self.is_np:
+            s31, s61 = ntt2.forward_3161(self.ops31, self.ops61, self.t,
+                                         self._row(dst))
+            lo, hi = ntt2.inverse_3161(
+                self.ops31, self.ops61, self.t,
+                self.ops31.mul(s31, m31), self.ops61.mul(s61, m61))
+            self._setrow(dst, ntt2.carry_3161(
+                self.xp, lo, hi, self.t.widths, self.t.masks, a))
+        else:
+            xp = self.xp
+            self.regs = self._jit_mul(self.regs, self.t, xp.int32(dst),
+                                      m31, m61, xp.uint64(a))
+        self._spec.pop(dst, None)
+
+    def _mp_minus(self, a: int) -> np.ndarray:
+        if a not in self._sub_cache:
+            mp = (1 << self.p) - 1
+            self._sub_cache[a] = dg.int_to_digits((mp - a) % mp, self._w32)
+        return self._sub_cache[a]
+
+    def _carry_digits(self, y, a=1):
+        z = self.xp.zeros_like(y)
+        return ntt2.carry_3161(self.xp, y, z, self.t.widths, self.t.masks, a)
+
+    def sub(self, src: Reg, a: int) -> None:
+        d = self._row(src) + self.xp.asarray(self._mp_minus(a))
+        self._setrow(src, self._carry_digits(d))
+
+    def add_small(self, src: Reg, a: int) -> None:
+        delta = self.xp.asarray(dg.int_to_digits(a, self._w32))
+        self._setrow(src, self._carry_digits(self._row(src) + delta))
+
+    def add(self, dst: Reg, src: Reg) -> None:
+        self._setrow(dst, self._carry_digits(self._row(dst)
+                                             + self._row(src)))
+
+    def sub_reg(self, dst: Reg, src: Reg) -> None:
+        comp = self.t.masks - self._row(src)
+        self._setrow(dst, self._carry_digits(self._row(dst) + comp))
+
+    # -- host exchange -----------------------------------------------------
+    def get_digits(self, src: Reg) -> np.ndarray:
+        return np.asarray(self._row(src)).copy()
+
+    def set_digits(self, dst: Reg, digits: np.ndarray) -> None:
+        self._setrow(dst, self.xp.asarray(digits.astype(np.uint64)))
+        self._spec.pop(dst, None)
+
+    def get_raw(self, src: Reg) -> np.ndarray:
+        return np.asarray(self._row(src)).copy()
+
+    def set_raw(self, dst: Reg, data: np.ndarray) -> None:
+        self._setrow(dst, self.xp.asarray(
+            np.asarray(data, dtype=np.uint64)))
+
+    def sync(self) -> None:
+        if not self.is_np:
+            import jax
+            jax.block_until_ready(self.regs)
+
+
+def _make_jits():
+    from .. import jaxconf  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    ops31 = Fq2Ops(jnp, M31, 31)
+    ops61 = Fq2Ops(jnp, M61, 61)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def jsquare(regs, t, src, a):
+        d = regs[src]
+        s31, s61 = ntt2.forward_3161(ops31, ops61, t, d)
+        lo, hi = ntt2.inverse_3161(ops31, ops61, t, ops31.sqr(s31),
+                                   ops61.sqr(s61))
+        out = ntt2.carry_3161(jnp, lo, hi, t.widths, t.masks, a)
+        return regs.at[src].set(out)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def jmul(regs, t, dst, m31, m61, a):
+        s31, s61 = ntt2.forward_3161(ops31, ops61, t, regs[dst])
+        lo, hi = ntt2.inverse_3161(ops31, ops61, t, ops31.mul(s31, m31),
+                                   ops61.mul(s61, m61))
+        out = ntt2.carry_3161(jnp, lo, hi, t.widths, t.masks, a)
+        return regs.at[dst].set(out)
+
+    @jax.jit
+    def jfwd(regs, t, src):
+        return ntt2.forward_3161(ops31, ops61, t, regs[src])
+
+    return jsquare, jmul, jfwd
+
+
+try:
+    _jit_square, _jit_mul, _jit_fwd = _make_jits()
+except Exception:  # pragma: no cover — jax unavailable
+    _jit_square = _jit_mul = _jit_fwd = None

@@ -49,8 +49,21 @@ def configured_backend() -> str:
 
 
 def create_engine(p: int, reg_count: int, backend: str | None = None,
-                  device=None) -> Engine:
+                  device=None, arith: str | None = None,
+                  workload: str = "generic") -> Engine:
     b = backend or os.environ.get("PRMERS_BACKEND") or _BACKEND
+    a = arith or os.environ.get("PRMERS_ARITH") or "auto"
+    if a == "auto":
+        from .policy import decide_arith
+        a = decide_arith(p, workload).arith
+    if a == "fft3161":
+        from .engine3161 import Engine3161
+        if b == "numpy":
+            import numpy as _np
+            return Engine3161(p, reg_count, xp=_np)
+        from .. import jaxconf  # noqa: F401
+        import jax.numpy as jnp
+        return Engine3161(p, reg_count, xp=jnp)
     if b == "auto":
         b = "pallas" if _pallas_eligible(p) else "jax"
     if b == "pallas":

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     ap.add_argument("-backend", default="auto",
                     choices=["auto", "pallas", "jax", "numpy"])
+    ap.add_argument("-arith", default="auto",
+                    choices=["auto", "gl64", "fft3161"],
+                    help="arithmetic path: Goldilocks (gl64) or the "
+                         "paired GF(M31^2)xGF(M61^2) NTT (fft3161)")
     ap.add_argument("-fft", dest="fft_spec", default="",
                     help="forced transform size (e.g. 8M)")
 
@@ -125,7 +129,7 @@ def parse_args(argv: list[str] | None = None) -> Options:
     factors = tuple(f.strip() for f in ns.factors.split(",") if f.strip())
     return Options(
         exponent=ns.exponent, mode=mode, wagstaff=ns.wagstaff,
-        backend=ns.backend, fft_spec=ns.fft_spec,
+        backend=ns.backend, fft_spec=ns.fft_spec, arith=ns.arith,
         gerbiczli=not ns.nogerbiczli, checklevel=ns.checklevel,
         erroriter=ns.erroriter, backup_interval=ns.backup_interval,
         save_dir=ns.save_dir, proof=not ns.noproof,

@@ -58,6 +58,7 @@ class Options:
     resume_save: str = ""        # export GMP-ECM P-1 resume line after S1
     p95_save: str = ""           # export Prime95 stage-1 save after S1
     resume_load: str = ""        # import a stage-1 X (either format)
+    arith: str = "auto"          # auto | gl64 | fft3161 (second NTT path)
     invariant_error_iter: int = 0
 
     # cofactor PRP

@@ -357,7 +357,8 @@ def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
     D = _stage2_D(opts)
     n_babies = len([j for j in range(1, D // 2 + 1) if math.gcd(j, D) == 1])
     regs = ED_BASE_REGS + 2 * n_babies + 2
-    eng = create_engine(p, regs, backend=opts.backend)
+    eng = create_engine(p, regs, backend=opts.backend,
+                        arith=opts.arith, workload="ecm")
     seed0 = opts.curve_seed or 0x5EED
     check_every = getattr(opts, "ecm_check_interval", 0) or 0
     result = EcmResult(p=p, b1=opts.b1, b2=opts.b2, curves=K)

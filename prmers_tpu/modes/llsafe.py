@@ -97,7 +97,8 @@ def run_llsafe(opts: Options, eng: Engine | None = None,
         return LlSafeResult(p=p, is_prime=qc, quick=True)
 
     if eng is None:
-        eng = create_engine(p, LLSAFE_REGS, backend=opts.backend)
+        eng = create_engine(p, LLSAFE_REGS, backend=opts.backend,
+                            arith=opts.arith, workload="ll")
     n = eng.get_size()
     mp = res.mersenne(p)
     total = p - 2
@@ -223,7 +224,8 @@ def run_llsafe2(opts: Options, eng: Engine | None = None,
         return LlSafeResult(p=p, is_prime=qc, quick=True)
 
     if eng is None:
-        eng = create_engine(p, LLSAFE2_REGS, backend=opts.backend)
+        eng = create_engine(p, LLSAFE2_REGS, backend=opts.backend,
+                            arith=opts.arith, workload="ll")
     n = eng.get_size()
     mp = res.mersenne(p)
     total = p - 2

@@ -35,7 +35,7 @@ def run_memtest(opts: Options, log=print) -> MemtestResult:
     p = opts.exponent or 756839
     passes = max(opts.bench_iters or 4, 1)
     chain = 64
-    eng = create_engine(p, 2, backend=opts.backend)
+    eng = create_engine(p, 2, backend=opts.backend, arith=opts.arith)
     n = eng.get_size()
     rng = np.random.default_rng(0xC0FFEE)
     mp = (1 << p) - 1

@@ -210,7 +210,8 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
     assert b1 >= 2
     mp = res.mersenne(p)
     if eng is None:
-        eng = create_engine(p, S1_REGS, backend=opts.backend)
+        eng = create_engine(p, S1_REGS, backend=opts.backend,
+                            arith=opts.arith, workload="pm1_s1")
     t0 = time.monotonic()
     max_bits = opts.max_e_bits or (1 << 22)
     mode_tag = ck.MODE_TAGS["pm1"]
@@ -306,7 +307,8 @@ def run_pm1_stage2(opts: Options, x1: int, eng: Engine | None = None,
     RH, RACC, RTMP, RG, RHD = range(5)
     NB = len(baby_js)
     if eng is None:
-        eng = create_engine(p, 5 + NB, backend=opts.backend)
+        eng = create_engine(p, 5 + NB, backend=opts.backend,
+                            arith=opts.arith, workload="pm1")
     BABY0 = 5
 
     eng.set_int(RH, x1)
@@ -393,7 +395,8 @@ def _load_stage1_x(opts: Options, log) -> tuple[int, int]:
         delta = pr.build_e_delta(b1_old, opts.b1)
         log(f"Extending B1 {b1_old} -> {opts.b1} "
             f"({delta.bit_length()} exponent bits)")
-        eng = create_engine(opts.exponent, 3, backend=opts.backend)
+        eng = create_engine(opts.exponent, 3, backend=opts.backend,
+                            arith=opts.arith, workload="pm1_s1")
         eng.set_int(0, x)
         _exp_by_reg_mult(eng, 1, 0, delta, 2)
         x = eng.get_int(1)
@@ -551,7 +554,8 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
     baby_js = [j for j in range(1, D // 2 + 1) if math.gcd(j, D) == 1]
     NB = len(baby_js)
     if eng is None:
-        eng = create_engine(p, VTRACE_BASE_REGS + NB, backend=opts.backend)
+        eng = create_engine(p, VTRACE_BASE_REGS + NB, backend=opts.backend,
+                            arith=opts.arith, workload="pm1")
     BABY0 = VTRACE_BASE_REGS
     log(f"P-1 stage 2 (V-trace): D={D}, {NB} babies, "
         f"giants from m0 to {(b2 + D // 2) // D}")

@@ -37,15 +37,23 @@ def int_to_digits(v: int, widths: np.ndarray) -> np.ndarray:
 
 
 def digits_to_int(digits: np.ndarray, widths: np.ndarray) -> int:
-    """Reassemble the python int value from a normalized digit vector."""
+    """Reassemble the python int value from a normalized digit vector.
+
+    Supports widths up to ~50 bits (the fft3161 CRT path has ~35-bit
+    digits): each digit contributes as two 32-bit halves so no shifted
+    term overflows u64."""
     q = bit_positions(widths)
     idx = (q >> 5).astype(np.int64)          # 32-bit word index
     sh = (q & 31).astype(np.uint64)
-    contrib = digits.astype(np.uint64) << sh  # < 2^64 (width <= 32, sh <= 31)
-    nwords = int((q[-1] + int(widths[-1])) // 32) + 3
+    M32 = np.uint64(0xFFFFFFFF)
+    d = digits.astype(np.uint64)
+    c1 = (d & M32) << sh                     # < 2^63
+    c2 = (d >> np.uint64(32)) << sh          # contribution at bit q+32
+    nwords = int((q[-1] + int(widths[-1])) // 32) + 4
     acc = np.zeros(nwords, dtype=np.uint64)
-    np.add.at(acc, idx, contrib & np.uint64(0xFFFFFFFF))
-    np.add.at(acc, idx + 1, contrib >> np.uint64(32))
+    np.add.at(acc, idx, c1 & M32)
+    np.add.at(acc, idx + 1, (c1 >> np.uint64(32)) + (c2 & M32))
+    np.add.at(acc, idx + 2, c2 >> np.uint64(32))
     # acc[i] are exact sums < 2^64; total = sum acc[i] * 2^(32 i)
     lo = (acc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (acc >> np.uint64(32)).astype(np.uint32)

@@ -1,0 +1,129 @@
+"""Second arithmetic path: GF(M31^2) x GF(M61^2) NTT, engine, policy."""
+
+import numpy as np
+import pytest
+
+from prmers_tpu.core.field2 import (F31, F61, M31, M61, Fq2Ops, crt_pair)
+from prmers_tpu.engine.engine3161 import Engine3161
+from prmers_tpu.engine.policy import decide_arith
+from prmers_tpu.io.options import Options
+from prmers_tpu.ops import ntt2
+from prmers_tpu.utils import digits as dg
+
+
+class TestField2:
+    def test_roots(self):
+        for F in (F31, F61):
+            for n in (8, 1024, 3 * 64, 9 * 32):
+                assert F.pow(F.root_two(n), n) == (2, 0)
+                assert F.order_is(F.root_unity(n), n)
+
+    def test_crt(self):
+        rng = np.random.default_rng(1)
+        for _ in range(50):
+            v = int(rng.integers(0, 1 << 62)) << 29 | int(
+                rng.integers(0, 1 << 29))
+            assert crt_pair(v % M31, v % M61) == v
+
+    def test_vector_mul_edges(self):
+        for q, s, F in ((M31, 31, F31), (M61, 61, F61)):
+            ops = Fq2Ops(np, q, s)
+            edges = np.array([0, 1, 2, q - 1, q - 2, q // 2],
+                             dtype=np.uint64)
+            for a in edges:
+                for b in edges:
+                    got = int(ops.mulq(np.array([a]), np.array([b]))[0])
+                    assert got == int(a) * int(b) % q
+
+
+class TestTransform:
+    @pytest.mark.parametrize("p,n", [(4423, None), (1279, 3 * 64),
+                                     (11213, 9 * 64)])
+    def test_square_chain(self, p, n):
+        t = ntt2.build_tables(p, n, np)
+        ops31 = Fq2Ops(np, M31, 31)
+        ops61 = Fq2Ops(np, M61, 61)
+        wid32 = np.asarray(t.widths).astype(np.uint32)
+        mp = (1 << p) - 1
+        rng = np.random.default_rng(7)
+        v = int.from_bytes(rng.bytes(p // 8), "little") % mp
+        d = dg.int_to_digits(v, wid32)
+        want = v
+        for a in (1, 3, 1):
+            s31, s61 = ntt2.forward_3161(ops31, ops61, t, d)
+            lo, hi = ntt2.inverse_3161(ops31, ops61, t, ops31.sqr(s31),
+                                       ops61.sqr(s61))
+            d = ntt2.carry_3161(np, lo, hi, t.widths, t.masks, a)
+            want = want * want * a % mp
+        assert dg.digits_to_int(d, wid32) % mp == want
+
+    def test_transform_size_model(self):
+        # fft3161 sizes must be ~half the Goldilocks size (the CRT
+        # capacity win) and support the 3*2^k families
+        from prmers_tpu.core.plan import transform_size
+        for p in (9941, 136279841, 57885161):
+            n2 = ntt2.transform_size_3161(p)
+            ngl = transform_size(p)
+            assert n2 <= ngl
+            w = p // n2
+            assert 2 * (w + 1) + np.log2(n2) < 92
+
+
+class TestEngine3161:
+    def test_prp_m1279_numpy(self):
+        from prmers_tpu.modes.prp_ll import run_prp_or_ll
+        o = Options(exponent=1279, mode="prp", backend="numpy",
+                    arith="fft3161", proof=False)
+        r = run_prp_or_ll(o, log=lambda *a: None)
+        assert r.is_prime
+
+    def test_mul_and_gl_ops(self):
+        p = 2203
+        mp = (1 << p) - 1
+        eng = Engine3161(p, 6, xp=np)
+        eng.set_int(0, 123456789)
+        eng.set_multiplicand(1, 0)
+        eng.set_int(2, 987654321)
+        eng.mul(2, 1, 5)
+        assert eng.get_int(2) == 123456789 * 987654321 * 5 % mp
+        eng.set_int(3, 10)
+        eng.set_int(4, 3)
+        eng.addsub(5, 3, 3, 4)  # sum, diff outputs
+        assert eng.get_int(5) == 13
+        assert eng.get_int(3) == 7
+
+    def test_jax_engine_matches_numpy(self):
+        import jax.numpy as jnp
+        p = 1279
+        mp = (1 << p) - 1
+        en = Engine3161(p, 2, xp=np)
+        ej = Engine3161(p, 2, xp=jnp)
+        for e in (en, ej):
+            e.set(0, 3)
+            e.square_mul_seq(0, [1, 3, 1, 3, 1])
+        assert en.get_int(0) == ej.get_int(0)
+
+
+class TestPolicy:
+    def test_ratio_and_defaults(self, tmp_path):
+        d = decide_arith(136279841, "prp", str(tmp_path))
+        assert d.arith == "gl64"           # no tune data -> optimized path
+        assert d.ratio <= 1.0
+        assert d.n_3161 < d.n_gl64
+
+    def test_tune_data_overrides(self, tmp_path):
+        from prmers_tpu.core import tune
+        p = 136279841
+        d0 = decide_arith(p, "prp", str(tmp_path))
+        tune.record(d0.n_gl64, "PallasEngine", 100.0, str(tmp_path))
+        tune.record(d0.n_3161, "Engine3161", 250.0, str(tmp_path))
+        d = decide_arith(p, "prp", str(tmp_path))
+        assert d.arith == "fft3161"
+        tune.record(d0.n_gl64, "PallasEngine", 500.0, str(tmp_path))
+        d = decide_arith(p, "prp", str(tmp_path))
+        assert d.arith == "gl64"
+
+    def test_env_force(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("PRMERS_ARITH", "fft3161")
+        d = decide_arith(9941, "prp", str(tmp_path))
+        assert d.arith == "fft3161"
