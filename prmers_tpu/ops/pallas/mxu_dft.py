@@ -118,7 +118,10 @@ def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None):
     limbs = _balanced_limbs_vec(Ml)      # (9, K, L, 8, L) int8
     W8 = np.ascontiguousarray(
         limbs.transpose(1, 0, 2, 3, 4).reshape(K, N_WPLANES * L, 8 * L))
-    corr = (W8.astype(np.int64).sum(axis=2) * 128).astype(np.int32)
+    # x-side 128-offset compensation, with the plane offset 2^23 baked in
+    # (saves one add per plane in the combine)
+    corr = (W8.astype(np.int64).sum(axis=2) * 128 + OFF_PLANE
+            ).astype(np.int32)
     corr = corr.reshape(K, N_WPLANES * L, 1)
     sub = sum((OFF_PLANE << (8 * m)) for m in range(N_WPLANES)) % P
     if row_scale is None:
@@ -155,39 +158,37 @@ def _combine_2d(g: GL, L, D, sub_lo, sub_hi):
     """(9L, N) int32 diagonal planes -> exact (lo, hi) u32 pair mod P.
 
     Row-slices D (Mosaic supports sublane slicing; it does NOT support the
-    (9L, N) -> (9, L, N) leading split). Accumulates sum_m Du[m] 2^(8m)
-    into 96 bits; shifted-out bits land in the next word.
+    (9L, N) -> (9, L, N) leading split). Half-word accumulation: plane m
+    (offset to non-negative < 2^24 by the corr table) contributes two
+    16-bit-aligned pieces to accumulators h0..h5 at bit positions 16t;
+    every h_t receives at most ~2^17 total so no accumulator or assembly
+    step can overflow u32 mid-sum. ~2x fewer VPU ops than a per-plane
+    carry chain.
     """
     xp = g.xp
+    M16 = xp.uint32(0xFFFF)
 
     def plane(m):
-        # D + OFF_PLANE is non-negative by construction, so the cast is safe
-        return (D[m * L:(m + 1) * L] + OFF_PLANE).astype(xp.uint32)
+        # D (with corr folded in) is non-negative < 2^24: cast is exact
+        return D[m * L:(m + 1) * L].astype(xp.uint32)
 
-    w0 = plane(0)
-    w1 = xp.zeros_like(w0)
-    w2 = xp.zeros_like(w0)
-    for m in range(1, N_WPLANES):
+    h = [None] * 6
+    for m in range(N_WPLANES):
         s = 8 * m
+        q, r = divmod(s, 16)
         t = plane(m)
-        if s < 32:
-            t_lo, t_mid, t_hi = t << xp.uint32(s), t >> xp.uint32(32 - s), None
-        elif s == 32:
-            t_lo, t_mid, t_hi = None, t, None
-        elif s < 64:
-            t_lo = None
-            t_mid = t << xp.uint32(s - 32)
-            t_hi = t >> xp.uint32(64 - s)
-        else:  # s == 64
-            t_lo, t_mid, t_hi = None, None, t
-        cin = xp.uint32(0) * w0
-        if t_lo is not None:
-            w0, cin = g.addc(w0, t_lo)
-        if t_mid is not None:
-            s1, c1 = g.addc(w1, t_mid)
-            w1, c2 = g.addc(s1, cin)
-            cin = c1 + c2
-        w2 = w2 + cin if t_hi is None else w2 + t_hi + cin
+        if r:
+            t = t << xp.uint32(8)      # < 2^32, no wrap (t < 2^24)
+        lo = t & M16
+        hi = t >> xp.uint32(16)
+        h[q] = lo if h[q] is None else h[q] + lo
+        h[q + 1] = hi if h[q + 1] is None else h[q + 1] + hi
+
+    # assemble (w0, w1, w2): h1/h3 straddle the 32-bit word boundaries
+    w0, c0 = g.addc(h[0], h[1] << xp.uint32(16))
+    mid = h[2] + (h[1] >> xp.uint32(16)) + c0
+    w1, c1 = g.addc(mid, h[3] << xp.uint32(16))
+    w2 = h[4] + (h[3] >> xp.uint32(16)) + (h[5] << xp.uint32(16)) + c1
     y0, y1 = g.fold96(w0, w1, w2)
     # subtract the aggregate plane offset
     d0, d1, br = g.sub64(y0, y1, sub_lo + xp.uint32(0) * y0,
