@@ -66,6 +66,16 @@ def create_engine(p: int, reg_count: int, backend: str | None = None,
         return Engine3161(p, reg_count, xp=jnp)
     if b == "auto":
         b = "pallas" if _pallas_eligible(p) else "jax"
+    if b in ("pallas", "jax"):
+        # huge register counts spill to host via the LRU paging wrapper
+        # (reference: engine_gpu host paging, include/marin/engine_gpu.h:2172)
+        from ..core.plan import cached_plan
+        from .paged import PagedEngine, device_reg_budget
+        budget = device_reg_budget(cached_plan(p).n)
+        if reg_count > budget:
+            inner = create_engine(p, budget, backend=b, device=device,
+                                  arith="gl64")
+            return PagedEngine(inner, reg_count)
     if b == "pallas":
         from .pallas_engine import PallasEngine
         return PallasEngine(p, reg_count)

@@ -1,0 +1,153 @@
+"""Host-paged register engine: logical registers beyond device capacity.
+
+Analog of the reference's LRU host-paging engine for huge register-count
+workloads (reference: include/marin/engine_gpu.h:2172-2644 `engine_gpu` —
+logical regs spill to host `_backing` vectors, `_logical_to_slot` +
+`_slot_clock` LRU). TPU version: wraps ANY inner Engine whose reg_count is
+the device slot budget; cold registers live as host numpy arrays and move
+via get_raw/set_raw (device_put/get streams underneath the jax engines).
+
+Every primitive op pins its operands resident (evicting the
+least-recently-used non-pinned slot) and delegates with slot indices; the
+base-class derived ops (pow, addsub, square_mul_seq, checkpoints) then
+work unchanged on logical indices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .api import Engine, Reg
+
+
+class PagedEngine(Engine):
+    def __init__(self, inner: Engine, logical_count: int):
+        super().__init__(inner.p, logical_count)
+        assert logical_count >= inner.reg_count
+        self.inner = inner
+        self.slots = inner.reg_count
+        self._slot_of: dict[int, int] = {}        # logical -> slot
+        self._logical_at: list[int | None] = [None] * self.slots
+        self._lru = [0] * self.slots
+        self._clock = 0
+        self._host: dict[int, np.ndarray] = {}    # evicted logical -> raw
+        self.page_ins = 0
+        self.page_outs = 0
+
+    # -- paging core -------------------------------------------------------
+    def _touch(self, slot: int):
+        self._clock += 1
+        self._lru[slot] = self._clock
+
+    def _ensure(self, *logical: int) -> list[int]:
+        pinned = set()
+        out = []
+        for lg in logical:
+            if lg in self._slot_of:
+                s = self._slot_of[lg]
+            else:
+                s = self._evict_one(pinned)
+                old = self._logical_at[s]
+                if old is not None:
+                    self._host[old] = self.inner.get_raw(s)
+                    del self._slot_of[old]
+                    self.page_outs += 1
+                if lg in self._host:
+                    self.inner.set_raw(s, self._host.pop(lg))
+                    self.page_ins += 1
+                else:
+                    self.inner.set_raw(
+                        s, np.zeros(self.inner.get_size(), dtype=np.uint64))
+                self._slot_of[lg] = s
+                self._logical_at[s] = lg
+            self._touch(s)
+            pinned.add(s)
+            out.append(s)
+        return out
+
+    def _evict_one(self, pinned: set[int]) -> int:
+        free = [s for s in range(self.slots)
+                if self._logical_at[s] is None and s not in pinned]
+        if free:
+            return free[0]
+        cands = [s for s in range(self.slots) if s not in pinned]
+        return min(cands, key=lambda s: self._lru[s])
+
+    # -- helpers -----------------------------------------------------------
+    def get_size(self) -> int:
+        return self.inner.get_size()
+
+    @property
+    def widths(self) -> np.ndarray:
+        return self.inner.widths
+
+    def sync(self) -> None:
+        self.inner.sync()
+
+    # -- primitive ops (delegate with slot mapping) -------------------------
+    def set(self, dst: Reg, a: int) -> None:
+        (s,) = self._ensure(dst)
+        self.inner.set(s, a)
+
+    def copy(self, dst: Reg, src: Reg) -> None:
+        sd, ss = self._ensure(dst, src)
+        self.inner.copy(sd, ss)
+
+    def square_mul(self, src: Reg, a: int = 1) -> None:
+        (s,) = self._ensure(src)
+        self.inner.square_mul(s, a)
+
+    def set_multiplicand(self, dst: Reg, src: Reg) -> None:
+        sd, ss = self._ensure(dst, src)
+        self.inner.set_multiplicand(sd, ss)
+
+    def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
+        sd, ss = self._ensure(dst, src)
+        self.inner.mul(sd, ss, a)
+
+    def sub(self, src: Reg, a: int) -> None:
+        (s,) = self._ensure(src)
+        self.inner.sub(s, a)
+
+    def add_small(self, src: Reg, a: int) -> None:
+        (s,) = self._ensure(src)
+        self.inner.add_small(s, a)
+
+    def add(self, dst: Reg, src: Reg) -> None:
+        sd, ss = self._ensure(dst, src)
+        self.inner.add(sd, ss)
+
+    def sub_reg(self, dst: Reg, src: Reg) -> None:
+        sd, ss = self._ensure(dst, src)
+        self.inner.sub_reg(sd, ss)
+
+    # -- host exchange -----------------------------------------------------
+    def get_digits(self, src: Reg) -> np.ndarray:
+        (s,) = self._ensure(src)
+        return self.inner.get_digits(s)
+
+    def set_digits(self, dst: Reg, digits: np.ndarray) -> None:
+        (s,) = self._ensure(dst)
+        self.inner.set_digits(s, digits)
+
+    def get_raw(self, src: Reg) -> np.ndarray:
+        if src in self._host:
+            return self._host[src].copy()
+        (s,) = self._ensure(src)
+        return self.inner.get_raw(s)
+
+    def set_raw(self, dst: Reg, data: np.ndarray) -> None:
+        (s,) = self._ensure(dst)
+        self.inner.set_raw(s, data)
+
+
+def device_reg_budget(n: int, hbm_bytes: int | None = None) -> int:
+    """How many n-word u64 registers fit the device (with ~25% headroom
+    for tables, spectral temps and XLA workspace)."""
+    import os
+    env = os.environ.get("PRMERS_MAX_DEVICE_REGS")
+    if env:
+        return max(int(env), 4)
+    if hbm_bytes is None:
+        hbm_bytes = 12 << 30   # conservative v5e default
+    return max(int(hbm_bytes * 0.75) // (8 * n), 4)

@@ -1,0 +1,74 @@
+"""LRU host-paging engine wrapper."""
+
+import numpy as np
+
+from prmers_tpu.engine.np_engine import NumpyEngine
+from prmers_tpu.engine.paged import PagedEngine, device_reg_budget
+
+
+class TestPaged:
+    P = 1279
+
+    def _pair(self, logical, slots):
+        inner = NumpyEngine(self.P, slots)
+        return PagedEngine(inner, logical), NumpyEngine(self.P, logical)
+
+    def test_ops_match_unpaged(self):
+        paged, ref = self._pair(12, 4)
+        mp = (1 << self.P) - 1
+        rng = np.random.default_rng(3)
+        vals = [int(rng.integers(1, 1 << 60)) for _ in range(12)]
+        for e in (paged, ref):
+            for i, v in enumerate(vals):
+                e.set_int(i, v)
+            # touch registers in a pattern that forces eviction cycles
+            for i in range(12):
+                e.square_mul(i, 3)
+            e.set_multiplicand(3, 2)
+            e.mul(7, 3, 5)
+            e.add(9, 0)
+            e.sub_reg(10, 1)
+            e.addsub(4, 5, 6, 8)
+            e.sub(11, 7)
+        for i in range(12):
+            assert paged.get_int(i) == ref.get_int(i), f"reg {i}"
+        assert paged.page_outs > 0
+        assert paged.page_ins > 0
+
+    def test_checkpoint_roundtrip(self):
+        paged, _ = self._pair(10, 4)
+        for i in range(10):
+            paged.set_int(i, 1000 + i)
+        blob = paged.get_checkpoint()
+        paged2, _ = self._pair(10, 4)
+        paged2.set_checkpoint(blob)
+        for i in range(10):
+            assert paged2.get_int(i) == 1000 + i
+
+    def test_budget_env(self, monkeypatch):
+        monkeypatch.setenv("PRMERS_MAX_DEVICE_REGS", "17")
+        assert device_reg_budget(1 << 23) == 17
+        monkeypatch.delenv("PRMERS_MAX_DEVICE_REGS")
+        b = device_reg_budget(1 << 23, hbm_bytes=16 << 30)
+        assert 100 < b < 250
+
+    def test_ecm_runs_paged(self):
+        """Edwards ECM (32+ registers) on a 6-slot inner engine."""
+        from prmers_tpu.modes.ecm_edwards import run_ecm_edwards
+        from prmers_tpu.io.options import Options
+        import prmers_tpu.modes.ecm_edwards as mod
+        # run through a paged engine by monkey-wrapping create_engine
+        orig = mod.create_engine
+
+        def paged_create(p, regs, **kw):
+            inner = NumpyEngine(p, 8)
+            return PagedEngine(inner, regs)
+
+        mod.create_engine = paged_create
+        try:
+            o = Options(exponent=29, mode="ecm", b1=300, b2=0, curves=3,
+                        curve_seed=7, backend="numpy")
+            r = run_ecm_edwards(o, log=lambda *a: None)
+        finally:
+            mod.create_engine = orig
+        assert r.factor > 1 and ((1 << 29) - 1) % r.factor == 0
