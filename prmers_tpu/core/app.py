@@ -33,10 +33,35 @@ def _merge_worktodo(opts: Options, entry) -> Options:
     return opts
 
 
-def run_once(opts: Options, log=print) -> tuple[object, str]:
+def _log_arith_decision(opts: Options, log, gui=None) -> None:
+    """Backend-decision telemetry (reference: setBackendInfo card,
+    src/core/App.cpp:900-920 / WebGuiServer /api/state)."""
+    if opts.exponent <= 0 or opts.mode in ("bench", "tune", "memtest"):
+        return
+    try:
+        from ..engine.policy import decide_arith
+        wl = {"prp": "prp", "ll": "ll", "llsafe": "ll", "llsafe2": "ll",
+              "pm1": "pm1_s1", "ecm": "ecm"}.get(opts.mode, "generic")
+        d = decide_arith(opts.exponent, wl, opts.save_dir) \
+            if opts.arith == "auto" else None
+        arith = opts.arith if opts.arith != "auto" else d.arith
+        reason = "forced by -arith" if opts.arith != "auto" else d.reason
+        n = d.n_3161 if (d and arith == "fft3161") else (
+            d.n_gl64 if d else 0)
+        log(f"Arithmetic path: {arith} ({reason})" +
+            (f" | n_gl64={d.n_gl64} n_3161={d.n_3161} "
+             f"ratio={d.ratio:.2f}" if d else ""))
+        if gui is not None:
+            gui.set_backend_info(arith, n, reason)
+    except Exception:   # telemetry must never block a run
+        pass
+
+
+def run_once(opts: Options, log=print, gui=None) -> tuple[object, str]:
     """Run one workload; returns (result, json_line)."""
     configure_backend(opts.backend if opts.backend != "auto" else "auto",
                       opts.mode)
+    _log_arith_decision(opts, log, gui)
     if opts.mode in ("prp", "ll"):
         from ..modes.prp_ll import run_prp_or_ll
         proof_set = None
@@ -160,7 +185,7 @@ def run_app(opts: Options, log=print) -> int:
                 if gui:
                     gui.set_state(status="running", exponent=opts.exponent,
                                   mode=opts.mode)
-                r, j = run_once(opts, log=log)
+                r, j = run_once(opts, log=log, gui=gui)
                 if j:
                     append_results_txt(opts.results_path, j)
                     write_individual_json(opts.save_dir, opts.exponent,
@@ -172,7 +197,7 @@ def run_app(opts: Options, log=print) -> int:
         if opts.exponent == 0:
             log("nothing to do: no exponent and no worktodo entries")
             return 2
-        r, j = run_once(opts, log=log)
+        r, j = run_once(opts, log=log, gui=gui)
         if j:
             append_results_txt(opts.results_path, j)
             write_individual_json(opts.save_dir, opts.exponent, opts.mode, j)
