@@ -103,12 +103,16 @@ def _u64_to_pairs(y, shape5):
 
 @functools.partial(jax.jit, static_argnums=0)
 def op_settle(n: int, widths, masks, x0, x1, c0, c1):
-    """Fold the pending wrap carry and renormalize digits (XLA)."""
+    """Fold the pending per-block boundary carries (rolled: block b's
+    carry enters block b+1, last wraps to 0) and renormalize (XLA)."""
     sh5 = x0.shape
+    R1 = c0.shape[0]
     y = _pairs_to_u64(x0, x1, n)
-    cin = (c0[0, 0].astype(jnp.uint64) |
-           (c1[0, 0].astype(jnp.uint64) << jnp.uint64(32)))
-    y = y.at[0].add(cin)  # < P: carry_full renormalizes immediately
+    cin = (c0[:, 0].astype(jnp.uint64) |
+           (c1[:, 0].astype(jnp.uint64) << jnp.uint64(32)))
+    cin = jnp.roll(cin, 1)
+    starts = jnp.arange(R1, dtype=jnp.int32) * (n // R1)
+    y = y.at[starts].add(cin)  # < P each: carry_full renormalizes
     d = carry_ops.carry_full(F, y, widths, masks, 1, lax=lax)
     return _u64_to_pairs(d, sh5)
 
@@ -142,7 +146,8 @@ class PallasEngine(Engine):
         sh = self.t.w[0].shape
         self._sh = sh
         z5 = lambda: jnp.zeros(sh, jnp.uint32)  # noqa: E731
-        z11 = lambda: jnp.zeros((1, 1), jnp.uint32)  # noqa: E731
+        self._r1 = self.fp.rs.L1
+        z11 = lambda: jnp.zeros((self._r1, 1), jnp.uint32)  # noqa: E731
         # per-register state: [x0, x1, c0, c1, is_spectral]
         self.regs = [[z5(), z5(), z11(), z11(), False]
                      for _ in range(reg_count)]
@@ -155,7 +160,7 @@ class PallasEngine(Engine):
         assert not st[4], "spectral register used as digits"
         x0, x1 = op_settle(self.n, self._w64, self._m64,
                            st[0], st[1], st[2], st[3])
-        z11 = jnp.zeros((1, 1), jnp.uint32)
+        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
         self.regs[r] = [x0, x1, z11, z11, False]
         return x0, x1
 
@@ -200,7 +205,7 @@ class PallasEngine(Engine):
         st = self.regs[src]
         assert not st[4]
         u0, u1 = op_fwd(self.fp, self.t, st[0], st[1], st[2], st[3])
-        z11 = jnp.zeros((1, 1), jnp.uint32)
+        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
         self.regs[dst] = [u0, u1, z11, z11, True]
 
     def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
@@ -216,7 +221,7 @@ class PallasEngine(Engine):
         y0, y1 = self._settled(src)
         r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, y0, y1,
                            jnp.int32(1), self._zero_const)
-        z11 = jnp.zeros((1, 1), jnp.uint32)
+        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
         self.regs[dst] = [r0, r1, z11, z11, False]
 
     def sub_reg(self, dst: Reg, src: Reg) -> None:
@@ -224,7 +229,7 @@ class PallasEngine(Engine):
         y0, y1 = self._settled(src)
         r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, y0, y1,
                            jnp.int32(-1), self._zero_const)
-        z11 = jnp.zeros((1, 1), jnp.uint32)
+        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
         self.regs[dst] = [r0, r1, z11, z11, False]
 
     def _delta_vec(self, a: int) -> jax.Array:
@@ -242,7 +247,7 @@ class PallasEngine(Engine):
         x0, x1 = self._settled(src)
         r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, x0, x1,
                            jnp.int32(0), self._delta_vec(a))
-        z11 = jnp.zeros((1, 1), jnp.uint32)
+        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
         self.regs[src] = [r0, r1, z11, z11, False]
 
     def sync(self) -> None:
@@ -263,7 +268,7 @@ class PallasEngine(Engine):
         d = np.asarray(digits, dtype=np.uint64)
         lo = (d & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         hi = (d >> np.uint64(32)).astype(np.uint32)
-        z11 = jnp.zeros((1, 1), jnp.uint32)
+        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
         self.regs[dst] = [jnp.asarray(lo.reshape(self._sh)),
                           jnp.asarray(hi.reshape(self._sh)),
                           z11, z11, False]

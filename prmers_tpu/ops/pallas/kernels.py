@@ -374,22 +374,21 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
 
 def _k4_kernel(fp: FourStepPlan, rounds: int,
                a0_ref, a1_ref, y0_ref, y1_ref, wd_ref, mk0_ref, mk1_ref,
-               o0_ref, o1_ref, co0_ref, co1_ref, carry0, carry1):
+               o0_ref, o1_ref, co0_ref, co1_ref):
     """Tile = (R2, CB, G, LN) digits in order (r2, cb, s, l). Multiplies by
     the small carry operand a (PRP x3), splits digit/carry by the variable
-    widths, and propagates carries along the digit order with roll chains;
-    the inter-tile carry rides SMEM scratch (the grid is sequential)."""
+    widths, and propagates carries along the digit order with roll chains.
+    The grid is PARALLEL over r1 blocks: each block emits its boundary
+    carry to co[r1] and the next iteration's P1 injection (or op_settle)
+    folds the rolled carry vector — the reference's two-phase carry with
+    phase 2 riding the next forward kernel (kernels/marin.cl:2198), here
+    for every block boundary, the wrap included."""
     sh4 = y0_ref.shape[1:]
     y0 = y0_ref[:].reshape(sh4)
     y1 = y1_ref[:].reshape(sh4)
     wd = wd_ref[:].reshape(sh4)
     mk0 = mk0_ref[:].reshape(sh4)
     mk1 = mk1_ref[:].reshape(sh4)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        carry0[0] = jnp.uint32(0)
-        carry1[0] = jnp.uint32(0)
 
     a = a0_ref[0, 0]
     y0, y1 = g.mul_small(y0, y1, a)
@@ -428,7 +427,7 @@ def _k4_kernel(fp: FourStepPlan, rounds: int,
 
         return sh(c0, in0), sh(c1, in1), out0, out1
 
-    c0, c1, o0c, o1c = shift_one(c0, c1, carry0[0], carry1[0])
+    c0, c1, o0c, o1c = shift_one(c0, c1, jnp.uint32(0), jnp.uint32(0))
     s0, cc = g.addc(jnp.uint32(0), o0c)
     acc0, acc1 = s0, o1c + cc
     y0, yc = g.addc(d0, c0)
@@ -459,10 +458,8 @@ def _k4_kernel(fp: FourStepPlan, rounds: int,
 
     o0_ref[:] = d0.reshape(o0_ref.shape)
     o1_ref[:] = d1.reshape(o1_ref.shape)
-    carry0[0] = acc0
-    carry1[0] = acc1
-    co0_ref[0, 0] = acc0
-    co1_ref[0, 0] = acc1
+    co0_ref[0, 0, 0] = acc0
+    co1_ref[0, 0, 0] = acc1
 
 
 def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a):
@@ -479,19 +476,23 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a):
                       memory_space=pltpu.VMEM)
     smem11 = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
                           memory_space=pltpu.SMEM)
-    return pl.pallas_call(
+    # rank-3 (R1, 1, 1) carry outputs: the trailing (1, 1) equals the
+    # array dims (Pallas requires the last two block dims divisible by
+    # (8, 128) or equal); the leading grid dim is unconstrained
+    co_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, i * 0, i * 0),
+                           memory_space=pltpu.SMEM)
+    d0, d1, co0, co1 = pl.pallas_call(
         kern,
         grid=(R1,),
         in_specs=[smem11, smem11, bs, bs, bs, bs, bs],
-        out_specs=(bs, bs, smem11, smem11),
+        out_specs=(bs, bs, co_spec, co_spec),
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct(sh, jnp.uint32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.uint32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.uint32)),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.uint32),
-                        pltpu.SMEM((1,), jnp.uint32)],
+                   jax.ShapeDtypeStruct((R1, 1, 1), jnp.uint32),
+                   jax.ShapeDtypeStruct((R1, 1, 1), jnp.uint32)),
         compiler_params=_cparams(),
     )(a[0], a[1], y0, y1, t.widths32, t.masks_lo, t.masks_hi)
+    return d0, d1, co0.reshape(R1, 1), co1.reshape(R1, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -646,10 +647,52 @@ def _inverse_r(fp, t, z0, z1):
     return r0, r1
 
 
+def _cin_plan(fp: FourStepPlan):
+    """Static per-row spread tables for the block-carry injection:
+    (k, wtab (R1, k) u64 widths, cum (R1, k) u64 bit offsets)."""
+    R1 = fp.rs.L1
+    bs = fp.n // R1
+    wmat = fp.widths.reshape(R1, bs).astype(np.int64)
+    k = 1
+    while int(wmat[:, :k].sum(axis=1).min()) < 64:
+        k += 1
+    wtab = wmat[:, :k].astype(np.uint64)
+    cum = np.zeros((R1, k), dtype=np.uint64)
+    cum[:, 1:] = np.cumsum(wtab[:, :-1], axis=1)
+    return k, wtab, cum
+
+
+def inject_block_carries(fp: FourStepPlan, x0, x1, co0, co1):
+    """Fold the per-block boundary carries (R1, 1) into the first digits
+    of each r1 block, rolled by one (block b's carry enters block b+1;
+    the last block wraps to block 0 — the mod-M_p fold). Spread
+    base-2^width so no digit exceeds ~2^(w+1) (the convolution bound has
+    the slack). A tiny strip update XLA fuses into the next kernel."""
+    k, wtab, cum = _cin_plan(fp)
+    cin = (co0[:, 0].astype(jnp.uint64) |
+           (co1[:, 0].astype(jnp.uint64) << jnp.uint64(32)))
+    cin = jnp.roll(cin, 1)                       # (R1,)
+    wt = jnp.asarray(wtab)
+    cm = jnp.asarray(cum)
+    parts = (cin[:, None] >> cm) & ((jnp.uint64(1) << wt) - jnp.uint64(1))
+    # last column takes the unmasked remainder; rows whose first k-1
+    # widths already cover 64 bits keep 0 (shift >= 64 is undefined)
+    covered = cm[:, -1:] >= jnp.uint64(64)
+    safe_sh = jnp.where(covered, jnp.uint64(0), cm[:, -1:])
+    last = jnp.where(covered, jnp.uint64(0), cin[:, None] >> safe_sh)
+    parts = jnp.concatenate([parts[:, :-1], last], axis=1)  # (R1, k)
+    # parts < 2^(w+1) fit the low word; digits are canonical so no wrap
+    add_lo = parts.astype(jnp.uint32)
+    x0 = x0.at[:, 0, 0, 0, :k].add(add_lo)
+    return x0, x1
+
+
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
                 cin0, cin1, a):
-    """One full (x^2 * a) iteration. Returns (d0, d1, cout0, cout1)."""
-    s0, s1 = _forward_r(fp, t, x0, x1, cin=(cin0, cin1))
+    """One full (x^2 * a) iteration. Returns (d0, d1, cout0, cout1);
+    the carry pair is now the per-block vector ((R1, 1) u32 x2)."""
+    x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
+    s0, s1 = _forward_r(fp, t, x0, x1)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
     y0, y1 = _middle(fp, t, y0, y1, "sqr")
@@ -662,7 +705,8 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
 def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
              cin0, cin1, a):
     """dst = dst * multiplicand(u) * a; u is an AY-layout spectral pair."""
-    s0, s1 = _forward_r(fp, t, x0, x1, cin=(cin0, cin1))
+    x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
+    s0, s1 = _forward_r(fp, t, x0, x1)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
     y0, y1 = _middle(fp, t, y0, y1, "mul", u=(u0, u1))
@@ -674,7 +718,8 @@ def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
 
 def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     """Forward transform only (multiplicand preparation), AY spectral out."""
-    s0, s1 = _forward_r(fp, t, x0, x1, cin=(cin0, cin1))
+    x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
+    s0, s1 = _forward_r(fp, t, x0, x1)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
     return _middle(fp, t, y0, y1, "fwd")

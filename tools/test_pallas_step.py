@@ -42,8 +42,8 @@ CB = tbl.w[0].shape[2]
 LN = tbl.w[0].shape[4]
 x0 = jnp.asarray(lo.reshape(R1, R2, CB, 8, LN))
 x1 = jnp.asarray(hi.reshape(R1, R2, CB, 8, LN))
-z11 = jnp.zeros((1, 1), jnp.uint32)
-a_pair = (jnp.full((1, 1), np.uint32(A)), z11)
+z11 = jnp.zeros((fp.rs.L1, 1), jnp.uint32)   # per-block carry vector
+a_pair = (jnp.full((1, 1), np.uint32(A)), jnp.zeros((1, 1), jnp.uint32))
 
 # tables must be jit ARGS: closed-over they become HLO constants and the
 # remote compiler rejects the program with HTTP 413 at n >= 2^23
@@ -55,8 +55,22 @@ out = np.asarray(d0), np.asarray(d1)
 print(f"first step (compile+run) {time.time()-t0:.1f}s")
 
 got_digits = from_pairs(out[0].reshape(n), out[1].reshape(n))
-cout = int(np.asarray(co0)[0, 0]) | (int(np.asarray(co1)[0, 0]) << 32)
-val = (dg.digits_to_int(got_digits, plan.widths) + cout) % mp
+def co_value(co0, co1):
+    """Total pending value of the per-block carry vector: block b's carry
+    enters the first digit of block b+1 (last wraps to bit 0)."""
+    R1 = fp.rs.L1
+    bs = n // R1
+    q = np.concatenate([[0], np.cumsum(plan.widths.astype(np.int64))])
+    c0v = np.asarray(co0)[:, 0].astype(np.uint64)
+    c1v = np.asarray(co1)[:, 0].astype(np.uint64)
+    tot = 0
+    for b in range(R1):
+        c = int(c0v[b]) | (int(c1v[b]) << 32)
+        pos = 0 if b == R1 - 1 else int(q[(b + 1) * bs])
+        tot += c << pos
+    return tot
+
+val = (dg.digits_to_int(got_digits, plan.widths) + co_value(co0, co1)) % mp
 from prmers_tpu.utils import gmp
 want = gmp.mod(gmp.mul(gmp.mul(v, v), A), mp)
 print("square_step correct:", val == want)
@@ -65,8 +79,7 @@ assert val == want
 # second iteration consuming the carry
 d0b, d1b, co0b, co1b = step(tbl, d0, d1, co0, co1)
 out2 = from_pairs(np.asarray(d0b).reshape(n), np.asarray(d1b).reshape(n))
-cout2 = int(np.asarray(co0b)[0, 0]) | (int(np.asarray(co1b)[0, 0]) << 32)
-val2 = (dg.digits_to_int(out2, plan.widths) + cout2) % mp
+val2 = (dg.digits_to_int(out2, plan.widths) + co_value(co0b, co1b)) % mp
 want2 = gmp.mod(gmp.mul(gmp.mul(want, want), A), mp)
 print("second step (carry chain) correct:", val2 == want2)
 assert val2 == want2
