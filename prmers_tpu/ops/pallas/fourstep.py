@@ -178,6 +178,7 @@ class FourStepTables:
     masks_hi: Any
     mxu: Any = None        # {key: (w8, corr)} device arrays; string keys
     mxu_subs: Any = None   # ((key, (sub_lo, sub_hi)), ...) static
+    wcorr: Any = None      # (er (R2,L1,1) u32, ec (CB,1,G,LN) u32) residues
 
     def mxu_sub(self, key: str):
         for k, v in (self.mxu_subs or ()):
@@ -264,12 +265,13 @@ def _register_pytree():
     def flatten(t):
         children = (t.w, t.iw, t.t_r, t.t_r_inv, t.mid, t.mid_inv,
                     t.t_c, t.t_c_inv, t.widths32, t.masks_lo, t.masks_hi,
-                    t.mxu)
+                    t.mxu, t.wcorr)
         return children, (t.fp, t.G, t.mxu_subs)
 
     def unflatten(aux, children):
-        return FourStepTables(aux[0], aux[1], *children[:-1],
-                              mxu=children[-1], mxu_subs=aux[2])
+        return FourStepTables(aux[0], aux[1], *children[:-2],
+                              mxu=children[-2], mxu_subs=aux[2],
+                              wcorr=children[-1])
 
     tree_util.register_pytree_node(FourStepTables, flatten, unflatten)
 
@@ -527,9 +529,9 @@ def attach_mxu_tables(t: FourStepTables, device_put=None):
     mxu = {}
     subs = {}
 
-    def add(key, L, inv, row_scale=None):
-        w8, corr, sub_lo, sub_hi = build_mxu_tables(L, inv,
-                                                    row_scale=row_scale)
+    def add(key, L, inv, row_scale=None, col_scale=None):
+        w8, corr, sub_lo, sub_hi = build_mxu_tables(
+            L, inv, row_scale=row_scale, col_scale=col_scale)
         mxu[key] = (put(w8), put(corr))
         subs[key] = (int(sub_lo), int(sub_hi))
 
@@ -552,6 +554,60 @@ def attach_mxu_tables(t: FourStepTables, device_put=None):
         add("tc_inv", fp.cs.L2, True, row_scale=fetch(t.t_c_inv))
     if fp.rs.L2 >= 32:
         add("tr_inv", fp.rs.L2, True, row_scale=fetch(t.t_r_inv))
+
+    # ---- IBDWT weight folds (P1/P3 forward, P5/P7 inverse) -------------
+    # w(r*C + c) = wr(r) * wc(c) * 2^-k,  iw = iwr(r) * iwc(c) * 2^k / n,
+    # k = [er(r) + ec(c) >= n] (single wrap of the root-of-two exponent;
+    # identity verified at build). wr/iwr fold into the r1-pass tables
+    # (exact per row x grid), wc/iwc into the c1-pass tables; the 2^{-+k}
+    # correction is a masked halve/double in the kernels (t.wcorr).
+    if fp.rs.L1 >= 32 and fp.cs.L1 >= 32:
+        from ...core import field as fld
+        n = fp.n
+        R, C = fp.R, fp.C
+        R1, R2 = fp.rs.L1, fp.rs.L2
+        C1, C2 = fp.cs.L1, fp.cs.L2
+        nr2 = fld.root_two_nth(n)
+        nr2i = fld.inv(nr2)
+        pn = fp.p % n
+        er = np.array([(-pn * r * C) % n for r in range(R)],
+                      dtype=np.uint64)
+        ec = np.array([(-pn * c) % n for c in range(C)], dtype=np.uint64)
+
+        def powv(base, exps):
+            out = np.empty(len(exps), dtype=np.uint64)
+            for i, e in enumerate(exps):
+                out[i] = pow(base, int(e), fld.P)
+            return out
+
+        wr = powv(nr2, er)
+        wc = powv(nr2, ec)
+        ninv = fld.inv(n)
+        iwr = (powv(nr2i, er).astype(object) * ninv % fld.P
+               ).astype(np.uint64)
+        iwc = powv(nr2i, ec)
+        tw_tr = fetch(t.t_r)          # (R1, R2)
+        tw_tc = fetch(t.t_c)          # (C1, C2)
+        from .mxu_dft import _mulmod_u64
+        # column scales indexed [grid k][col j]
+        wr_f = wr.reshape(R1, R2).T.copy()        # (R2, R1)
+        wc_f = wc.reshape(C1, C2).T.copy()        # (C2, C1)
+        add("tr_fwd_w", R1, False, row_scale=tw_tr.T.copy(),
+            col_scale=wr_f)
+        add("tc_fwd_w", C1, False, row_scale=tw_tc.T.copy(),
+            col_scale=wc_f)
+        # inverse: output-row scales
+        add("iwc_inv", C1, True, row_scale=iwc.reshape(C1, C2).T.copy())
+        add("iw_inv", R1, True, row_scale=iwr.reshape(R1, R2).T.copy())
+        # correction residue tables in kernel block layouts
+        G_ = t.w[0].shape[3]
+        LN = t.w[0].shape[4]
+        CB = t.w[0].shape[2]
+        er_rc = er.reshape(R1, R2).T.reshape(R2, R1, 1).astype(np.uint32)
+        ec_ax = ec.reshape(CB, G_, LN).reshape(CB, 1, G_, LN
+                                               ).astype(np.uint32)
+        t.wcorr = (put(np.ascontiguousarray(er_rc)),
+                   put(np.ascontiguousarray(ec_ax)))
 
     t.mxu = mxu
     t.mxu_subs = tuple(sorted(subs.items()))

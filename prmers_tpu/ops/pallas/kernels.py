@@ -78,8 +78,35 @@ def _mxspec(shape):
 # The generic pass kernel
 # ---------------------------------------------------------------------------
 
+def _halve_mod_p(x0, x1, mask):
+    """Lazy-pair y/2 mod P where mask (y any u64): (y >> 1) + lsb*(P+1)/2;
+    (P+1)/2 = 0x7FFFFFFF_80000001 and the sum cannot wrap the pair."""
+    lsb = x0 & jnp.uint32(1)
+    h0 = (x0 >> jnp.uint32(1)) | (x1 << jnp.uint32(31))
+    h1 = x1 >> jnp.uint32(1)
+    a0 = lsb * jnp.uint32(0x80000001)
+    a1 = lsb * jnp.uint32(0x7FFFFFFF)
+    s0, c = g.addc(h0, a0)
+    s1 = h1 + a1 + c
+    return jnp.where(mask, s0, x0), jnp.where(mask, s1, x1)
+
+
+def _double_mod_p(x0, x1, mask):
+    """Lazy-pair 2y mod P where mask: shift left with the 2^64 overflow
+    folded back as 2^32 - 1 (two addc rounds bound the wrap)."""
+    b = x1 >> jnp.uint32(31)
+    l0 = x0 << jnp.uint32(1)
+    l1 = (x1 << jnp.uint32(1)) | (x0 >> jnp.uint32(31))
+    s0, c0 = g.addc(l0, b * jnp.uint32(0xFFFFFFFF))
+    s1, c1 = g.addc(l1, c0)
+    # c1 set means another 2^64 wrap: fold again (s0 small now, no chain)
+    s0b, c2 = g.addc(s0, c1 * jnp.uint32(0xFFFFFFFF))
+    s1b = s1 + c2
+    return jnp.where(mask, s0b, x0), jnp.where(mask, s1b, x1)
+
+
 def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
-                 has_post: bool, cin_widths, mxu_subs, *refs):
+                 has_post: bool, cin_widths, mxu_subs, wcorr_n, *refs):
     """Tile = (L, S, 1, G, LN) [leading-axis pass] or (1, L, 1, G, LN)
     [second-axis pass]; the wrapper always arranges the transform axis
     first and payload after, so the kernel sees (L, S, G, LN).
@@ -100,6 +127,10 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
         i += 2
     x0_ref, x1_ref = refs[i], refs[i + 1]
     i += 2
+    wc_refs = None
+    if wcorr_n is not None:
+        wc_refs = refs[i], refs[i + 1]
+        i += 2
     mxu_refs = None
     if mxu_subs is not None:
         nm = 2 if mode.startswith("mid_") and mode != "mid_fwd" else 1
@@ -129,6 +160,13 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
 
     x0 = x0_ref[:].reshape(v)
     x1 = x1_ref[:].reshape(v)
+
+    if wcorr_n is not None:
+        # forward weight-fold wrap correction: halve where er + ec >= n
+        er = wc_refs[0][:].reshape(L, 1, 1, 1)
+        ec = wc_refs[1][:].reshape(1, 1, v[-2], v[-1])
+        mask = (er + ec) >= jnp.uint32(wcorr_n)
+        x0, x1 = _halve_mod_p(x0, x1, jnp.broadcast_to(mask, v))
 
     if cin_widths is not None:
         # digits are canonical (< 2^w) and the spread parts are < 2^w, so
@@ -214,8 +252,12 @@ def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
     o1_ref[:] = x1.reshape(sh)
 
 
-def _post_canon_kernel(L: int, mxu_subs, *refs):
-    """P7: r1-iDFT + inverse weights + canonicalize (digit-domain out)."""
+def _post_canon_kernel(L: int, mxu_subs, wcorr_n, *refs):
+    """P7: r1-iDFT + inverse weights + canonicalize (digit-domain out).
+
+    With wcorr_n set, the inverse weights are FOLDED into the per-grid MXU
+    tables (iwr * 1/n as row scales; iwc was folded into P5): only the
+    single-wrap 2^k correction remains — a masked doubling."""
     i = 0
     x0_ref, x1_ref = refs[i], refs[i + 1]
     i += 2
@@ -223,21 +265,37 @@ def _post_canon_kernel(L: int, mxu_subs, *refs):
     if mxu_subs is not None:
         mxu_refs = refs[i:i + 2]
         i += 2
-    iw0_ref, iw1_ref, o0_ref, o1_ref = refs[i:i + 4]
+    if wcorr_n is not None:
+        er_ref, ec_ref = refs[i], refs[i + 1]
+        i += 2
+        o0_ref, o1_ref = refs[i:i + 2]
+    else:
+        iw0_ref, iw1_ref, o0_ref, o1_ref = refs[i:i + 4]
     sh = x0_ref.shape
     v = (L, sh[1], sh[3], sh[4])
     x0 = x0_ref[:].reshape(v)
     x1 = x1_ref[:].reshape(v)
     if mxu_subs is not None:
+        w8 = mxu_refs[0][:]
+        corr = mxu_refs[1][:]
+        if w8.ndim == 3:
+            w8 = w8.reshape(w8.shape[1:])
+            corr = corr.reshape(corr.shape[1:])
         sub = mxu_subs[0]
-        x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, mxu_refs[0][:],
-                                   mxu_refs[1][:], jnp.uint32(sub[0]),
-                                   jnp.uint32(sub[1]))
+        x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, w8, corr,
+                                   jnp.uint32(sub[0]), jnp.uint32(sub[1]))
     else:
         x0, x1 = fsm.dft_axis0(g, x0, x1, L, True)
-    i0 = iw0_ref[:].reshape(v)
-    i1 = iw1_ref[:].reshape(v)
-    x0, x1 = g.mul(x0, x1, i0, i1)
+    if wcorr_n is not None:
+        # inverse weight-fold wrap correction: double where er + ec >= n
+        er = er_ref[:].reshape(L, 1, 1, 1)
+        ec = ec_ref[:].reshape(1, 1, v[-2], v[-1])
+        mask = (er + ec) >= jnp.uint32(wcorr_n)
+        x0, x1 = _double_mod_p(x0, x1, jnp.broadcast_to(mask, v))
+    else:
+        i0 = iw0_ref[:].reshape(v)
+        i1 = iw1_ref[:].reshape(v)
+        x0, x1 = g.mul(x0, x1, i0, i1)
     x0, x1 = g.canon(x0, x1)
     o0_ref[:] = x0.reshape(sh)
     o1_ref[:] = x1.reshape(sh)
@@ -253,7 +311,7 @@ def _post_canon_kernel(L: int, mxu_subs, *refs):
 # ---------------------------------------------------------------------------
 
 def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
-                cin=None, cin_widths=None, mxu=None):
+                cin=None, cin_widths=None, mxu=None, wcorr=None):
     """Transform along dim 0 of a 5D array; dims 1 and 2 go to the grid.
 
     mxu: None, or (tables, subs) where tables = ((w8, corr), ...) and
@@ -284,6 +342,17 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
         in_specs += [smem11, smem11]
     ins += [x0, x1]
     in_specs += [xspec, xspec]
+    wcorr_n = None
+    if wcorr is not None:
+        er_t, ec_t, wcorr_n = wcorr
+        ins += [er_t, ec_t]
+        in_specs += [
+            pl.BlockSpec((1,) + tuple(er_t.shape[1:]),
+                         lambda i, j: (i, j * 0, j * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + tuple(ec_t.shape[1:]),
+                         lambda i, j: (j, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM)]
     mxu_subs = None
     if mxu is not None:
         tables, mxu_subs = mxu
@@ -302,7 +371,7 @@ def _axis0_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
     kern = functools.partial(_pass_kernel, L, inverse, mode,
                              pre is not None, post is not None,
                              cin_widths if cin is not None else None,
-                             mxu_subs)
+                             mxu_subs, wcorr_n)
     r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
@@ -355,7 +424,7 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
         in_specs += [bspec(post[0]), bspec(post[1])]
     kern = functools.partial(_pass_kernel, L, inverse, mode,
                              pre is not None, post is not None, None,
-                             mxu_subs)
+                             mxu_subs, None)
     r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
@@ -574,21 +643,41 @@ def _cin_widths(fp: FourStepPlan) -> tuple[int, ...]:
     return tuple(int(w) for w in fp.widths[:k])
 
 
-def _forward_r(fp, t, x0, x1, cin=None):
-    # P1: the t_r inter-factor twiddle folds into per-grid MXU tables
-    mx1 = _mx(t, "tr_fwd", ln=x1.shape[-1])
+def _wfold_ok(fp, t) -> bool:
+    """Weight folding must engage for ALL of P1/P3/P5/P7 or none: the
+    tables exist and both the AX and AY lane extents are whole tiles."""
+    import os
+    if t.wcorr is None or os.environ.get("PRMERS_NO_MXU") or \
+            os.environ.get("PRMERS_NO_WFOLD"):
+        return False
+    needed = ("tr_fwd_w", "tc_fwd_w", "iwc_inv", "iw_inv")
+    if not t.mxu or any(k not in t.mxu for k in needed):
+        return False
+    C, R = fp.C, fp.R
+    CB = max(C // (G * LANES), 1)
+    RB = max(R // (G * LANES), 1)
+    return (C // (CB * G)) % 128 == 0 and (R // (RB * G)) % 128 == 0
+
+
+def _forward_r(fp, t, x0, x1, cin=None, wfold=False):
+    # P1: the t_r twiddle — and with wfold the weight r-part — folds into
+    # per-grid MXU tables; only the wrap correction stays elementwise
+    mx1 = _mx(t, "tr_fwd_w" if wfold else "tr_fwd", ln=x1.shape[-1])
     x0, x1 = _axis0_pass(x0, x1, fp.rs.L1, False, "plain",
-                         pre=t.w, post=None if mx1 else t.t_r, cin=cin,
+                         pre=None if wfold else t.w,
+                         post=None if mx1 else t.t_r, cin=cin,
                          cin_widths=_cin_widths(fp) if cin else None,
-                         mxu=mx1)
+                         mxu=mx1,
+                         wcorr=(t.wcorr[0], t.wcorr[1], fp.n)
+                         if wfold else None)
     x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False, "plain", post=t.mid,
                          mxu=_mx(t, (fp.rs.L2, False), ln=x1.shape[-1]))
     return x0, x1
 
 
-def _middle(fp, t, y0, y1, mode, u=None):
-    # P3: t_c folds; P4: t_c_inv folds into the inverse-DFT tables
-    mx3 = _mx(t, "tc_fwd", ln=y1.shape[-1])
+def _middle(fp, t, y0, y1, mode, u=None, wfold=False):
+    # P3: t_c (and with wfold the weight c-part) folds; P4: t_c_inv folds
+    mx3 = _mx(t, "tc_fwd_w" if wfold else "tc_fwd", ln=y1.shape[-1])
     y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, False, "plain",
                          post=None if mx3 else t.t_c, mxu=mx3)
     if mode == "fwd":
@@ -602,12 +691,14 @@ def _middle(fp, t, y0, y1, mode, u=None):
                           "fwd": "mid_fwd"}[mode],
                          post=post4, u=u, mxu=mx4)
     if mode != "fwd":
-        y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, True, "plain",
-                             mxu=_mx(t, (fp.cs.L1, True), ln=y1.shape[-1]))
+        # P5: with wfold the inverse-weight c-part rides these tables
+        mx5 = _mx(t, "iwc_inv" if wfold else (fp.cs.L1, True),
+                  ln=y1.shape[-1])
+        y0, y1 = _axis0_pass(y0, y1, fp.cs.L1, True, "plain", mxu=mx5)
     return y0, y1
 
 
-def _inverse_r(fp, t, z0, z1):
+def _inverse_r(fp, t, z0, z1, wfold=False):
     # P6: t_r_inv folds
     mx6 = _mx(t, "tr_inv", ln=z1.shape[-1])
     z0, z1 = _axis1_pass(z0, z1, fp.rs.L2, True, "plain",
@@ -615,7 +706,7 @@ def _inverse_r(fp, t, z0, z1):
                          mxu=mx6)
     # final pass: r1 inverse DFT + inverse weights + canon
     sh = z0.shape
-    mxu = _mx(t, (fp.rs.L1, True), ln=sh[-1])
+    mxu = _mx(t, "iw_inv" if wfold else (fp.rs.L1, True), ln=sh[-1])
     iw = t.iw
     S = 1 if mxu is not None else min(SUBBLK, sh[1])
     grid = (sh[1] // S, sh[2])
@@ -632,9 +723,22 @@ def _inverse_r(fp, t, z0, z1):
         (tabs, subs) = mxu
         ins += [tabs[0][0], tabs[0][1]]
         in_specs += [_mxspec(tabs[0][0].shape), _mxspec(tabs[0][1].shape)]
-    ins += [iw[0], iw[1]]
-    in_specs += [bspec, bspec]
-    kern = functools.partial(_post_canon_kernel, fp.rs.L1, subs)
+    wcorr_n = None
+    if wfold:
+        wcorr_n = fp.n
+        er_t, ec_t = t.wcorr
+        ins += [er_t, ec_t]
+        in_specs += [
+            pl.BlockSpec((1,) + tuple(er_t.shape[1:]),
+                         lambda i, j: (i, j * 0, j * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + tuple(ec_t.shape[1:]),
+                         lambda i, j: (j, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM)]
+    else:
+        ins += [iw[0], iw[1]]
+        in_specs += [bspec, bspec]
+    kern = functools.partial(_post_canon_kernel, fp.rs.L1, subs, wcorr_n)
     r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
@@ -691,35 +795,38 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
                 cin0, cin1, a):
     """One full (x^2 * a) iteration. Returns (d0, d1, cout0, cout1);
     the carry pair is now the per-block vector ((R1, 1) u32 x2)."""
+    wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
-    s0, s1 = _forward_r(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
-    y0, y1 = _middle(fp, t, y0, y1, "sqr")
+    y0, y1 = _middle(fp, t, y0, y1, "sqr", wfold=wf)
     z0 = _to_ax(fp, y0)
     z1 = _to_ax(fp, y1)
-    z0, z1 = _inverse_r(fp, t, z0, z1)
+    z0, z1 = _inverse_r(fp, t, z0, z1, wfold=wf)
     return k4(fp, t, z0, z1, a)
 
 
 def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
              cin0, cin1, a):
     """dst = dst * multiplicand(u) * a; u is an AY-layout spectral pair."""
+    wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
-    s0, s1 = _forward_r(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
-    y0, y1 = _middle(fp, t, y0, y1, "mul", u=(u0, u1))
+    y0, y1 = _middle(fp, t, y0, y1, "mul", u=(u0, u1), wfold=wf)
     z0 = _to_ax(fp, y0)
     z1 = _to_ax(fp, y1)
-    z0, z1 = _inverse_r(fp, t, z0, z1)
+    z0, z1 = _inverse_r(fp, t, z0, z1, wfold=wf)
     return k4(fp, t, z0, z1, a)
 
 
 def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     """Forward transform only (multiplicand preparation), AY spectral out."""
+    wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
-    s0, s1 = _forward_r(fp, t, x0, x1)
+    s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
-    return _middle(fp, t, y0, y1, "fwd")
+    return _middle(fp, t, y0, y1, "fwd", wfold=wf)

@@ -94,23 +94,30 @@ def _mulmod_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return from_pairs(r0, r1)
 
 
-def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None):
+def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None,
+                     col_scale: np.ndarray = None):
     """Returns (W8 int8, corr int32, sub_lo, sub_hi).
 
     W8[m*L + r, l*L + c] = balanced limb m of (M[r, c] * 256^l mod P).
     corr adds back the x-side 128 offset; (sub_lo, sub_hi) is the u64 pair
     of sum_m 2^23 * 2^(8m) mod P (the plane-offset compensation).
 
-    row_scale: optional (K, L) u64 — per-variant row scalings (the
-    inter-factor twiddles, constant across an invocation's lanes, folded
-    into the matrix: variant k encodes diag(row_scale[k]) @ M). Then W8 is
-    (K, 9L, 8L) and corr is (K, 9L, 1); without it they are 2D/(9L, 1).
+    row_scale: optional (K, L) u64 — per-variant OUTPUT-row scalings (the
+    inter-factor twiddles / inverse weights, constant across a kernel
+    invocation's lanes): variant k encodes diag(row_scale[k]) @ M.
+    col_scale: optional (K, L) u64 — per-variant INPUT-column scalings
+    (the forward IBDWT weight r-parts): ... @ M @ diag(col_scale[k]).
+    With either, W8 is (K, 9L, 8L) and corr (K, 9L, 1); otherwise 2D.
     """
     M = dft_matrix(L, inverse)           # (L, L) u64
-    if row_scale is None:
+    if row_scale is None and col_scale is None:
         Mk = M[None]                     # K = 1
     else:
-        Mk = _mulmod_u64(row_scale[:, :, None], M[None])   # (K, L, L)
+        Mk = M[None]
+        if row_scale is not None:
+            Mk = _mulmod_u64(row_scale[:, :, None], Mk)    # (K, L, L)
+        if col_scale is not None:
+            Mk = _mulmod_u64(Mk, col_scale[:, None, :])
     K = Mk.shape[0]
     scales = np.array([pow(256, l, P) for l in range(8)], dtype=np.uint64)
     # (K, L, 8, L): entry [k, r, l, c] = M_k[r, c] * 256^l mod P
@@ -124,7 +131,7 @@ def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None):
             ).astype(np.int32)
     corr = corr.reshape(K, N_WPLANES * L, 1)
     sub = sum((OFF_PLANE << (8 * m)) for m in range(N_WPLANES)) % P
-    if row_scale is None:
+    if row_scale is None and col_scale is None:
         W8, corr = W8[0], corr[0]
     return (W8, corr,
             np.uint32(sub & 0xFFFFFFFF), np.uint32(sub >> 32))
