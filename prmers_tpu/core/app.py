@@ -194,7 +194,8 @@ def run_app(opts: Options, log=print) -> int:
                 wt.remove_first_processed()
                 entry = wt.first_entry()
             return exit_code
-        if opts.exponent == 0:
+        if opts.exponent == 0 and opts.mode not in ("bench", "tune",
+                                                    "memtest"):
             log("nothing to do: no exponent and no worktodo entries")
             return 2
         r, j = run_once(opts, log=log, gui=gui)

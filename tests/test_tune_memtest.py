@@ -42,3 +42,19 @@ class TestMemtest:
         from prmers_tpu.io.cli import parse_args
         assert parse_args(["521", "-memtest"]).mode == "memtest"
         assert parse_args(["-tune"]).mode == "tune"
+
+
+class TestAppDispatch:
+    def test_tune_via_app_no_exponent(self, tmp_path, monkeypatch):
+        from prmers_tpu.core.app import run_app
+        from prmers_tpu.io.options import Options
+        monkeypatch.chdir(tmp_path)
+        o = Options(exponent=521, mode="tune", backend="numpy",
+                    bench_iters=2, save_dir=str(tmp_path))
+        o.exponent = 0  # exponent-less invocation must still dispatch
+        # cap the ladder to the first entry for speed
+        from prmers_tpu.core import tune as tmod
+        monkeypatch.setattr(tmod, "TUNE_EXPONENTS", (127, 521))
+        rc = run_app(o, log=_silent)
+        assert rc in (0, 1)
+        assert tmod.load(str(tmp_path))
