@@ -54,9 +54,13 @@ def lookup(n: int, backend: str, save_dir: str = ".") -> float:
 
 
 def measure_ips(eng, iters: int = 64, warm: int = 8) -> float:
-    """Iterations/second of the PRP squaring chain on an engine."""
+    """Iterations/second of the PRP squaring chain on an engine.
+
+    The warm-up chain must have the SAME length as the timed one — the
+    sequence ops specialize on the chain length, so a different warm
+    length would leave the compile inside the timed region."""
     eng.set(0, 3)
-    eng.square_mul_seq(0, [1] * warm)
+    eng.square_mul_seq(0, [1] * iters)
     eng.sync()
     t0 = time.perf_counter()
     eng.square_mul_seq(0, [1] * iters)
