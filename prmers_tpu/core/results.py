@@ -35,7 +35,8 @@ def prp_residue(p: int, x: int) -> int:
 
 
 def res64_hex(v: int) -> str:
-    return f"{v & ((1 << 64) - 1):016x}"
+    # uppercase, matching the reference result JSON (res2048 is lowercase)
+    return f"{v & ((1 << 64) - 1):016X}"
 
 
 def res2048_hex(v: int) -> str:

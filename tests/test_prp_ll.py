@@ -101,3 +101,23 @@ def test_wagstaff(tmp_path):
     o = opts_for(134, tmp_path, mode="prp", wagstaff=True)
     r = run_prp_or_ll(o, log=quiet)
     assert r.wagstaff_prp is False
+
+
+@pytest.mark.slow
+def test_m100003_golden_res64_res2048():
+    """Reference unit_tests.sh:136-148 bit-exact residue literals."""
+    from prmers_tpu.core import results as res
+    o = Options(exponent=100003, mode="prp", backend="numpy", proof=False)
+    r = run_prp_or_ll(o, log=lambda *a: None)
+    assert not r.is_prime
+    assert r.res64 == "1CF45E9503C71FD6"
+    assert r.res2048.lower().endswith("1cf45e9503c71fd6")
+    assert r.res2048.lower() == (
+        "af262d00ed00a05d53e99d0e0e451b12405ddabe139fe8396a4c520b505bb65b"
+        "ed1609d3c8ef23bbb1d0f8140a6bcdd2c67f9c8aa3bd0e6eeb3e8e79db904810"
+        "c88de09820557176b389290f84f18424efa6a59fb9f132a74f53a83ba6e2f508"
+        "c617a5e1451c3ee08d179e6614026f973d1900602f2068a08894cd81ed5035de"
+        "9ded85909b1ee6ff4dc723118b79d3f940272ae1066aebe27c86338ad7edf70e"
+        "76c0e8abf3e985b73db2a06f1b742a9a908728be2bd4b7daa2d6aafc11bacaaa"
+        "40944e9a66b039cb0deaaa8e5e357cd54b81b3ec6661d55e48bacb994bfd3cbb"
+        "33f3f01d82347fa00578ec86c4cd7eb568a1463cf3e38dae1cf45e9503c71fd6")
