@@ -203,6 +203,9 @@ def run_app(opts: Options, log=print) -> int:
             append_results_txt(opts.results_path, j)
             write_individual_json(opts.save_dir, opts.exponent, opts.mode, j)
             log(j)
+        if opts.mode in ("bench", "tune", "memtest"):
+            errs = getattr(r, "errors", 0) + getattr(r, "roundtrip_errors", 0)
+            return 0 if not errs else 1
         is_prime = bool(getattr(r, "is_prime", False) or
                         getattr(r, "factor", 0) or
                         getattr(r, "wagstaff_prp", False) or
