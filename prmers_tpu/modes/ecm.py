@@ -61,7 +61,8 @@ class _FactorFound(Exception):
 
 
 def _inv_or_factor(a: int, n: int) -> int:
-    g = gmp.gcd(a % n, n)
+    a %= n
+    g = gmp.gcd(a, n)
     if g != 1:
         raise _FactorFound(g if g != n else 0)
     return gmp.invert(a, n)

@@ -52,7 +52,88 @@ RACC = 19
 GX, GY, GZ, GT = 20, 21, 22, 23              # giant point (stage 2)
 PD0, PD1, PD2, PD3 = 24, 25, 26, 27          # prepared step quad
 SX, SY, SZ, ST = 28, 29, 30, 31              # saved point scratch
-ED_BASE_REGS = 32
+BQ4, PD4 = 32, 33                            # 5th quad slots (a = +1 adds)
+ED_BASE_REGS = 34
+
+
+def _aux_mul(m: int, x0: int, y0: int, n: int):
+    """m * (x0, y0) on the auxiliary curve y^2 = x^3 + 4x over Z/n
+    (host arithmetic; a non-invertible denominator raises _FactorFound —
+    finding a factor during construction counts)."""
+    def inv(v):
+        return _inv_or_factor(v % n, n)
+
+    def dbl(P):
+        if P is None:
+            return None
+        x, y = P
+        if y % n == 0:
+            return None
+        lam = (3 * x * x + 4) * inv(2 * y) % n
+        x3 = (lam * lam - 2 * x) % n
+        return (x3, (lam * (x - x3) - y) % n)
+
+    def add(P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        if (P[0] - Q[0]) % n == 0:
+            if (P[1] + Q[1]) % n == 0:
+                return None
+            return dbl(P)
+        lam = (Q[1] - P[1]) * inv(Q[0] - P[0]) % n
+        x3 = (lam * lam - P[0] - Q[0]) % n
+        return (x3, (lam * (P[0] - x3) - P[1]) % n)
+
+    P0 = (x0 % n, y0 % n)
+    P = P0
+    for b in range(m.bit_length() - 2, -1, -1):
+        P = dbl(P)
+        if (m >> b) & 1:
+            P = add(P, P0)
+        if P is None:
+            return None
+    return P
+
+
+def torsion16_curve(seed: int, n: int) -> tuple[int, int, int]:
+    """a = +1 twisted Edwards curve with rational 16-torsion
+    (reference: the torsion-16 construction of
+    RunEcmTwistedEdwards.cpp:2228-2354 — point m*(4, 8) on y^2 = x^3+4x,
+    then alpha/r/t1 algebra yields (X0, Y0, d) with X0^2+Y0^2 = 1+d X0^2 Y0^2).
+    Raises _FactorFound when a construction inverse reveals a factor."""
+    for tries in range(128):
+        m = splitmix64(seed ^ 0x544F523136 ^ tries) | 1
+        if m < 3:
+            m += 2
+        try:
+            st = _aux_mul(m, 4, 8, n)
+            if st is None:
+                continue
+            s, t = st
+            alpha = (t + 8) * _inv_or_factor(s - 4, n) % n
+            a2 = alpha * alpha % n
+            r = (8 + 2 * alpha) * _inv_or_factor(8 - a2, n) % n
+            t1 = pow(2 * r - 1, 2, n)
+            d = (8 * r * r - 8 * r + 1) * _inv_or_factor(t1 * t1 % n, n) % n
+            if d in (0, 1, n - 1):
+                continue
+            x0 = ((8 - a2) * (2 * r * r - 1)
+                  ) * _inv_or_factor(2 * s - a2 + 4, n) % n
+            y0 = t1 * _inv_or_factor(4 * r - 3, n) % n
+            if x0 == 0 or y0 == 0:
+                continue
+            lhs = (x0 * x0 + y0 * y0) % n
+            rhs = (1 + d * x0 % n * x0 % n * y0 % n * y0) % n
+            if lhs != rhs:
+                continue
+            return x0, y0, d
+        except _FactorFound as f:
+            if f.f:
+                raise
+            continue
+    raise _FactorFound(0)   # no usable curve from this seed
 
 
 def edwards_curve(seed: int, n: int) -> tuple[int, int, int]:
@@ -68,12 +149,17 @@ def edwards_curve(seed: int, n: int) -> tuple[int, int, int]:
 
 
 class EdOps:
-    """Extended twisted-Edwards point ops over engine registers."""
+    """Extended twisted-Edwards point ops over engine registers.
 
-    def __init__(self, eng: Engine, n: int, d: int):
+    a_sign selects the curve family: -1 uses the ed25519 forms (generic
+    d-from-point curves); +1 the general-a HWCD forms (torsion-16 family,
+    whose prepared quads carry a fifth element X2+Y2)."""
+
+    def __init__(self, eng: Engine, n: int, d: int, a_sign: int = -1):
         self.e = eng
         self.n = n
         self.d = d
+        self.a_sign = a_sign
         eng.set_int(TA, (2 * d) % n)
         eng.set_multiplicand(R2D, TA)
         eng.set_int(TA, d)
@@ -88,35 +174,65 @@ class EdOps:
         e.set(EZ, 1)
         e.set_int(ET, x0 * y0 % n)
 
+    def _q5(self, q0: int) -> int:
+        """Register of a quad's fifth element (a = +1 layout)."""
+        return BQ4 if q0 == BQ0 else PD4
+
     def prep_quad_host(self, q0: int, x0: int, y0: int):
         """Prepared quad of an affine host point into regs q0..q0+3."""
         e = self.e
         n = self.n
-        e.set_int(TA, (y0 - x0) % n)
+        if self.a_sign == -1:
+            e.set_int(TA, (y0 - x0) % n)
+            e.set_multiplicand(q0, TA)
+            e.set_int(TA, (y0 + x0) % n)
+            e.set_multiplicand(q0 + 1, TA)
+            e.set_int(TA, 2 * self.d % n * (x0 * y0 % n) % n)
+            e.set_multiplicand(q0 + 2, TA)
+            e.set(TA, 2)
+            e.set_multiplicand(q0 + 3, TA)
+            return
+        e.set_int(TA, x0 % n)
         e.set_multiplicand(q0, TA)
-        e.set_int(TA, (y0 + x0) % n)
+        e.set_int(TA, y0 % n)
         e.set_multiplicand(q0 + 1, TA)
-        e.set_int(TA, 2 * self.d % n * (x0 * y0 % n) % n)
+        e.set_int(TA, self.d * (x0 * y0 % n) % n)
         e.set_multiplicand(q0 + 2, TA)
-        e.set(TA, 2)
+        e.set(TA, 1)
         e.set_multiplicand(q0 + 3, TA)
+        e.set_int(TA, (x0 + y0) % n)
+        e.set_multiplicand(self._q5(q0), TA)
 
     def prep_quad_reg(self, q0: int, px: int, py: int, pz: int, pt: int):
         """Prepared quad of a register point (clobbers TA/TB)."""
         e = self.e
-        e.copy(TA, py)
-        e.sub_reg(TA, px)
+        if self.a_sign == -1:
+            e.copy(TA, py)
+            e.sub_reg(TA, px)
+            e.set_multiplicand(q0, TA)
+            e.copy(TA, py)
+            e.add(TA, px)
+            e.set_multiplicand(q0 + 1, TA)
+            e.copy(TA, pt)
+            e.mul(TA, R2D)
+            e.set_multiplicand(q0 + 2, TA)
+            e.copy(TA, pz)
+            e.copy(TB, pz)
+            e.add(TA, TB)
+            e.set_multiplicand(q0 + 3, TA)
+            return
+        e.copy(TA, px)
         e.set_multiplicand(q0, TA)
         e.copy(TA, py)
-        e.add(TA, px)
         e.set_multiplicand(q0 + 1, TA)
         e.copy(TA, pt)
-        e.mul(TA, R2D)
+        e.mul(TA, RDM)                    # d * T2 (a=+1 uses d, not 2d)
         e.set_multiplicand(q0 + 2, TA)
         e.copy(TA, pz)
-        e.copy(TB, pz)
-        e.add(TA, TB)
         e.set_multiplicand(q0 + 3, TA)
+        e.copy(TA, px)
+        e.add(TA, py)
+        e.set_multiplicand(self._q5(q0), TA)
 
     # -- group ops ---------------------------------------------------------
     def dbl(self):
@@ -133,49 +249,101 @@ class EdOps:
         e.copy(TE, EX)
         e.add(TE, EY)
         e.square_mul(TE)                 # (X+Y)^2
+        if self.a_sign == -1:
+            e.copy(TH, TA)
+            e.add(TH, TB)                # H = A + B
+            e.copy(TG, TA)
+            e.sub_reg(TG, TB)            # G = A - B
+            e.copy(TA, TH)
+            e.sub_reg(TA, TE)            # E = H - (X+Y)^2
+            e.copy(TB, TC)
+            e.add(TB, TG)                # F = C + G
+            e.set_multiplicand(M_E, TA)
+            e.set_multiplicand(M_G, TG)
+            e.copy(EX, TB)
+            e.mul(EX, M_E)               # X3 = E*F
+            e.copy(ET, TH)
+            e.mul(ET, M_E)               # T3 = E*H
+            e.copy(EY, TH)
+            e.mul(EY, M_G)               # Y3 = G*H
+            e.copy(EZ, TB)
+            e.mul(EZ, M_G)               # Z3 = F*G
+            return
+        # a = +1 (dbl-2008-hwcd with a=1):
+        # E=(X+Y)^2-A-B, G=A+B, F=G-C, H=A-B
         e.copy(TH, TA)
-        e.add(TH, TB)                    # H = A + B
+        e.add(TH, TB)                    # G = A + B
         e.copy(TG, TA)
-        e.sub_reg(TG, TB)                # G = A - B
-        e.copy(TA, TH)
-        e.sub_reg(TA, TE)                # E = H - (X+Y)^2
-        e.copy(TB, TC)
-        e.add(TB, TG)                    # F = C + G
-        e.set_multiplicand(M_E, TA)
-        e.set_multiplicand(M_G, TG)
-        e.copy(EX, TB)
+        e.sub_reg(TG, TB)                # H = A - B
+        e.copy(TD, TE)
+        e.sub_reg(TD, TH)                # E = (X+Y)^2 - (A+B)
+        e.copy(TE, TH)
+        e.sub_reg(TE, TC)                # F = G - C
+        e.set_multiplicand(M_E, TD)
+        e.set_multiplicand(M_G, TH)      # multiplicand of G
+        e.copy(EX, TE)
         e.mul(EX, M_E)                   # X3 = E*F
-        e.copy(ET, TH)
+        e.copy(ET, TG)
         e.mul(ET, M_E)                   # T3 = E*H
-        e.copy(EY, TH)
+        e.copy(EY, TG)
         e.mul(EY, M_G)                   # Y3 = G*H
-        e.copy(EZ, TB)
+        e.copy(EZ, TE)
         e.mul(EZ, M_G)                   # Z3 = F*G
 
     def add_quad(self, q0: int):
         """(EX:EY:EZ:ET) += point whose prepared quad is at q0..q0+3."""
         e = self.e
-        e.copy(TA, EY)
-        e.sub_reg(TA, EX)
-        e.mul(TA, q0)                    # A = (Y1-X1)(Y2-X2)
+        if self.a_sign == -1:
+            e.copy(TA, EY)
+            e.sub_reg(TA, EX)
+            e.mul(TA, q0)                # A = (Y1-X1)(Y2-X2)
+            e.copy(TB, EY)
+            e.add(TB, EX)
+            e.mul(TB, q0 + 1)            # B = (Y1+X1)(Y2+X2)
+            e.copy(TC, ET)
+            e.mul(TC, q0 + 2)            # C = T1 * 2d T2
+            e.copy(TD, EZ)
+            e.mul(TD, q0 + 3)            # D = Z1 * 2 Z2
+            e.addsub(TH, TE, TB, TA)     # H = B+A, E = B-A
+            e.addsub(TG, TB, TD, TC)     # G = D+C, F (TB) = D-C
+            e.set_multiplicand(M_E, TE)
+            e.set_multiplicand(M_G, TG)
+            e.copy(EX, TB)
+            e.mul(EX, M_E)               # X3 = E*F
+            e.copy(ET, TH)
+            e.mul(ET, M_E)               # T3 = E*H
+            e.copy(EY, TH)
+            e.mul(EY, M_G)               # Y3 = G*H
+            e.copy(EZ, TB)
+            e.mul(EZ, M_G)               # Z3 = F*G
+            return
+        # a = +1 (add-2008-hwcd, a=1): A=X1*X2, B=Y1*Y2, C=d*T1*T2,
+        # D=Z1*Z2, E=(X1+Y1)(X2+Y2)-A-B, F=D-C, G=D+C, H=B-A
+        e.copy(TA, EX)
+        e.mul(TA, q0)                    # A
         e.copy(TB, EY)
-        e.add(TB, EX)
-        e.mul(TB, q0 + 1)                # B = (Y1+X1)(Y2+X2)
+        e.mul(TB, q0 + 1)                # B
         e.copy(TC, ET)
-        e.mul(TC, q0 + 2)                # C = T1 * 2d T2
+        e.mul(TC, q0 + 2)                # C = T1 * d T2
         e.copy(TD, EZ)
-        e.mul(TD, q0 + 3)                # D = Z1 * 2 Z2
-        e.addsub(TH, TE, TB, TA)         # H = B+A, E = B-A
-        e.addsub(TG, TB, TD, TC)         # G = D+C, F = B-... (TB = D-C)
+        e.mul(TD, q0 + 3)                # D
+        e.copy(TE, EX)
+        e.add(TE, EY)
+        e.mul(TE, self._q5(q0))          # (X1+Y1)(X2+Y2)
+        e.sub_reg(TE, TA)
+        e.sub_reg(TE, TB)                # E
+        e.addsub(TG, TD, TD, TC)         # G = D+C, F (TD) = D-C
+        e.copy(TH, TB)
+        e.sub_reg(TH, TA)                # H = B - A
         e.set_multiplicand(M_E, TE)
         e.set_multiplicand(M_G, TG)
-        e.copy(EX, TB)
+        e.copy(EX, TD)
         e.mul(EX, M_E)                   # X3 = E*F
         e.copy(ET, TH)
         e.mul(ET, M_E)                   # T3 = E*H
         e.copy(EY, TH)
         e.mul(EY, M_G)                   # Y3 = G*H
-        e.copy(EZ, TB)
+        e.copy(EZ, TD)
         e.mul(EZ, M_G)                   # Z3 = F*G
 
     def scalar_mul_quad(self, k: int, q0: int):
@@ -188,13 +356,16 @@ class EdOps:
 
     # -- checks -------------------------------------------------------------
     def invariant_ok(self) -> bool:
-        """-X^2 + Y^2 == Z^2 + d T^2 (projective curve equation)."""
+        """a X^2 + Y^2 == Z^2 + d T^2 (projective curve equation)."""
         e = self.e
         e.copy(TA, EY)
         e.square_mul(TA)
         e.copy(TB, EX)
         e.square_mul(TB)
-        e.sub_reg(TA, TB)
+        if self.a_sign == -1:
+            e.sub_reg(TA, TB)
+        else:
+            e.add(TA, TB)
         e.copy(TB, EZ)
         e.square_mul(TB)
         e.copy(TC, ET)
@@ -362,17 +533,21 @@ def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
     seed0 = opts.curve_seed or 0x5EED
     check_every = getattr(opts, "ecm_check_interval", 0) or 0
     result = EcmResult(p=p, b1=opts.b1, b2=opts.b2, curves=K)
+    use_t16 = getattr(opts, "torsion", 0) == 16
     for c in range(K):
         seed = splitmix64(seed0 + c)
         try:
-            x0, y0, d = edwards_curve(seed, n)
+            if use_t16:
+                x0, y0, d = torsion16_curve(seed, n)
+            else:
+                x0, y0, d = edwards_curve(seed, n)
         except _FactorFound as f:
             if f.f:
                 result.factor, result.stage = f.f, 0
                 result.factor_sigma, result.factor_curve = seed, c
                 break
             continue
-        ops = EdOps(eng, n, d)
+        ops = EdOps(eng, n, d, a_sign=1 if use_t16 else -1)
         try:
             _stage1(ops, x0, y0, opts.b1, check_every, log)
         except _GlRetry:

@@ -108,3 +108,48 @@ class TestEcmEdwardsFactors:
                     curve_seed=1, backend="numpy")
         r = run_ecm_edwards(o, log=_silent)
         assert r.factor == 193707721
+
+
+class TestTorsion16:
+    """a = +1 torsion-16 family (reference's opt-in -torsion 16)."""
+
+    def test_curve_on_curve(self):
+        from prmers_tpu.modes.ecm_edwards import torsion16_curve
+        n = (1 << 101) - 1
+        x0, y0, d = torsion16_curve(7, n)
+        assert (x0 * x0 + y0 * y0) % n == \
+            (1 + d * x0 % n * x0 % n * y0 % n * y0) % n
+
+    def _host_add_a1(self, p1, p2, d, n):
+        x1, y1 = p1
+        x2, y2 = p2
+        dx = d * x1 % n * x2 % n * y1 % n * y2 % n
+        x3 = (x1 * y2 + y1 * x2) % n * gmp.invert((1 + dx) % n, n) % n
+        y3 = (y1 * y2 - x1 * x2) % n * gmp.invert((1 - dx) % n, n) % n
+        return (x3, y3)
+
+    def test_group_law_a1(self):
+        from prmers_tpu.modes.ecm_edwards import torsion16_curve
+        P = 127
+        n = (1 << P) - 1
+        x0, y0, d = torsion16_curve(3, n)
+        eng = create_engine(P, ED_BASE_REGS, backend="numpy")
+        ops = EdOps(eng, n, d, a_sign=1)
+        ops.set_affine(x0, y0)
+        ops.prep_quad_host(BQ0, x0, y0)
+        assert ops.invariant_ok()
+        ops.dbl()
+        assert ops.invariant_ok()
+        want = self._host_add_a1((x0, y0), (x0, y0), d, n)
+        assert _affine(eng, n) == want
+        ops.add_quad(BQ0)
+        assert ops.invariant_ok()
+        want = self._host_add_a1(want, (x0, y0), d, n)
+        assert _affine(eng, n) == want
+
+    def test_m29_factor_with_torsion(self):
+        o = Options(exponent=29, mode="ecm", b1=300, b2=0, curves=4,
+                    curve_seed=11, torsion=16, backend="numpy")
+        r = run_ecm_edwards(o, log=_silent)
+        assert r.factor > 1
+        assert ((1 << 29) - 1) % r.factor == 0
