@@ -121,3 +121,28 @@ def test_m100003_golden_res64_res2048():
         "76c0e8abf3e985b73db2a06f1b742a9a908728be2bd4b7daa2d6aafc11bacaaa"
         "40944e9a66b039cb0deaaa8e5e357cd54b81b3ec6661d55e48bacb994bfd3cbb"
         "33f3f01d82347fa00578ec86c4cd7eb568a1463cf3e38dae1cf45e9503c71fd6")
+
+
+def test_m11213_interval_res64_stream():
+    """Reference unit_tests.sh:163-186: intermediate res64 every 1000
+    iterations must match the golden stream bit-exactly."""
+    golden = {
+        1000: "FBA631FBCB73A011", 2000: "F01283650C4A1491",
+        3000: "7E79193B757010B7", 4000: "31482E4D80FE99BB",
+        5000: "973B76BACF73BBEF", 6000: "8CFFB332495FC320",
+        7000: "98080C76DF068843", 8000: "8FDA516F885D3FEE",
+        9000: "2AADBC4F1E318E92", 10000: "0A4AAF339C8B290C",
+        11000: "A1F26F470CFE412D",
+    }
+    logs = []
+    o = Options(exponent=11213, mode="prp", backend="numpy", proof=False,
+                res64_display_interval=1000)
+    r = run_prp_or_ll(o, log=lambda *a: logs.append(" ".join(map(str, a))))
+    assert r.is_prime
+    seen = {}
+    for line in logs:
+        if "Res64:" in line and "Iter:" in line:
+            it = int(line.split("Iter:")[1].split("|")[0].strip())
+            seen[it] = line.split("Res64:")[1].strip()
+    for it, want in golden.items():
+        assert seen.get(it) == want, (it, seen.get(it))
