@@ -22,7 +22,7 @@ _WORKLOAD = "generic"
 
 def configure_backend(backend: str, workload: str = "generic") -> None:
     global _BACKEND, _WORKLOAD
-    assert backend in ("auto", "jax", "numpy", "pallas")
+    assert backend in ("auto", "jax", "numpy", "pallas", "sharded")
     _BACKEND = backend
     _WORKLOAD = workload
 
@@ -76,6 +76,9 @@ def create_engine(p: int, reg_count: int, backend: str | None = None,
             inner = create_engine(p, budget, backend=b, device=device,
                                   arith="gl64")
             return PagedEngine(inner, reg_count)
+    if b == "sharded":
+        from ..parallel.sharded import ShardedEngine
+        return ShardedEngine(p, reg_count)
     if b == "pallas":
         from .pallas_engine import PallasEngine
         return PallasEngine(p, reg_count)

@@ -66,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Wagstaff PRP (exponent = 2q)")
 
     ap.add_argument("-backend", default="auto",
-                    choices=["auto", "pallas", "jax", "numpy"])
+                    choices=["auto", "pallas", "jax", "numpy", "sharded"])
     ap.add_argument("-arith", default="auto",
                     choices=["auto", "gl64", "fft3161"],
                     help="arithmetic path: Goldilocks (gl64) or the "

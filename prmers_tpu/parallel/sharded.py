@@ -204,3 +204,105 @@ class ShardedSquareStep:
     def step(self, src: int = 0, a: int = 1):
         self.regs = self._step(self.regs, jnp.int32(src), jnp.uint64(a))
         return self.regs
+
+
+# ---------------------------------------------------------------------------
+# Engine over the mesh: the hot squaring chain runs through the shard_map
+# collectives; cold register ops (GL bookkeeping, residue export) ride
+# host round trips — they happen once per block, not per iteration.
+# ---------------------------------------------------------------------------
+
+from ..engine.api import Engine, Reg      # noqa: E402
+from ..utils import digits as dgu         # noqa: E402
+from ..utils import gmp as gmpu           # noqa: E402
+import numpy as np                        # noqa: E402
+
+
+class ShardedEngine(Engine):
+    """Engine whose squaring chain is the explicit shard_map pipeline."""
+
+    def __init__(self, p: int, reg_count: int, mesh: Mesh | None = None):
+        super().__init__(p, reg_count)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tables = ShardedEngineTables(p, self.mesh)
+        self.plan = self.tables.plan
+        self.n = self.plan.n
+        self.mp = (1 << p) - 1
+        rs = NamedSharding(self.mesh, P(None, LIMB))
+        self.regs = jax.device_put(
+            jnp.zeros((reg_count, self.n), dtype=jnp.uint64), rs)
+        self._step = build_sharded_square(self.tables)
+        self._mult: dict[int, int] = {}   # multiplicand host values
+
+    # -- helpers -----------------------------------------------------------
+    def get_size(self) -> int:
+        return self.n
+
+    @property
+    def widths(self) -> np.ndarray:
+        return self.plan.widths
+
+    def _host_int(self, r: Reg) -> int:
+        d = np.asarray(self.regs[r])
+        v = dgu.digits_to_int(d, self.plan.widths)
+        return v % self.mp
+
+    def _put_int(self, r: Reg, v: int) -> None:
+        d = dgu.int_to_digits(v % self.mp, self.plan.widths)
+        self.regs = self.regs.at[r].set(jnp.asarray(d))
+
+    # -- hot path ----------------------------------------------------------
+    def square_mul(self, src: Reg, a: int = 1) -> None:
+        self.regs = self._step(self.regs, jnp.int32(src), jnp.uint64(a))
+        self._mult.pop(src, None)
+
+    # -- cold ops (host-routed) --------------------------------------------
+    def set(self, dst: Reg, a: int) -> None:
+        self._put_int(dst, a)
+
+    def copy(self, dst: Reg, src: Reg) -> None:
+        self.regs = self.regs.at[dst].set(self.regs[src])
+        if src in self._mult:
+            self._mult[dst] = self._mult[src]
+        else:
+            self._mult.pop(dst, None)
+
+    def set_multiplicand(self, dst: Reg, src: Reg) -> None:
+        self._mult[dst] = self._host_int(src)
+
+    def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
+        v = gmpu.mulmod(self._host_int(dst), self._mult[src], self.mp)
+        if a != 1:
+            v = v * a % self.mp
+        self._put_int(dst, v)
+
+    def sub(self, src: Reg, a: int) -> None:
+        self._put_int(src, (self._host_int(src) - a) % self.mp)
+
+    def add_small(self, src: Reg, a: int) -> None:
+        self._put_int(src, (self._host_int(src) + a) % self.mp)
+
+    def add(self, dst: Reg, src: Reg) -> None:
+        self._put_int(dst, (self._host_int(dst) + self._host_int(src))
+                      % self.mp)
+
+    def sub_reg(self, dst: Reg, src: Reg) -> None:
+        self._put_int(dst, (self._host_int(dst) - self._host_int(src))
+                      % self.mp)
+
+    # -- host exchange -----------------------------------------------------
+    def get_digits(self, src: Reg) -> np.ndarray:
+        return np.asarray(self.regs[src]).copy()
+
+    def set_digits(self, dst: Reg, digits: np.ndarray) -> None:
+        self.regs = self.regs.at[dst].set(
+            jnp.asarray(digits.astype(np.uint64)))
+
+    def get_raw(self, src: Reg) -> np.ndarray:
+        return self.get_digits(src)
+
+    def set_raw(self, dst: Reg, data: np.ndarray) -> None:
+        self.set_digits(dst, np.asarray(data, dtype=np.uint64))
+
+    def sync(self) -> None:
+        jax.block_until_ready(self.regs)

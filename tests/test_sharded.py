@@ -62,3 +62,29 @@ class TestShardedSquare:
         d = jax.device_put(jnp.asarray(host), NamedSharding(mesh8, P("limb")))
         r = int(sharded.psum_res64(tb, d))
         assert r == v & 0xFFFFFFFFFFFFFFFF
+
+
+class TestShardedEngine:
+    def test_prp_m1279_over_mesh(self, mesh8):
+        """Full mode-level PRP (with Gerbicz-Li blocks) where every hot
+        squaring runs through the shard_map collectives."""
+        from prmers_tpu.io.options import Options
+        from prmers_tpu.modes.prp_ll import run_prp_or_ll
+        from prmers_tpu.parallel.sharded import ShardedEngine
+
+        eng = ShardedEngine(1279, 8, mesh8)
+        o = Options(exponent=1279, mode="prp", backend="sharded",
+                    proof=False)
+        r = run_prp_or_ll(o, eng=eng, log=lambda *a: None)
+        assert r.is_prime
+
+    def test_ll_m3217_over_mesh(self, mesh8):
+        from prmers_tpu.io.options import Options
+        from prmers_tpu.modes.prp_ll import run_prp_or_ll
+        from prmers_tpu.parallel.sharded import ShardedEngine
+
+        eng = ShardedEngine(3217, 8, mesh8)
+        o = Options(exponent=3217, mode="ll", backend="sharded",
+                    proof=False)
+        r = run_prp_or_ll(o, eng=eng, log=lambda *a: None)
+        assert r.is_prime
