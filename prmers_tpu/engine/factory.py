@@ -86,6 +86,9 @@ def create_engine(p: int, reg_count: int, backend: str | None = None,
         from .np_engine import NumpyEngine
         return NumpyEngine(p, reg_count)
     if b == "jax":
-        from .jax_engine import JaxEngine
+        from ..core.plan import cached_plan
+        from .jax_engine import ROW_MODE_MIN_N, JaxEngine, JaxRowEngine
+        if cached_plan(p).n >= ROW_MODE_MIN_N:
+            return JaxRowEngine(p, reg_count, device=device)
         return JaxEngine(p, reg_count, device=device)
     raise ValueError(f"unknown backend {b!r}")

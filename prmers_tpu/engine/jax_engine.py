@@ -119,12 +119,18 @@ _TABLES_CACHE: dict = {}
 
 
 def _get_tables(plan: Plan, device) -> ntt.NttTables:
-    """Build all transform tables on device in ONE jitted program (cached)."""
+    """Build all transform tables on device in ONE jitted program (cached).
+    Huge transforms use compact widths (u8, masks derived in-op)."""
+    compact = plan.n >= (1 << 25)
     key = (plan.p, plan.n, repr(device))
     if key not in _TABLES_CACHE:
         with jax.default_device(device):
-            build = jax.jit(lambda: ntt.NttTables.from_plan(plan, jnp))
-            t = build()
+            w64 = jax.device_put(plan.widths.astype(np.uint64),
+                                 device=device)
+            build = jax.jit(functools.partial(
+                lambda w, c: ntt.NttTables.from_plan(
+                    plan, jnp, widths_arg=w, compact_widths=c), c=compact))
+            t = build(w64)
             jax.block_until_ready(jax.tree_util.tree_leaves(t))
         _TABLES_CACHE[key] = t
     return _TABLES_CACHE[key]
@@ -244,6 +250,187 @@ class JaxEngine(Engine):
 
     def get_raw(self, src: Reg) -> np.ndarray:
         return np.asarray(self.regs[src])
+
+    def set_raw(self, dst: Reg, data: np.ndarray) -> None:
+        self.set_digits(dst, data)
+
+
+# ---------------------------------------------------------------------------
+# Row-mode variant for huge transforms: the (reg_count, n) u64 slab pads
+# its sublane dim to 8 rows on TPU (a fixed ~8n*8B cost however few rows)
+# and every slab op materializes whole-slab x64-split temps. Beyond
+# n = 2^25 each register lives as its own (n,) array and ops are
+# row-wise. No donation: register aliasing after copy() makes donated
+# buffers unsafe.
+# ---------------------------------------------------------------------------
+
+ROW_MODE_MIN_N = 1 << 25
+
+
+@jax.jit
+def rop_square(t, x, a):
+    return _square(t, x, a)
+
+
+@jax.jit
+def rop_square_seq(t, x, a_vec):
+    def body(x, a):
+        return _square(t, x, a), None
+    x, _ = lax.scan(body, x, a_vec)
+    return x
+
+
+@jax.jit
+def rop_square_sub2_seq(t, x, count, delta):
+    def body(i, x):
+        x = _square(t, x, jnp.uint64(1))
+        return _carry(t, x + delta, 1)
+    return lax.fori_loop(0, count, body, x)
+
+
+@jax.jit
+def rop_fwd(t, x):
+    return ntt.forward(F, t, x).reshape(t.n)
+
+
+@jax.jit
+def rop_mul(t, x, m, a):
+    s = ntt.forward(F, t, x)
+    y = ntt.inverse(F, t, F.mul(s, m.reshape(t.C, t.R)))
+    return _carry(t, y, a)
+
+
+@jax.jit
+def rop_add(t, x, y):
+    return _carry(t, x + y, 1)
+
+
+def _masks_of(t):
+    if t.masks is not None:
+        return t.masks
+    return (jnp.uint64(1) << t.widths.astype(jnp.uint64)) - jnp.uint64(1)
+
+
+@jax.jit
+def rop_sub_reg(t, x, y):
+    return _carry(t, x + (_masks_of(t) - y), 1)
+
+
+@jax.jit
+def rop_add_vec(t, x, vec):
+    return _carry(t, x + vec, 1)
+
+
+@jax.jit
+def rop_addsub(t, a, b):
+    m = _masks_of(t)
+    return _carry(t, a + b, 1), _carry(t, a + (m - b), 1)
+
+
+class JaxRowEngine(JaxEngine):
+    """JaxEngine with per-register (n,) arrays instead of the 2D slab."""
+
+    def __init__(self, p: int, reg_count: int, plan: Plan | None = None,
+                 device=None):
+        Engine.__init__(self, p, reg_count)
+        self.plan = plan if plan is not None else cached_plan(p)
+        self.device = device if device is not None else jax.devices()[0]
+        self.t = _get_tables(self.plan, self.device)
+        n = self.plan.n
+        zero = jax.device_put(jnp.zeros(n, dtype=jnp.uint64), self.device)
+        self.rows = [zero for _ in range(reg_count)]
+        self._sub_cache = {}
+
+    def copy(self, dst: Reg, src: Reg) -> None:
+        self.rows[dst] = self.rows[src]
+
+    def square_mul(self, src: Reg, a: int = 1) -> None:
+        self.rows[src] = rop_square(self.t, self.rows[src], self._u64(a))
+
+    _SCAN_MAX_N = 1 << 26   # the scanned chain double-buffers the row;
+    # beyond this the scan program alone overflows HBM — loop singles
+    # (dispatch overhead is noise against ~1 s/iteration at such sizes)
+
+    def square_mul_seq(self, src: Reg, a_vec: Sequence[int]) -> None:
+        a = np.asarray(a_vec, dtype=np.uint64)
+        if self.plan.n > self._SCAN_MAX_N:
+            for ai in a.tolist():
+                self.rows[src] = rop_square(self.t, self.rows[src],
+                                            jnp.uint64(ai))
+            return
+        k = self._SEQ_CHUNK
+        off = 0
+        while len(a) - off >= k:
+            self.rows[src] = rop_square_seq(self.t, self.rows[src],
+                                            jnp.asarray(a[off:off + k]))
+            off += k
+        if len(a) - off > 0:
+            self.rows[src] = rop_square_seq(self.t, self.rows[src],
+                                            jnp.asarray(a[off:]))
+
+    def square_sub2_seq(self, src: Reg, count: int) -> None:
+        if count <= 0:
+            return
+        self.rows[src] = rop_square_sub2_seq(
+            self.t, self.rows[src], jnp.int64(count), self._delta_vec(2))
+
+    def set_multiplicand(self, dst: Reg, src: Reg) -> None:
+        self.rows[dst] = rop_fwd(self.t, self.rows[src])
+
+    def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
+        self.rows[dst] = rop_mul(self.t, self.rows[dst], self.rows[src],
+                                 self._u64(a))
+
+    def add(self, dst: Reg, src: Reg) -> None:
+        self.rows[dst] = rop_add(self.t, self.rows[dst], self.rows[src])
+
+    def sub_reg(self, dst: Reg, src: Reg) -> None:
+        self.rows[dst] = rop_sub_reg(self.t, self.rows[dst], self.rows[src])
+
+    def addsub(self, sum_out: Reg, diff_out: Reg, a: Reg, b: Reg) -> None:
+        s, d = rop_addsub(self.t, self.rows[a], self.rows[b])
+        self.rows[sum_out] = s
+        self.rows[diff_out] = d
+
+    def sub(self, src: Reg, a: int) -> None:
+        self.rows[src] = rop_add_vec(self.t, self.rows[src],
+                                     self._delta_vec(a))
+
+    def add_small(self, src: Reg, a: int) -> None:
+        from ..utils import digits as dg
+        vec = jnp.asarray(dg.int_to_digits(a, self.widths))
+        self.rows[src] = rop_add_vec(self.t, self.rows[src], vec)
+
+    def sync(self) -> None:
+        jax.block_until_ready(self.rows)
+        np.asarray(self.rows[0][0:1])
+
+    _XFER_CHUNK = 1 << 24   # 128 MB host-transfer pieces
+
+    def get_digits(self, src: Reg) -> np.ndarray:
+        row = self.rows[src]
+        n = row.shape[0]
+        ch = self._XFER_CHUNK
+        if n <= ch:
+            return np.asarray(row)
+        # chunked device->host: a whole-row transfer needs a contiguous
+        # staging buffer that a fragmented HBM may not have
+        return np.concatenate([np.asarray(row[i:i + ch])
+                               for i in range(0, n, ch)])
+
+    def set_digits(self, dst: Reg, digits: np.ndarray) -> None:
+        host = np.asarray(digits, dtype=np.uint64)
+        n = host.shape[0]
+        ch = self._XFER_CHUNK
+        if n <= ch:
+            self.rows[dst] = jax.device_put(jnp.asarray(host), self.device)
+            return
+        parts = [jax.device_put(jnp.asarray(host[i:i + ch]), self.device)
+                 for i in range(0, n, ch)]
+        self.rows[dst] = jnp.concatenate(parts)
+
+    def get_raw(self, src: Reg) -> np.ndarray:
+        return self.get_digits(src)
 
     def set_raw(self, dst: Reg, data: np.ndarray) -> None:
         self.set_digits(dst, data)

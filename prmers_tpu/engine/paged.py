@@ -142,12 +142,21 @@ class PagedEngine(Engine):
 
 
 def device_reg_budget(n: int, hbm_bytes: int | None = None) -> int:
-    """How many n-word u64 registers fit the device (with ~25% headroom
-    for tables, spectral temps and XLA workspace)."""
+    """How many n-word u64 registers fit the device.
+
+    Tables (weights/masks/widths/mids ~ 5 register-equivalents) and XLA
+    transform temporaries (~4 more) are charged as a fixed overhead of 9
+    register-equivalents, so huge transforms get a genuinely small slot
+    count instead of OOMing (measured: n=5*2^25 needs <= 3 slots on a
+    16 GB v5e)."""
     import os
     env = os.environ.get("PRMERS_MAX_DEVICE_REGS")
     if env:
-        return max(int(env), 4)
+        return max(int(env), 2)
     if hbm_bytes is None:
-        hbm_bytes = 12 << 30   # conservative v5e default
-    return max(int(hbm_bytes * 0.75) // (8 * n), 4)
+        hbm_bytes = int(15.5 * (1 << 30))   # usable HBM of a 16 GB v5e
+    total = int(hbm_bytes * 0.95) // (8 * n)
+    # fixed overhead: tables ~5 register-equivalents + XLA transform
+    # temporaries ~4-5 + a transient host-transfer buffer. Every primitive
+    # op pins at most two registers, so 2 slots always suffice.
+    return max(total - 11, 2)

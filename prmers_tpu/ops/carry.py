@@ -22,6 +22,12 @@ def split(F: FieldOps, y, widths, masks):
 
 
 def carry_full(F: FieldOps, y, widths, masks, a, lax=None):
+    """masks may be None (compact-table mode): derived transiently from
+    widths, which may then be a narrow dtype (u8) to save HBM at huge n."""
+    xp = F.xp
+    if masks is None:
+        widths = widths.astype(xp.uint64)
+        masks = (xp.uint64(1) << widths) - xp.uint64(1)
     """Exact normalization of digit vector y (values < P), optional small mul a.
 
     Returns digits d with d[j] < 2^width[j] and value == (sum y_j 2^(q_j)) * a

@@ -139,7 +139,11 @@ class NttTables:
     carry_rounds: int   # static carry-injection rounds before the fixup loop
 
     @classmethod
-    def from_plan(cls, plan: Plan, xp, device_put=None):
+    def from_plan(cls, plan: Plan, xp, device_put=None, widths_arg=None,
+                  compact_widths=False):
+        """widths_arg: pass the (n,) u64 widths as a traced argument when
+        building under jit — embedded as a constant it blows the remote
+        compiler's program-size limit at n ~ 1e8 (HTTP 413)."""
         put = device_put if device_put is not None else (lambda a: xp.asarray(a))
         F = FieldOps(xp)
         p, n, R, C = plan.p, plan.n, plan.R, plan.C
@@ -176,8 +180,16 @@ class NttTables:
         mid_t1 = powers_matrix(F, base_t, jhi)
         mid_t1i = powers_matrix(F, base_ti, jhi)
 
-        widths64 = put(plan.widths.astype(np.uint64))
-        masks = (xp.uint64(1) << widths64) - xp.uint64(1)
+        widths64 = widths_arg if widths_arg is not None else \
+            put(plan.widths.astype(np.uint64))
+        if compact_widths:
+            # widths as u8 and NO materialized masks: at n ~ 1e8 the two
+            # u64 tables would cost 2.6 GB of always-resident HBM; the
+            # carry derives masks transiently instead
+            widths64 = widths64.astype(xp.uint8)
+            masks = None
+        else:
+            masks = (xp.uint64(1) << widths64) - xp.uint64(1)
 
         # number of carry rounds until the residual carry is provably <= 1:
         # after round k the carry is < 2^(63 - k*w_min) (plus 1); see carry().
@@ -198,7 +210,7 @@ class NttTables:
             weights=put(weights),
             inv_weights_n=put(inv_weights_n),
             widths=widths64,
-            masks=put(masks),
+            masks=put(masks) if masks is not None else None,
             carry_rounds=rounds,
         )
 

@@ -72,3 +72,52 @@ def test_checkpoint_roundtrip_jax(p=127):
     eng2.set_checkpoint(data)
     assert eng2.get_int(0) == 11111
     assert (eng2.get_raw(1) == eng.get_raw(1)).all()
+
+
+class TestRowEngine:
+    """Row-mode variant (huge-n path, forced small here)."""
+
+    def test_matches_slab_engine(self):
+        from prmers_tpu.engine.jax_engine import JaxEngine, JaxRowEngine
+        p = 1279
+        mp = (1 << p) - 1
+        a = JaxEngine(p, 4)
+        b = JaxRowEngine(p, 4)
+        for e in (a, b):
+            e.set(0, 3)
+            e.square_mul_seq(0, [1, 3, 1])
+            e.set_int(1, 424242)
+            e.set_multiplicand(2, 1)
+            e.copy(3, 0)
+            e.mul(3, 2, 7)
+            e.addsub(1, 2, 3, 0)
+            e.sub(1, 5)
+        for i in (0, 1, 3):
+            assert a.get_int(i) == b.get_int(i), i
+
+    def test_copy_alias_safety(self):
+        from prmers_tpu.engine.jax_engine import JaxRowEngine
+        p = 521
+        e = JaxRowEngine(p, 3)
+        e.set_int(0, 999)
+        e.copy(1, 0)
+        e.square_mul(1, 1)      # must not disturb reg 0
+        assert e.get_int(0) == 999
+
+
+class TestCompactWidths:
+    def test_carry_full_derives_masks(self):
+        import numpy as np
+        from prmers_tpu.core.field import FieldOps
+        from prmers_tpu.ops import carry as carry_ops
+        from prmers_tpu.core.plan import build_plan
+        F = FieldOps(np)
+        plan = build_plan(1279)
+        rng = np.random.default_rng(0)
+        y = rng.integers(0, 1 << 40, plan.n, dtype=np.uint64)
+        w64 = plan.widths.astype(np.uint64)
+        masks = (np.uint64(1) << w64) - np.uint64(1)
+        full = carry_ops.carry_full(F, y.copy(), w64, masks, 3)
+        compact = carry_ops.carry_full(F, y.copy(),
+                                       plan.widths.astype(np.uint8), None, 3)
+        assert np.array_equal(full, compact)
