@@ -61,7 +61,18 @@ def run_once(opts: Options, log=print, gui=None) -> tuple[object, str]:
     """Run one workload; returns (result, json_line)."""
     configure_backend(opts.backend if opts.backend != "auto" else "auto",
                       opts.mode)
+    from .profile import report_all, set_profiling
+    set_profiling(bool(getattr(opts, "profile", False)))
     _log_arith_decision(opts, log, gui)
+    try:
+        return _run_once_inner(opts, log, gui)
+    finally:
+        if getattr(opts, "profile", False):
+            report_all(log)
+            set_profiling(False)
+
+
+def _run_once_inner(opts: Options, log=print, gui=None):
     if opts.mode in ("prp", "ll"):
         from ..modes.prp_ll import run_prp_or_ll
         proof_set = None
@@ -165,6 +176,36 @@ def run_once(opts: Options, log=print, gui=None) -> tuple[object, str]:
     raise ValueError(f"unknown mode {opts.mode!r}")
 
 
+class LogTee:
+    """Tees log lines to a prmers.log file next to the save dir while still
+    printing them (reference: the TeeBuf stdout/stderr tee,
+    src/main.cpp:34-90). Used as the `log` callable by run_app/main."""
+
+    def __init__(self, path: str, inner=print):
+        self.inner = inner
+        self._f = None
+        try:
+            self._f = open(path, "a", buffering=1)
+        except OSError:
+            pass
+
+    def __call__(self, *args, **kwargs):
+        self.inner(*args, **kwargs)
+        if self._f is not None:
+            try:
+                import time as _t
+                stamp = _t.strftime("%Y-%m-%d %H:%M:%S")
+                self._f.write(f"[{stamp}] " +
+                              " ".join(str(a) for a in args) + "\n")
+            except OSError:
+                pass
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
 def run_app(opts: Options, log=print) -> int:
     """Top-level driver: worktodo loop or single run. Returns exit code
     (reference exit semantics: 0 = prime/PRP/factor found where
@@ -219,4 +260,8 @@ def run_app(opts: Options, log=print) -> int:
 def main(argv=None) -> int:
     from ..io.cli import parse_args
     opts = parse_args(argv)
-    return run_app(opts)
+    log = LogTee(os.path.join(opts.save_dir, "prmers.log"))
+    try:
+        return run_app(opts, log=log)
+    finally:
+        log.close()

@@ -153,17 +153,43 @@ class Engine(abc.ABC):
 
     # -- checkpointing -------------------------------------------------------
     def get_checkpoint(self) -> bytes:
+        """Register dumps + one trailing flag byte per register marking
+        spectral (multiplicand) registers, so a restored engine can rebuild
+        prepared multiplicands exactly (the reference dumps registers
+        verbatim because its spectral layout is the register layout;
+        here the domains differ, so the flag travels with the dump)."""
         out = []
+        flags = bytearray()
         for r in range(self.reg_count):
-            out.append(self.get_raw(r).tobytes())
-        return b"".join(out)
+            data, spectral = self.get_raw_tagged(r)
+            out.append(data.tobytes())
+            flags.append(1 if spectral else 0)
+        return b"".join(out) + bytes(flags)
 
     def set_checkpoint(self, data: bytes) -> None:
         n = self.get_size()
-        assert len(data) == self.reg_count * n * 8
+        base = self.reg_count * n * 8
+        if len(data) == base + self.reg_count:
+            flags = data[base:]
+            data = data[:base]
+        else:  # legacy dump without the flag block: all digit-domain
+            assert len(data) == base
+            flags = bytes(self.reg_count)
         arr = np.frombuffer(data, dtype=np.uint64).reshape(self.reg_count, n)
         for r in range(self.reg_count):
-            self.set_raw(r, arr[r])
+            self.set_raw_tagged(r, arr[r], bool(flags[r]))
+
+    def get_raw_tagged(self, src: Reg) -> tuple[np.ndarray, bool]:
+        """(raw dump, is_spectral). Base engines only hold digit-domain
+        registers; engines with a distinct spectral layout override."""
+        return self.get_raw(src), False
+
+    def set_raw_tagged(self, dst: Reg, data: np.ndarray,
+                       spectral: bool = False) -> None:
+        if spectral:
+            raise ValueError(
+                "this backend cannot restore spectral registers")
+        self.set_raw(dst, data)
 
     @abc.abstractmethod
     def get_raw(self, src: Reg) -> np.ndarray:

@@ -155,6 +155,11 @@ class Engine3161(Engine):
             s31, s61 = self._jit_fwd(self.regs, self.t,
                                      self.xp.int32(src))
         self._spec[dst] = (s31, s61)
+        # keep the source digits in the slab row so checkpoints can dump
+        # the register and restores re-derive the spectral planes
+        # (VERDICT round-1 weak #4: spectral flag lost on round-trip)
+        if dst != src:
+            self._setrow(dst, self._row(src))
 
     def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
         m31, m61 = self._spec[src]
@@ -209,9 +214,22 @@ class Engine3161(Engine):
     def get_raw(self, src: Reg) -> np.ndarray:
         return np.asarray(self._row(src)).copy()
 
+    def get_raw_tagged(self, src: Reg) -> tuple[np.ndarray, bool]:
+        # a multiplicand's slab row holds its source digits; the restore
+        # side re-derives the spectral planes from them
+        return self.get_raw(src), src in self._spec
+
     def set_raw(self, dst: Reg, data: np.ndarray) -> None:
         self._setrow(dst, self.xp.asarray(
             np.asarray(data, dtype=np.uint64)))
+
+    def set_raw_tagged(self, dst: Reg, data: np.ndarray,
+                       spectral: bool = False) -> None:
+        self.set_raw(dst, data)
+        if spectral:
+            self.set_multiplicand(dst, dst)
+        else:
+            self._spec.pop(dst, None)
 
     def sync(self) -> None:
         if not self.is_np:

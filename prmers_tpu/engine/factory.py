@@ -51,6 +51,15 @@ def configured_backend() -> str:
 def create_engine(p: int, reg_count: int, backend: str | None = None,
                   device=None, arith: str | None = None,
                   workload: str = "generic") -> Engine:
+    eng = _create_engine(p, reg_count, backend=backend, device=device,
+                         arith=arith, workload=workload)
+    from ..core.profile import maybe_wrap
+    return maybe_wrap(eng)
+
+
+def _create_engine(p: int, reg_count: int, backend: str | None = None,
+                   device=None, arith: str | None = None,
+                   workload: str = "generic") -> Engine:
     b = backend or os.environ.get("PRMERS_BACKEND") or _BACKEND
     a = arith or os.environ.get("PRMERS_ARITH") or "auto"
     if a == "auto":
@@ -73,8 +82,8 @@ def create_engine(p: int, reg_count: int, backend: str | None = None,
         from .paged import PagedEngine, device_reg_budget
         budget = device_reg_budget(cached_plan(p).n)
         if reg_count > budget:
-            inner = create_engine(p, budget, backend=b, device=device,
-                                  arith="gl64")
+            inner = _create_engine(p, budget, backend=b, device=device,
+                                   arith="gl64")
             return PagedEngine(inner, reg_count)
     if b == "sharded":
         from ..parallel.sharded import ShardedEngine

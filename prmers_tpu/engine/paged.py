@@ -30,7 +30,9 @@ class PagedEngine(Engine):
         self._logical_at: list[int | None] = [None] * self.slots
         self._lru = [0] * self.slots
         self._clock = 0
-        self._host: dict[int, np.ndarray] = {}    # evicted logical -> raw
+        # evicted logical -> (raw dump, is_spectral): the tag must travel
+        # with the page so a paged-out multiplicand survives the round trip
+        self._host: dict[int, tuple[np.ndarray, bool]] = {}
         self.page_ins = 0
         self.page_outs = 0
 
@@ -49,11 +51,12 @@ class PagedEngine(Engine):
                 s = self._evict_one(pinned)
                 old = self._logical_at[s]
                 if old is not None:
-                    self._host[old] = self.inner.get_raw(s)
+                    self._host[old] = self.inner.get_raw_tagged(s)
                     del self._slot_of[old]
                     self.page_outs += 1
                 if lg in self._host:
-                    self.inner.set_raw(s, self._host.pop(lg))
+                    data, spec = self._host.pop(lg)
+                    self.inner.set_raw_tagged(s, data, spec)
                     self.page_ins += 1
                 else:
                     self.inner.set_raw(
@@ -132,13 +135,25 @@ class PagedEngine(Engine):
 
     def get_raw(self, src: Reg) -> np.ndarray:
         if src in self._host:
-            return self._host[src].copy()
+            return self._host[src][0].copy()
         (s,) = self._ensure(src)
         return self.inner.get_raw(s)
+
+    def get_raw_tagged(self, src: Reg) -> tuple[np.ndarray, bool]:
+        if src in self._host:
+            data, spec = self._host[src]
+            return data.copy(), spec
+        (s,) = self._ensure(src)
+        return self.inner.get_raw_tagged(s)
 
     def set_raw(self, dst: Reg, data: np.ndarray) -> None:
         (s,) = self._ensure(dst)
         self.inner.set_raw(s, data)
+
+    def set_raw_tagged(self, dst: Reg, data: np.ndarray,
+                       spectral: bool = False) -> None:
+        (s,) = self._ensure(dst)
+        self.inner.set_raw_tagged(s, data, spectral)
 
 
 def device_reg_budget(n: int, hbm_bytes: int | None = None) -> int:

@@ -275,7 +275,7 @@ class PallasEngine(Engine):
 
     def get_raw(self, src: Reg) -> np.ndarray:
         """Raw register dump for checkpoints: settle digit regs; spectral
-        regs are dumped as-is with a marker in the unused width bits."""
+        regs are dumped verbatim (AY layout), tagged via get_raw_tagged."""
         st = self.regs[src]
         if st[4]:
             lo = np.asarray(st[0]).reshape(self.n).astype(np.uint64)
@@ -283,5 +283,27 @@ class PallasEngine(Engine):
             return lo | (hi << np.uint64(32))
         return self.get_digits(src)
 
+    def get_raw_tagged(self, src: Reg) -> tuple[np.ndarray, bool]:
+        return self.get_raw(src), bool(self.regs[src][4])
+
     def set_raw(self, dst: Reg, data: np.ndarray) -> None:
         self.set_digits(dst, data)
+
+    def set_raw_tagged(self, dst: Reg, data: np.ndarray,
+                       spectral: bool = False) -> None:
+        if not spectral:
+            self.set_digits(dst, data)
+            return
+        # restore a multiplicand: the dump is the AY-layout spectral pair
+        d = np.asarray(data, dtype=np.uint64)
+        ay_sh = self._ay_shape()
+        lo = (d & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(ay_sh)
+        hi = (d >> np.uint64(32)).astype(np.uint32).reshape(ay_sh)
+        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
+        self.regs[dst] = [jnp.asarray(lo), jnp.asarray(hi), z11, z11, True]
+
+    def _ay_shape(self) -> tuple[int, ...]:
+        fp = self.fp
+        RB = max(fp.R // (kn.G * kn.LANES), 1)
+        LN2 = fp.R // (RB * kn.G)
+        return (fp.cs.L1, fp.cs.L2, RB, kn.G, LN2)

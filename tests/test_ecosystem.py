@@ -134,3 +134,27 @@ class TestGui:
             assert "PRP=1,2,127,-1" in body
         finally:
             g.stop()
+
+
+class TestProfileAndLogTee:
+    def test_profile_report(self, tmp_path, monkeypatch):
+        """-profile prints a per-op table after the run (reference:
+        per-kernel profile map behind -profile, include/marin/ocl.h:238)."""
+        monkeypatch.chdir(tmp_path)
+        lines = []
+        o = parse_args(["521", "-backend", "numpy", "-noproof", "-q",
+                        "-profile"])
+        run_app(o, log=lambda *a: lines.append(" ".join(map(str, a))))
+        prof = [ln for ln in lines if ln.startswith("[profile]")]
+        assert any("square_mul" in ln for ln in prof)
+        assert any("ms/op" in ln for ln in prof)
+
+    def test_log_tee(self, tmp_path, monkeypatch):
+        """main() tees all log lines to prmers.log (reference:
+        src/main.cpp:34-90 TeeBuf)."""
+        monkeypatch.chdir(tmp_path)
+        from prmers_tpu.core.app import main
+        code = main(["521", "-backend", "numpy", "-noproof", "-q"])
+        assert code == 0
+        text = (tmp_path / "prmers.log").read_text()
+        assert "521" in text and "res64" in text.lower()

@@ -121,3 +121,44 @@ class TestCompactWidths:
         compact = carry_ops.carry_full(F, y.copy(),
                                        plan.widths.astype(np.uint8), None, 3)
         assert np.array_equal(full, compact)
+
+
+def test_checkpoint_live_multiplicand(p=127):
+    """A checkpoint taken with a prepared multiplicand must restore to an
+    engine where mul against that register still works (VERDICT round-1
+    weak #4: the spectral flag must survive the round trip)."""
+    mp = (1 << p) - 1
+    eng = JaxEngine(p, 3)
+    eng.set_int(0, 12345)
+    eng.set_int(1, 6789)
+    eng.set_multiplicand(2, 1)
+    blob = eng.get_checkpoint()
+    eng2 = JaxEngine(p, 3)
+    eng2.set_checkpoint(blob)
+    eng2.mul(0, 2)
+    assert eng2.get_int(0) == 12345 * 6789 % mp
+
+
+def test_checkpoint_live_multiplicand_3161(p=521):
+    from prmers_tpu.engine.engine3161 import Engine3161
+    mp = (1 << p) - 1
+    eng = Engine3161(p, 3)
+    eng.set_int(0, 98765)
+    eng.set_int(1, 43210)
+    eng.set_multiplicand(2, 1)
+    blob = eng.get_checkpoint()
+    eng2 = Engine3161(p, 3)
+    eng2.set_checkpoint(blob)
+    eng2.mul(0, 2)
+    assert eng2.get_int(0) == 98765 * 43210 % mp
+
+
+def test_checkpoint_legacy_format(p=127):
+    """Old-format blobs (no flag block) still restore as digit registers."""
+    eng = JaxEngine(p, 2)
+    eng.set_int(0, 777)
+    eng.set_int(1, 888)
+    legacy = b"".join(eng.get_raw(r).tobytes() for r in range(2))
+    eng2 = JaxEngine(p, 2)
+    eng2.set_checkpoint(legacy)
+    assert eng2.get_int(0) == 777 and eng2.get_int(1) == 888

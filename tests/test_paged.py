@@ -72,3 +72,28 @@ class TestPaged:
         finally:
             mod.create_engine = orig
         assert r.factor > 1 and ((1 << 29) - 1) % r.factor == 0
+
+
+def test_paged_multiplicand_survives_eviction():
+    """Paging out a prepared multiplicand must keep its spectral tag so a
+    later mul against it is still correct (reference: prepared
+    multiplicands live in regs 43-50 across ECM paging,
+    src/modes/RunEcmTwistedEdwards.cpp:1859-1863)."""
+    import random
+    from prmers_tpu.engine.jax_engine import JaxEngine
+    from prmers_tpu.engine.paged import PagedEngine
+    p = 127
+    mp = (1 << p) - 1
+    rnd = random.Random(3)
+    inner = JaxEngine(p, 2)          # only 2 device slots
+    eng = PagedEngine(inner, 6)      # 6 logical registers
+    x, y = rnd.randrange(mp), rnd.randrange(mp)
+    eng.set_int(0, x)
+    eng.set_int(1, y)
+    eng.set_multiplicand(2, 1)
+    # churn other registers so logical 2 (the multiplicand) is evicted
+    for r in (3, 4, 5):
+        eng.set_int(r, r)
+    assert 2 in eng._host            # really paged out
+    eng.mul(0, 2)
+    assert eng.get_int(0) == x * y % mp
