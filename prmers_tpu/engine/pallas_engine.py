@@ -47,6 +47,9 @@ def _get_tables(p: int, n: int):
         t = jax.jit(lambda: FourStepTables.build(fp, jnp, G=kn.G,
                                                  lanes=kn.LANES))()
         fsm.attach_mxu_tables(t, device_put=jax.device_put)
+        import os
+        if not os.environ.get("PRMERS_NO_FUSE"):
+            fsm.attach_fused_c_tables(t, device_put=jax.device_put)
         jax.block_until_ready(jax.tree_util.tree_leaves(t))
         masks64 = ((jnp.uint64(1) <<
                     jnp.asarray(plan.widths.astype(np.uint64)))
@@ -72,6 +75,20 @@ def op_square_seq(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
 
     state, _ = lax.scan(body, (x0, x1, c0, c1), a_vec0)
     return state
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+def op_square_seq_ones(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
+                      count):
+    """Pure-squaring chain (a == 1 throughout): the carry kernel runs its
+    statically multiplier-free variant (the PRP hot loop)."""
+    one = (jnp.ones((1, 1), jnp.uint32), jnp.zeros((1, 1), jnp.uint32))
+
+    def body(i, state):
+        x0, x1, c0, c1 = state
+        return kn.square_step(fp, t, x0, x1, c0, c1, one, a_is_one=True)
+
+    return lax.fori_loop(0, count, body, (x0, x1, c0, c1))
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
@@ -192,6 +209,16 @@ class PallasEngine(Engine):
         off = 0
         st = self.regs[src]
         state = (st[0], st[1], st[2], st[3])
+        if (a == 1).all():
+            # PRP hot chain: statically multiplier-free carry kernel
+            while off < len(a):
+                step = min(k, len(a) - off)
+                state = op_square_seq_ones(self.fp, self.t, *state,
+                                           jnp.int32(step))
+                off += step
+            self.regs[src] = [state[0], state[1], state[2], state[3],
+                              False]
+            return
         while len(a) - off >= k:
             state = op_square_seq(self.fp, self.t, *state,
                                   jnp.asarray(a[off:off + k]))
@@ -303,6 +330,10 @@ class PallasEngine(Engine):
         self.regs[dst] = [jnp.asarray(lo), jnp.asarray(hi), z11, z11, True]
 
     def _ay_shape(self) -> tuple[int, ...]:
+        """Shape of a spectral (multiplicand) register: under the fused
+        C path it is the AX shell itself; otherwise the AY layout."""
+        if self.t.fused is not None:
+            return self._sh
         fp = self.fp
         RB = max(fp.R // (kn.G * kn.LANES), 1)
         LN2 = fp.R // (RB * kn.G)

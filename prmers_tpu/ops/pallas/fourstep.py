@@ -179,6 +179,11 @@ class FourStepTables:
     mxu: Any = None        # {key: (w8, corr)} device arrays; string keys
     mxu_subs: Any = None   # ((key, (sub_lo, sub_hi)), ...) static
     wcorr: Any = None      # (er (R2,L1,1) u32, ec (CB,1,G,LN) u32) residues
+    # fused C-transform (transpose-free): (wf8, corrf, wi8, corri,
+    # eca (ca_count,1) u32, ecl (1,LN) u32); subs via mxu_subs keys
+    # "fc_fwd"/"fc_inv". Built by attach_fused_c_tables; when present the
+    # pipeline runs P1-P2 / fused-C / P6-P7 with no global transposes.
+    fused: Any = None
 
     def mxu_sub(self, key: str):
         for k, v in (self.mxu_subs or ()):
@@ -265,13 +270,13 @@ def _register_pytree():
     def flatten(t):
         children = (t.w, t.iw, t.t_r, t.t_r_inv, t.mid, t.mid_inv,
                     t.t_c, t.t_c_inv, t.widths32, t.masks_lo, t.masks_hi,
-                    t.mxu, t.wcorr)
+                    t.mxu, t.wcorr, t.fused)
         return children, (t.fp, t.G, t.mxu_subs)
 
     def unflatten(aux, children):
-        return FourStepTables(aux[0], aux[1], *children[:-2],
-                              mxu=children[-2], mxu_subs=aux[2],
-                              wcorr=children[-1])
+        return FourStepTables(aux[0], aux[1], *children[:-3],
+                              mxu=children[-3], mxu_subs=aux[2],
+                              wcorr=children[-2], fused=children[-1])
 
     tree_util.register_pytree_node(FourStepTables, flatten, unflatten)
 
@@ -502,6 +507,166 @@ def square_ref(t: FourStepTables, digits64: np.ndarray,
 
     from .gl64 import from_pairs
     return from_pairs(z0.reshape(fp.n), z1.reshape(fp.n))
+
+
+def attach_fused_c_tables(t: FourStepTables, device_put=None):
+    """Build the transpose-free fused C-transform tables.
+
+    The whole length-C transform runs inside one kernel on the AX layout:
+    with c = ca*128 + l (ca = cb*G + s, l = lane),
+
+      X[kl + ca_count*kh] = sum_l [w_C^(l*kl) * w_128^(l*kh) * wcl(l)]
+                              * DFT16_ca(x)[kl][l]
+
+    so the forward is a shift-twiddle DFT over ca followed by ONE lane-axis
+    int8 MXU dot per output group kl, with the inter-factor twiddle
+    w_C^(l*kl) AND the lane part of the IBDWT weight folded into the
+    ca_count variant matrices. The ca-part of the weight folds into the
+    mid tables (it commutes through the R-transform), and the single
+    root-of-2 wrap between the ca/l exponent parts is a masked halve
+    (forward) / double (inverse). This replaces passes P3-P5 and BOTH
+    global transposes of the original pipeline (reference equivalent:
+    fused tail kernels sqrK, kernels/marin.cl:1267-1274 — here the whole
+    C-axis fits one kernel because lanes carry it).
+    """
+    from . import mxu_dft as mxm
+    from .mxu_dft import _mulmod_u64, build_rhs_tables
+    from ...core import field as fld
+
+    put = device_put if device_put is not None else (lambda a: a)
+    fp = t.fp
+    C = fp.C
+    LN = t.w[0].shape[4]
+    if LN != 128 or C % 128:
+        return t
+    ca_count = C // 128
+    if ca_count < 2 or ca_count & (ca_count - 1) or ca_count > 64:
+        return t
+    n, p = fp.n, fp.p
+    pn = p % n
+    wC = root_554(C)
+    wCi = fld.inv(wC)
+    nr2 = fld.root_two_nth(n)
+    nr2i = fld.inv(nr2)
+
+    # power tables of w_C (C <= 4096: cheap host loops)
+    wpow = np.empty(C, dtype=np.uint64)
+    wipow = np.empty(C, dtype=np.uint64)
+    acc = acci = 1
+    for i in range(C):
+        wpow[i] = acc
+        wipow[i] = acci
+        acc = acc * wC % fld.P
+        acci = acci * wCi % fld.P
+
+    ecl = np.array([(-pn * ll) % n for ll in range(128)], dtype=np.uint64)
+    eca = np.array([(-pn * 128 * ca) % n for ca in range(ca_count)],
+                   dtype=np.uint64)
+
+    def powv(base, exps):
+        out = np.empty(len(exps), dtype=np.uint64)
+        for i, e in enumerate(exps):
+            out[i] = pow(base, int(e), fld.P)
+        return out
+
+    wcl = powv(nr2, ecl)
+    iwcl = powv(nr2i, ecl)
+
+    freqs = dif_freq_of_pos(ca_count)
+    ll = np.arange(128, dtype=np.int64)
+    kh = np.arange(128, dtype=np.int64)
+    Mf = np.empty((ca_count, 128, 128), dtype=np.uint64)
+    Mi = np.empty((ca_count, 128, 128), dtype=np.uint64)
+    for j in range(ca_count):
+        kl = int(freqs[j])
+        e = (ll[:, None] * (kl + ca_count * kh[None, :])) % C
+        Mf[j] = _mulmod_u64(wpow[e], wcl[:, None])
+        # inverse: rows kh, cols l; unnormalized (1/n lives in iw fold)
+        ei = (ll[None, :] * (kl + ca_count * kh[:, None])) % C
+        Mi[j] = _mulmod_u64(wipow[ei], iwcl[None, :])
+    wf8, corrf, subf_lo, subf_hi = build_rhs_tables(Mf)
+    wi8, corri, subi_lo, subi_hi = build_rhs_tables(Mi)
+
+    # ca-part of the weights folds into the mid tables (it commutes
+    # through the R-transform); stored as separate folded copies so the
+    # unfused tables stay valid for the fallback path and numpy oracle
+    wca = powv(nr2, eca)
+    iwca = powv(nr2i, eca)
+    CB = t.w[0].shape[2]
+    G_ = t.w[0].shape[3]
+
+    def bshape(v):   # (ca_count,) -> (1, 1, CB, G, 1)
+        return np.ascontiguousarray(v.reshape(1, 1, CB, G_, 1))
+
+    def mul_tab(pair, fac64):
+        gnp = GL(np)
+        lo = np.asarray(pair[0])
+        hi = np.asarray(pair[1])
+        f0, f1 = to_pairs(np.broadcast_to(fac64, lo.shape).copy())
+        r0, r1 = gnp.canon(*gnp.mul(lo, hi, f0, f1))
+        return put(r0), put(r1)
+
+    mid_f = mul_tab(t.mid, bshape(wca))
+    midi_f = mul_tab(t.mid_inv, bshape(iwca))
+
+    t.fused = (put(wf8), put(corrf), put(wi8), put(corri),
+               put(eca.astype(np.uint32).reshape(ca_count, 1)),
+               put(ecl.astype(np.uint32).reshape(1, 128)),
+               mid_f[0], mid_f[1], midi_f[0], midi_f[1])
+    subs = dict(t.mxu_subs or ())
+    subs["fc_fwd"] = (int(subf_lo), int(subf_hi))
+    subs["fc_inv"] = (int(subi_lo), int(subi_hi))
+    t.mxu_subs = tuple(sorted(subs.items()))
+    return t
+
+
+def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
+    """Numpy oracle of the fused C kernel's dataflow (exact mirror)."""
+    g = GL(np)
+    fp = t.fp
+    n = fp.n
+    (wf8, corrf, wi8, corri, eca, ecl, *_rest) = t.fused
+    sub_f = t.mxu_sub("fc_fwd")
+    sub_i = t.mxu_sub("fc_inv")
+    ca_count = wf8.shape[0]
+    sh = x0.shape
+    R = fp.R
+    v0 = np.asarray(x0).reshape(R, ca_count, 128)
+    v1 = np.asarray(x1).reshape(R, ca_count, 128)
+    mask = (np.asarray(eca).astype(np.uint64)[None, :, :]
+            + np.asarray(ecl).astype(np.uint64)[None, :, :128]) >= n
+    mask = np.broadcast_to(mask.reshape(1, ca_count, 128), v0.shape)
+    v0, v1 = g.halve_where(v0, v1, mask)
+    v0, v1 = dft_axis1(g, v0, v1, ca_count, 1, False)
+    from .mxu_dft import mxu_rhs_apply
+    outs0, outs1 = [], []
+    for j in range(ca_count):
+        y0, y1 = mxu_rhs_apply(g, v0[:, j, :], v1[:, j, :], 128,
+                               np.asarray(wf8)[j], np.asarray(corrf)[j],
+                               np.uint32(sub_f[0]), np.uint32(sub_f[1]))
+        outs0.append(y0.reshape(R, 1, 128))
+        outs1.append(y1.reshape(R, 1, 128))
+    v0 = np.concatenate(outs0, axis=1)
+    v1 = np.concatenate(outs1, axis=1)
+    if mode == "fwd":
+        return v0.reshape(sh), v1.reshape(sh)
+    if mode == "sqr":
+        v0, v1 = g.sqr(v0, v1)
+    else:
+        v0, v1 = g.mul(v0, v1, np.asarray(u0).reshape(v0.shape),
+                       np.asarray(u1).reshape(v1.shape))
+    outs0, outs1 = [], []
+    for j in range(ca_count):
+        y0, y1 = mxu_rhs_apply(g, v0[:, j, :], v1[:, j, :], 128,
+                               np.asarray(wi8)[j], np.asarray(corri)[j],
+                               np.uint32(sub_i[0]), np.uint32(sub_i[1]))
+        outs0.append(y0.reshape(R, 1, 128))
+        outs1.append(y1.reshape(R, 1, 128))
+    v0 = np.concatenate(outs0, axis=1)
+    v1 = np.concatenate(outs1, axis=1)
+    v0, v1 = dft_axis1(g, v0, v1, ca_count, 1, True)
+    v0, v1 = g.double_where(v0, v1, mask)
+    return v0.reshape(sh), v1.reshape(sh)
 
 
 def mxu_key(L: int, inverse: bool) -> str:

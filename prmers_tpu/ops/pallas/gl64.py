@@ -263,6 +263,32 @@ class GL:
         r1 = xp.where(eq2, pp1, xp.where(ge1, p1, r1))
         return r0, r1
 
+    def halve_where(self, x0, x1, mask):
+        """Lazy-pair y/2 mod P where mask (y any u64): (y >> 1) +
+        lsb*(P+1)/2; (P+1)/2 = 0x7FFFFFFF_80000001, sum cannot wrap."""
+        xp = self.xp
+        lsb = x0 & _c(xp, 1)
+        h0 = (x0 >> _c(xp, 1)) | (x1 << _c(xp, 31))
+        h1 = x1 >> _c(xp, 1)
+        a0 = lsb * _c(xp, 0x80000001)
+        a1 = lsb * _c(xp, 0x7FFFFFFF)
+        s0, c = self.addc(h0, a0)
+        s1 = h1 + a1 + c
+        return xp.where(mask, s0, x0), xp.where(mask, s1, x1)
+
+    def double_where(self, x0, x1, mask):
+        """Lazy-pair 2y mod P where mask: shift left with the 2^64
+        overflow folded back as 2^32 - 1 (two addc rounds bound it)."""
+        xp = self.xp
+        b = x1 >> _c(xp, 31)
+        l0 = x0 << _c(xp, 1)
+        l1 = (x1 << _c(xp, 1)) | (x0 >> _c(xp, 31))
+        s0, c0 = self.addc(l0, b * _c(xp, 0xFFFFFFFF))
+        s1, c1 = self.addc(l1, c0)
+        s0b, c2 = self.addc(s0, c1 * _c(xp, 0xFFFFFFFF))
+        s1b = s1 + c2
+        return xp.where(mask, s0b, x0), xp.where(mask, s1b, x1)
+
     def neg(self, a0, a1):
         """P - a in lazy form (valid for any a < 2^64): 0 - a mod P."""
         return self.sub(self.u32(0) * a0, self.u32(0) * a0, a0, a1)

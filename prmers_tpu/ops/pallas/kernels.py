@@ -79,30 +79,11 @@ def _mxspec(shape):
 # ---------------------------------------------------------------------------
 
 def _halve_mod_p(x0, x1, mask):
-    """Lazy-pair y/2 mod P where mask (y any u64): (y >> 1) + lsb*(P+1)/2;
-    (P+1)/2 = 0x7FFFFFFF_80000001 and the sum cannot wrap the pair."""
-    lsb = x0 & jnp.uint32(1)
-    h0 = (x0 >> jnp.uint32(1)) | (x1 << jnp.uint32(31))
-    h1 = x1 >> jnp.uint32(1)
-    a0 = lsb * jnp.uint32(0x80000001)
-    a1 = lsb * jnp.uint32(0x7FFFFFFF)
-    s0, c = g.addc(h0, a0)
-    s1 = h1 + a1 + c
-    return jnp.where(mask, s0, x0), jnp.where(mask, s1, x1)
+    return g.halve_where(x0, x1, mask)
 
 
 def _double_mod_p(x0, x1, mask):
-    """Lazy-pair 2y mod P where mask: shift left with the 2^64 overflow
-    folded back as 2^32 - 1 (two addc rounds bound the wrap)."""
-    b = x1 >> jnp.uint32(31)
-    l0 = x0 << jnp.uint32(1)
-    l1 = (x1 << jnp.uint32(1)) | (x0 >> jnp.uint32(31))
-    s0, c0 = g.addc(l0, b * jnp.uint32(0xFFFFFFFF))
-    s1, c1 = g.addc(l1, c0)
-    # c1 set means another 2^64 wrap: fold again (s0 small now, no chain)
-    s0b, c2 = g.addc(s0, c1 * jnp.uint32(0xFFFFFFFF))
-    s1b = s1 + c2
-    return jnp.where(mask, s0b, x0), jnp.where(mask, s1b, x1)
+    return g.double_where(x0, x1, mask)
 
 
 def _pass_kernel(L: int, inverse: bool, mode: str, has_pre: bool,
@@ -438,30 +419,151 @@ def _axis1_pass(x0, x1, L, inverse, mode, pre=None, post=None, u=None,
 
 
 # ---------------------------------------------------------------------------
+# Fused C-transform kernel (replaces T, P3, P4, P5, T'): the whole length-C
+# transform on the AX layout — shift-twiddle DFT over ca = (cb, s), then one
+# lane-axis int8 MXU dot per output group with the inter-factor twiddles and
+# the lane-part IBDWT weights folded into ca_count variant matrices (tables
+# from fourstep.attach_fused_c_tables). No global transposes.
+# ---------------------------------------------------------------------------
+
+def _fused_c_kernel(ca_count: int, n: int, mode: str, sub_f, sub_i,
+                    *refs):
+    i = 0
+    x0_ref, x1_ref = refs[i], refs[i + 1]
+    i += 2
+    if mode == "mul":
+        u0_ref, u1_ref = refs[i], refs[i + 1]
+        i += 2
+    wf8_ref, corrf_ref = refs[i], refs[i + 1]
+    i += 2
+    if mode != "fwd":
+        wi8_ref, corri_ref = refs[i], refs[i + 1]
+        i += 2
+    eca_ref, ecl_ref = refs[i], refs[i + 1]
+    i += 2
+    o0_ref, o1_ref = refs[i], refs[i + 1]
+
+    sh = x0_ref.shape                       # (RC, R2, CB, G, LN)
+    B = sh[0] * sh[1]
+    v = (B, ca_count, 128)
+    x0 = x0_ref[:].reshape(v)
+    x1 = x1_ref[:].reshape(v)
+
+    mask = (eca_ref[:].reshape(1, ca_count, 1)
+            + ecl_ref[:].reshape(1, 1, 128)) >= jnp.uint32(n)
+    mask = jnp.broadcast_to(mask, v)
+    x0, x1 = g.halve_where(x0, x1, mask)
+    x0, x1 = fsm.dft_axis1(g, x0, x1, ca_count, 1, False)
+
+    def dots(y0, y1, w8_ref, corr_ref, sub):
+        outs0, outs1 = [], []
+        for j in range(ca_count):
+            r0, r1 = mxm.mxu_rhs_apply(
+                g, y0[:, j, :], y1[:, j, :], 128,
+                w8_ref[j], corr_ref[j],
+                jnp.uint32(sub[0]), jnp.uint32(sub[1]))
+            outs0.append(r0.reshape(B, 1, 128))
+            outs1.append(r1.reshape(B, 1, 128))
+        return (jnp.concatenate(outs0, axis=1),
+                jnp.concatenate(outs1, axis=1))
+
+    x0, x1 = dots(x0, x1, wf8_ref, corrf_ref, sub_f)
+    if mode == "sqr":
+        x0, x1 = g.sqr(x0, x1)
+    elif mode == "mul":
+        u0 = u0_ref[:].reshape(v)
+        u1 = u1_ref[:].reshape(v)
+        x0, x1 = g.mul(x0, x1, u0, u1)
+    if mode != "fwd":
+        x0, x1 = dots(x0, x1, wi8_ref, corri_ref, sub_i)
+        x0, x1 = fsm.dft_axis1(g, x0, x1, ca_count, 1, True)
+        x0, x1 = g.double_where(x0, x1, mask)
+    o0_ref[:] = x0.reshape(sh)
+    o1_ref[:] = x1.reshape(sh)
+
+
+def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
+                 u=None):
+    """Run the fused C kernel over the AX array; grid tiles r1 so each
+    invocation transforms RC*R2 batch rows against the VMEM-resident
+    variant tables."""
+    (wf8, corrf, wi8, corri, eca, ecl, *_r) = t.fused
+    ca_count = wf8.shape[0]
+    sh = x0.shape
+    R2 = sh[1]
+    RC = max(1, min(sh[0], 128 // max(R2, 1)))
+    while sh[0] % RC:
+        RC -= 1
+    grid = (sh[0] // RC,)
+    blk = (RC,) + tuple(sh[1:])
+    xspec = pl.BlockSpec(blk, lambda i: (i, i * 0, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM)
+    ins = [x0, x1]
+    in_specs = [xspec, xspec]
+    if mode == "mul":
+        ins += [u[0], u[1]]
+        in_specs += [xspec, xspec]
+    ins += [wf8, corrf]
+    in_specs += [_full(wf8.shape), _full(corrf.shape)]
+    if mode != "fwd":
+        ins += [wi8, corri]
+        in_specs += [_full(wi8.shape), _full(corri.shape)]
+    ins += [eca, ecl]
+    in_specs += [_full(eca.shape), _full(ecl.shape)]
+    kern = functools.partial(_fused_c_kernel, ca_count, fp.n, mode,
+                             t.mxu_sub("fc_fwd"), t.mxu_sub("fc_inv"))
+    r0, r1 = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(xspec, xspec),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct(sh, jnp.uint32)),
+        compiler_params=_cparams(),
+    )(*ins)
+    return r0, r1
+
+
+def _fused_ok(fp, t) -> bool:
+    import os
+    return (t.fused is not None and _wfold_ok(fp, t)
+            and not os.environ.get("PRMERS_NO_FUSE"))
+
+
+# ---------------------------------------------------------------------------
 # Carry pass (P8): sequential grid over r1 blocks
 # ---------------------------------------------------------------------------
 
-def _k4_kernel(fp: FourStepPlan, rounds: int,
-               a0_ref, a1_ref, y0_ref, y1_ref, wd_ref, mk0_ref, mk1_ref,
-               o0_ref, o1_ref, co0_ref, co1_ref):
-    """Tile = (R2, CB, G, LN) digits in order (r2, cb, s, l). Multiplies by
-    the small carry operand a (PRP x3), splits digit/carry by the variable
-    widths, and propagates carries along the digit order with roll chains.
-    The grid is PARALLEL over r1 blocks: each block emits its boundary
-    carry to co[r1] and the next iteration's P1 injection (or op_settle)
-    folds the rolled carry vector — the reference's two-phase carry with
-    phase 2 riding the next forward kernel (kernels/marin.cl:2198), here
-    for every block boundary, the wrap included."""
+def _k4_kernel(fp: FourStepPlan, rounds: int, with_a: bool, *refs):
+    """Tile = (R2, CB, G, LN) digits in order (r2, cb, s, l), viewed 2D
+    (rows, LN) so the flat digit order is row-major. Optionally multiplies
+    by the small carry operand a (PRP-style x3 — statically skipped for
+    the pure-squaring hot chain), splits digit/carry by the variable
+    widths, and propagates carries along the digit order: the flat shift
+    by one is a lane roll plus a row roll selected into lane 0 (2 rolls +
+    2 selects vs the round-1 4-axis chain). The grid is PARALLEL over r1
+    blocks: each block emits its boundary carry to co[r1]; the next
+    iteration's P1 injection (or op_settle) folds the rolled carry vector
+    — the reference's two-phase carry with phase 2 riding the next
+    forward kernel (kernels/marin.cl:2198), the wrap included."""
+    i = 0
+    if with_a:
+        a0_ref, a1_ref = refs[i], refs[i + 1]
+        i += 2
+    (y0_ref, y1_ref, wd_ref, mk0_ref, mk1_ref,
+     o0_ref, o1_ref, co0_ref, co1_ref) = refs[i:i + 9]
     sh4 = y0_ref.shape[1:]
-    y0 = y0_ref[:].reshape(sh4)
-    y1 = y1_ref[:].reshape(sh4)
-    wd = wd_ref[:].reshape(sh4)
-    mk0 = mk0_ref[:].reshape(sh4)
-    mk1 = mk1_ref[:].reshape(sh4)
+    v2 = (sh4[0] * sh4[1] * sh4[2], sh4[3])
+    y0 = y0_ref[:].reshape(v2)
+    y1 = y1_ref[:].reshape(v2)
+    wd = wd_ref[:].reshape(v2)
+    mk0 = mk0_ref[:].reshape(v2)
+    mk1 = mk1_ref[:].reshape(v2)
 
-    a = a0_ref[0, 0]
-    y0, y1 = g.mul_small(y0, y1, a)
-    y0, y1 = g.canon(y0, y1)
+    if with_a:
+        a = a0_ref[0, 0]
+        y0, y1 = g.mul_small(y0, y1, a)
+        y0, y1 = g.canon(y0, y1)
 
     rem = jnp.uint32(31) - wd
 
@@ -474,25 +576,18 @@ def _k4_kernel(fp: FourStepPlan, rounds: int,
 
     d0, d1, c0, c1 = split(y0, y1)
 
-    l_ = lax.broadcasted_iota(jnp.int32, sh4, 3)
-    s_ = lax.broadcasted_iota(jnp.int32, sh4, 2)
-    b_ = lax.broadcasted_iota(jnp.int32, sh4, 1)
-    r_ = lax.broadcasted_iota(jnp.int32, sh4, 0)
+    l_ = lax.broadcasted_iota(jnp.int32, v2, 1)
+    r_ = lax.broadcasted_iota(jnp.int32, v2, 0)
 
     def shift_one(c0, c1, in0, in1):
-        out0 = c0[-1:, -1:, -1:, -1:].reshape(())
-        out1 = c1[-1:, -1:, -1:, -1:].reshape(())
+        out0 = c0[-1:, -1:].reshape(())
+        out1 = c1[-1:, -1:].reshape(())
 
         def sh(c, inject):
-            A = pltpu.roll(c, jnp.int32(1), axis=3)
-            B = pltpu.roll(A, jnp.int32(1), axis=2)
-            Cc = pltpu.roll(B, jnp.int32(1), axis=1)
-            D = pltpu.roll(Cc, jnp.int32(1), axis=0)
-            return jnp.where(l_ > 0, A,
-                             jnp.where(s_ > 0, B,
-                                       jnp.where(b_ > 0, Cc,
-                                                 jnp.where(r_ > 0, D,
-                                                           inject))))
+            A = pltpu.roll(c, jnp.int32(1), axis=1)
+            B = pltpu.roll(A, jnp.int32(1), axis=0)
+            r = jnp.where(l_ > 0, A, B)
+            return jnp.where((l_ == 0) & (r_ == 0), inject, r)
 
         return sh(c0, in0), sh(c1, in1), out0, out1
 
@@ -531,7 +626,11 @@ def _k4_kernel(fp: FourStepPlan, rounds: int,
     co1_ref[0, 0, 0] = acc1
 
 
-def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a):
+def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a,
+       a_is_one: bool = False):
+    """a_is_one=True statically drops the small-operand multiply + canon
+    (the PRP hot chain is pure squarings; carry alone is ~40 ops/el
+    cheaper)."""
     sh = y0.shape
     R1 = sh[0]
     wmin = int(fp.widths.min())
@@ -539,7 +638,8 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a):
     bound = fp.max_word * 4
     while bound >> (rounds * wmin) > 1:
         rounds += 1
-    kern = functools.partial(_k4_kernel, fp, max(rounds, 2))
+    with_a = not a_is_one
+    kern = functools.partial(_k4_kernel, fp, max(rounds, 2), with_a)
     bs = pl.BlockSpec((1,) + sh[1:],
                       lambda i: (i, i * 0, i * 0, i * 0, i * 0),
                       memory_space=pltpu.VMEM)
@@ -550,17 +650,20 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a):
     # (8, 128) or equal); the leading grid dim is unconstrained
     co_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, i * 0, i * 0),
                            memory_space=pltpu.SMEM)
+    ins = ([a[0], a[1]] if with_a else []) + \
+        [y0, y1, t.widths32, t.masks_lo, t.masks_hi]
+    in_specs = ([smem11, smem11] if with_a else []) + [bs] * 5
     d0, d1, co0, co1 = pl.pallas_call(
         kern,
         grid=(R1,),
-        in_specs=[smem11, smem11, bs, bs, bs, bs, bs],
+        in_specs=in_specs,
         out_specs=(bs, bs, co_spec, co_spec),
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct((R1, 1, 1), jnp.uint32),
                    jax.ShapeDtypeStruct((R1, 1, 1), jnp.uint32)),
         compiler_params=_cparams(),
-    )(a[0], a[1], y0, y1, t.widths32, t.masks_lo, t.masks_hi)
+    )(*ins)
     return d0, d1, co0.reshape(R1, 1), co1.reshape(R1, 1)
 
 
@@ -659,7 +762,7 @@ def _wfold_ok(fp, t) -> bool:
     return (C // (CB * G)) % 128 == 0 and (R // (RB * G)) % 128 == 0
 
 
-def _forward_r(fp, t, x0, x1, cin=None, wfold=False):
+def _forward_r(fp, t, x0, x1, cin=None, wfold=False, mid_tab=None):
     # P1: the t_r twiddle — and with wfold the weight r-part — folds into
     # per-grid MXU tables; only the wrap correction stays elementwise
     mx1 = _mx(t, "tr_fwd_w" if wfold else "tr_fwd", ln=x1.shape[-1])
@@ -670,7 +773,8 @@ def _forward_r(fp, t, x0, x1, cin=None, wfold=False):
                          mxu=mx1,
                          wcorr=(t.wcorr[0], t.wcorr[1], fp.n)
                          if wfold else None)
-    x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False, "plain", post=t.mid,
+    x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False, "plain",
+                         post=mid_tab if mid_tab is not None else t.mid,
                          mxu=_mx(t, (fp.rs.L2, False), ln=x1.shape[-1]))
     return x0, x1
 
@@ -698,11 +802,13 @@ def _middle(fp, t, y0, y1, mode, u=None, wfold=False):
     return y0, y1
 
 
-def _inverse_r(fp, t, z0, z1, wfold=False):
+def _inverse_r(fp, t, z0, z1, wfold=False, mid_inv_tab=None):
     # P6: t_r_inv folds
     mx6 = _mx(t, "tr_inv", ln=z1.shape[-1])
     z0, z1 = _axis1_pass(z0, z1, fp.rs.L2, True, "plain",
-                         pre=t.mid_inv, post=None if mx6 else t.t_r_inv,
+                         pre=(mid_inv_tab if mid_inv_tab is not None
+                              else t.mid_inv),
+                         post=None if mx6 else t.t_r_inv,
                          mxu=mx6)
     # final pass: r1 inverse DFT + inverse weights + canon
     sh = z0.shape
@@ -791,12 +897,23 @@ def inject_block_carries(fp: FourStepPlan, x0, x1, co0, co1):
     return x0, x1
 
 
+def _fused_mid_tabs(t):
+    (*_a, mf0, mf1, mi0, mi1) = t.fused
+    return (mf0, mf1), (mi0, mi1)
+
+
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
-                cin0, cin1, a):
+                cin0, cin1, a, a_is_one: bool = False):
     """One full (x^2 * a) iteration. Returns (d0, d1, cout0, cout1);
-    the carry pair is now the per-block vector ((R1, 1) u32 x2)."""
+    the carry pair is the per-block vector ((R1, 1) u32 x2)."""
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
+    if _fused_ok(fp, t):
+        mf, mi = _fused_mid_tabs(t)
+        s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf, mid_tab=mf)
+        s0, s1 = fused_c_pass(fp, t, s0, s1, "sqr")
+        z0, z1 = _inverse_r(fp, t, s0, s1, wfold=wf, mid_inv_tab=mi)
+        return k4(fp, t, z0, z1, a, a_is_one)
     s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
@@ -804,14 +921,21 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
     z0 = _to_ax(fp, y0)
     z1 = _to_ax(fp, y1)
     z0, z1 = _inverse_r(fp, t, z0, z1, wfold=wf)
-    return k4(fp, t, z0, z1, a)
+    return k4(fp, t, z0, z1, a, a_is_one)
 
 
 def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
              cin0, cin1, a):
-    """dst = dst * multiplicand(u) * a; u is an AY-layout spectral pair."""
+    """dst = dst * multiplicand(u) * a; u is a spectral pair in the
+    layout fwd_step produces (AX-shaped under the fused path, AY else)."""
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
+    if _fused_ok(fp, t):
+        mf, mi = _fused_mid_tabs(t)
+        s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf, mid_tab=mf)
+        s0, s1 = fused_c_pass(fp, t, s0, s1, "mul", u=(u0, u1))
+        z0, z1 = _inverse_r(fp, t, s0, s1, wfold=wf, mid_inv_tab=mi)
+        return k4(fp, t, z0, z1, a)
     s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)
@@ -823,9 +947,14 @@ def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
 
 
 def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
-    """Forward transform only (multiplicand preparation), AY spectral out."""
+    """Forward transform only (multiplicand preparation); spectral out —
+    AX-shaped under the fused path, AY-layout otherwise."""
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
+    if _fused_ok(fp, t):
+        mf, _mi = _fused_mid_tabs(t)
+        s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf, mid_tab=mf)
+        return fused_c_pass(fp, t, s0, s1, "fwd")
     s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf)
     y0 = _to_ay(fp, s0)
     y1 = _to_ay(fp, s1)

@@ -37,7 +37,13 @@ import numpy as np
 from ...core.field import P
 from .gl64 import GL, from_pairs, to_pairs
 
-OFF_PLANE = 1 << 23
+def _plane_offset(contraction: int) -> int:
+    """Per-plane offset making D + corr provably non-negative: the dot
+    accumulates `contraction` products W*u with |W| <= 128, u <= 255, so
+    sum W*u >= -contraction*128*255; the offset is the next power of two.
+    (The round-1 fixed 2^23 covered the typical but not the worst case.)"""
+    bound = contraction * 128 * 255
+    return 1 << (bound - 1).bit_length()
 
 
 def dft_matrix(L: int, inverse: bool) -> np.ndarray:
@@ -94,6 +100,34 @@ def _mulmod_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return from_pairs(r0, r1)
 
 
+def build_rhs_tables(Ms: np.ndarray):
+    """Limb-encode matrices for RIGHT-side dots: out[b, k] = sum_l x[b, l]
+    * M[l, k] (the transform axis is the LANE axis; batch rides sublanes).
+
+    Ms: (K, L, L) u64 — one matrix per variant (twiddles/weights already
+    multiplied in). Returns (W8 (K, 8L, 9L) int8, corr (K, 1, 9L) int32,
+    sub_lo, sub_hi) where
+      W8[v, q*L + l, m*L + k] = balanced limb m of (Ms[v, l, k] * 256^q),
+    so D = X8 @ W8[v] with X8[b, q*L + l] = byte q of x[b, l] (XOR 0x80)
+    yields the nine diagonal planes along the lane axis; corr adds back
+    the 128-offset plus the 2^23 plane offset (per output lane, broadcast
+    over batch rows)."""
+    K, L, L2 = Ms.shape
+    assert L == L2
+    scales = np.array([pow(256, q, P) for q in range(8)], dtype=np.uint64)
+    # (K, L, 8, L): [v, l, q, k] = M[l, k] * 256^q
+    Mq = _mulmod_u64(Ms[:, :, None, :], scales[None, None, :, None])
+    limbs = _balanced_limbs_vec(Mq)          # (9, K, L, 8, L) int8
+    # rows = (q, l) -> q*L + l; cols = (m, k) -> m*L + k
+    W8 = np.ascontiguousarray(
+        limbs.transpose(1, 3, 2, 0, 4).reshape(K, 8 * L, N_WPLANES * L))
+    off = _plane_offset(8 * L)
+    corr = (W8.astype(np.int64).sum(axis=1) * 128 + off
+            ).astype(np.int32).reshape(K, 1, N_WPLANES * L)
+    sub = sum((off << (8 * m)) for m in range(N_WPLANES)) % P
+    return (W8, corr, np.uint32(sub & 0xFFFFFFFF), np.uint32(sub >> 32))
+
+
 def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None,
                      col_scale: np.ndarray = None):
     """Returns (W8 int8, corr int32, sub_lo, sub_hi).
@@ -125,12 +159,13 @@ def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None,
     limbs = _balanced_limbs_vec(Ml)      # (9, K, L, 8, L) int8
     W8 = np.ascontiguousarray(
         limbs.transpose(1, 0, 2, 3, 4).reshape(K, N_WPLANES * L, 8 * L))
-    # x-side 128-offset compensation, with the plane offset 2^23 baked in
+    # x-side 128-offset compensation, with the plane offset baked in
     # (saves one add per plane in the combine)
-    corr = (W8.astype(np.int64).sum(axis=2) * 128 + OFF_PLANE
+    off = _plane_offset(8 * L)
+    corr = (W8.astype(np.int64).sum(axis=2) * 128 + off
             ).astype(np.int32)
     corr = corr.reshape(K, N_WPLANES * L, 1)
-    sub = sum((OFF_PLANE << (8 * m)) for m in range(N_WPLANES)) % P
+    sub = sum((off << (8 * m)) for m in range(N_WPLANES)) % P
     if row_scale is None and col_scale is None:
         W8, corr = W8[0], corr[0]
     return (W8, corr,
@@ -161,46 +196,96 @@ def _pack_planes(g: GL, Xl, Xh):
     return xp.concatenate(planes, axis=0)
 
 
+def _merge_planes(g: GL, planes, sub_lo, sub_hi):
+    """Nine non-negative (< 2^27) int-plane arrays at byte positions 8m ->
+    exact lazy (lo, hi) u32 pair mod P, minus the static plane offset.
+
+    Pair-merge scheme: adjacent planes (2j, 2j+1) merge into one value at
+    16-bit position j (the odd plane's low byte shifts in; its upper bytes
+    carry to position j+1), then the five 16-bit-aligned values assemble
+    into a 96-bit triple with addc-protected boundaries. Fewer VPU ops
+    than per-plane 16-bit splitting, and safe for the wider plane bound
+    of the corrected _plane_offset."""
+    xp = g.xp
+    M8 = xp.uint32(0xFF)
+    M16 = xp.uint32(0xFFFF)
+    u = []
+    carry_in = None
+    for j in range(4):
+        d_even = planes[2 * j]
+        d_odd = planes[2 * j + 1]
+        t = d_even + ((d_odd & M8) << xp.uint32(8))
+        if carry_in is not None:
+            t = t + carry_in
+        u.append(t)
+        carry_in = d_odd >> xp.uint32(8)
+    u.append(planes[8] + carry_in)
+    # u[j] < 2^27 + 2^19 at bit position 16j, j = 0..4
+    w0, c0 = g.addc(u[0], (u[1] & M16) << xp.uint32(16))
+    a = (u[1] >> xp.uint32(16)) + u[2] + c0
+    w1, c1 = g.addc(a, (u[3] & M16) << xp.uint32(16))
+    w2 = (u[3] >> xp.uint32(16)) + u[4] + c1
+    y0, y1 = g.fold96(w0, w1, w2)
+    d0, d1, br = g.sub64(y0, y1, sub_lo + xp.uint32(0) * y0,
+                         sub_hi + xp.uint32(0) * y0)
+    return g.fold_borrow(d0, d1, br)
+
+
 def _combine_2d(g: GL, L, D, sub_lo, sub_hi):
     """(9L, N) int32 diagonal planes -> exact (lo, hi) u32 pair mod P.
 
     Row-slices D (Mosaic supports sublane slicing; it does NOT support the
-    (9L, N) -> (9, L, N) leading split). Half-word accumulation: plane m
-    (offset to non-negative < 2^24 by the corr table) contributes two
-    16-bit-aligned pieces to accumulators h0..h5 at bit positions 16t;
-    every h_t receives at most ~2^17 total so no accumulator or assembly
-    step can overflow u32 mid-sum. ~2x fewer VPU ops than a per-plane
-    carry chain.
-    """
+    (9L, N) -> (9, L, N) leading split); the merge itself is the shared
+    pair-merge scheme (_merge_planes)."""
     xp = g.xp
-    M16 = xp.uint32(0xFFFF)
+    planes = [D[m * L:(m + 1) * L].astype(xp.uint32)
+              for m in range(N_WPLANES)]
+    return _merge_planes(g, planes, sub_lo, sub_hi)
 
-    def plane(m):
-        # D (with corr folded in) is non-negative < 2^24: cast is exact
-        return D[m * L:(m + 1) * L].astype(xp.uint32)
 
-    h = [None] * 6
-    for m in range(N_WPLANES):
-        s = 8 * m
-        q, r = divmod(s, 16)
-        t = plane(m)
-        if r:
-            t = t << xp.uint32(8)      # < 2^32, no wrap (t < 2^24)
-        lo = t & M16
-        hi = t >> xp.uint32(16)
-        h[q] = lo if h[q] is None else h[q] + lo
-        h[q + 1] = hi if h[q + 1] is None else h[q + 1] + hi
+def _pack_planes_rhs(g: GL, Xl, Xh):
+    """(B, L) u32 pair -> (B, 8L) int8 limb planes along lanes."""
+    xp = g.xp
+    planes = []
+    for q in range(8):
+        src = Xl if q < 4 else Xh
+        sh = 8 * (q % 4)
+        byte = (src >> xp.uint32(sh)) & xp.uint32(0xFF)
+        byte = byte ^ xp.uint32(0x80)
+        if xp is np:
+            planes.append(byte.astype(np.uint8).view(np.int8))
+        else:
+            import jax
+            import jax.numpy as jnp
+            planes.append(jax.lax.bitcast_convert_type(
+                byte.astype(jnp.uint8), jnp.int8))
+    return xp.concatenate(planes, axis=1)
 
-    # assemble (w0, w1, w2): h1/h3 straddle the 32-bit word boundaries
-    w0, c0 = g.addc(h[0], h[1] << xp.uint32(16))
-    mid = h[2] + (h[1] >> xp.uint32(16)) + c0
-    w1, c1 = g.addc(mid, h[3] << xp.uint32(16))
-    w2 = h[4] + (h[3] >> xp.uint32(16)) + (h[5] << xp.uint32(16)) + c1
-    y0, y1 = g.fold96(w0, w1, w2)
-    # subtract the aggregate plane offset
-    d0, d1, br = g.sub64(y0, y1, sub_lo + xp.uint32(0) * y0,
-                         sub_hi + xp.uint32(0) * y0)
-    return g.fold_borrow(d0, d1, br)
+
+def _combine_rhs(g: GL, L, D, sub_lo, sub_hi):
+    """(B, 9L) int32 planes (lane-major) -> (lo, hi) u32 pairs (B, L),
+    via the shared pair-merge scheme slicing planes along LANES."""
+    xp = g.xp
+    planes = [D[:, m * L:(m + 1) * L].astype(xp.uint32)
+              for m in range(N_WPLANES)]
+    return _merge_planes(g, planes, sub_lo, sub_hi)
+
+
+def mxu_rhs_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
+                  dot=None):
+    """Lane-axis DFT of a (B, L) u32-pair batch via one (B, 8L) @ (8L, 9L)
+    int8 matmul; exact mod-P lazy pair out. w8/corr are ONE variant slice
+    from build_rhs_tables."""
+    xp = g.xp
+    X8 = _pack_planes_rhs(g, x0, x1)
+    if xp is np:
+        D = X8.astype(np.int32) @ w8.astype(np.int32)
+    else:
+        from jax import lax
+        import jax.numpy as jnp
+        D = lax.dot_general(X8, w8, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return _combine_rhs(g, L, D + corr, sub_lo, sub_hi)
 
 
 def mxu_dft_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,

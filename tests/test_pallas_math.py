@@ -88,3 +88,115 @@ class TestFourStep:
             [[0], np.cumsum(plan.widths.astype(np.int64))])[:n]
         val = sum(int(x) << int(qq) for x, qq in zip(y, q)) % mp
         assert val == (v * v) % mp
+
+
+class TestFusedC:
+    """The transpose-free fused C-transform (fourstep.attach_fused_c_tables
+    + fused_c_ref) must reproduce the original pipeline's convolution
+    digits exactly."""
+
+    def test_rhs_tables_exact(self):
+        # one lane-axis int8 dot == exact matmul mod P, random matrices
+        from prmers_tpu.ops.pallas.mxu_dft import (build_rhs_tables,
+                                                   mxu_rhs_apply)
+        L, B = 128, 32
+        r = np.random.default_rng(5)
+        Ms = r.integers(0, 1 << 64, (2, L, L), dtype=np.uint64)
+        w8, corr, sub_lo, sub_hi = build_rhs_tables(Ms)
+        x = r.integers(0, 1 << 64, (B, L), dtype=np.uint64)
+        x0, x1 = to_pairs(x)
+        for v in range(2):
+            y0, y1 = mxu_rhs_apply(g, x0, x1, L, w8[v], corr[v],
+                                   sub_lo, sub_hi)
+            got = from_pairs(y0, y1).astype(object)
+            # out[b, k] = sum_l x[b, l] * M[l, k] -> x @ M
+            want = (x.astype(object) @ Ms[v].astype(object)) % P
+            assert ((got - want) % P == 0).all()
+
+    @staticmethod
+    def _rtrans_matrix(t, inverse):
+        fp = t.fp
+        rs = fp.rs
+        R = fp.R
+        eye = np.eye(R, dtype=np.uint64)
+        x0, x1 = to_pairs(eye)
+        x0 = x0.reshape(rs.L1, rs.L2, R)
+        x1 = x1.reshape(rs.L1, rs.L2, R)
+        tw = t.t_r_inv if inverse else t.t_r
+        tw0 = np.asarray(tw[0]).reshape(rs.L1, rs.L2, 1)
+        tw1 = np.asarray(tw[1]).reshape(rs.L1, rs.L2, 1)
+        y0, y1 = fs.col_transform(g, x0, x1, rs, tw0, tw1, 1, inverse)
+        y0, y1 = g.canon(y0.reshape(R, R), y1.reshape(R, R))
+        return from_pairs(y0, y1)
+
+    @pytest.mark.parametrize("n,seed", [(4096, 3), (8192, 4), (16384, 5)])
+    def test_fused_square_matches_square_ref(self, n, seed):
+        p = int(n * 16.5) | 1
+        plan = build_plan(p, n=n)
+        fp = fs.FourStepPlan.from_plan(plan)
+        t = fs.FourStepTables.build(fp, np, G=1, lanes=128)
+        fs.attach_fused_c_tables(t)
+        assert t.fused is not None
+        r = np.random.default_rng(seed)
+        mp = (1 << p) - 1
+        v = int.from_bytes(r.bytes(p // 8), "little") % mp
+        digits = dg.int_to_digits(v, plan.widths)
+        want = fs.square_ref(t, digits).astype(object)
+
+        R, C = fp.R, fp.C
+        pn = p % n
+        nr2 = field.root_two_nth(n)
+        nr2i = field.inv(nr2)
+        inv2 = field.inv(2)
+        er = np.array([(-pn * rr * C) % n for rr in range(R)])
+        ec = np.array([(-pn * c) % n for c in range(C)])
+        wr = np.array([pow(nr2, int(e), P) for e in er], dtype=object)
+        iwr = np.array([pow(nr2i, int(e), P) * field.inv(n) % P
+                        for e in er], dtype=object)
+        wrap = (er[:, None] + ec[None, :]) >= n
+        wtab = np.where(wrap, wr[:, None] * inv2 % P, wr[:, None])
+        iwtab = np.where(wrap, iwr[:, None] * 2 % P, iwr[:, None])
+
+        MRf = self._rtrans_matrix(t, False).astype(object)
+        MRi = self._rtrans_matrix(t, True).astype(object)
+        (_wf8, _cf, _wi8, _ci, _eca, _ecl,
+         mf0, mf1, mi0, mi1) = t.fused
+        mid_f = from_pairs(np.asarray(mf0).reshape(fp.rs.L1, fp.rs.L2, -1),
+                           np.asarray(mf1).reshape(fp.rs.L1, fp.rs.L2, -1)
+                           ).reshape(R, C).astype(object)
+        mid_i = from_pairs(np.asarray(mi0).reshape(fp.rs.L1, fp.rs.L2, -1),
+                           np.asarray(mi1).reshape(fp.rs.L1, fp.rs.L2, -1)
+                           ).reshape(R, C).astype(object)
+
+        x = digits.astype(object).reshape(R, C)
+        xw = x * wtab % P
+        S = (MRf @ xw) % P
+        Sm = S * mid_f % P
+        s0, s1 = to_pairs(Sm.astype(np.uint64))
+        f0, f1 = fs.fused_c_ref(t, s0, s1, "sqr")
+        Fv = from_pairs(*g.canon(f0, f1)).astype(object)
+        Fm = Fv * mid_i % P
+        V = (MRi @ Fm) % P
+        out = V * iwtab % P
+        got = out.reshape(n)
+        assert ((got - want) % P == 0).all()
+        assert (want % P == want).all()
+
+    @pytest.mark.parametrize("n", [4096])
+    def test_fused_mul_path(self, n):
+        """fwd (multiplicand) + mul center must equal squaring when
+        multiplying a value by itself."""
+        p = int(n * 16.5) | 1
+        plan = build_plan(p, n=n)
+        fp = fs.FourStepPlan.from_plan(plan)
+        t = fs.FourStepTables.build(fp, np, G=1, lanes=128)
+        fs.attach_fused_c_tables(t)
+        r = np.random.default_rng(9)
+        x = r.integers(0, 1 << 64, (fp.R, fp.C), dtype=np.uint64)
+        x0, x1 = to_pairs(x)
+        sq0, sq1 = fs.fused_c_ref(t, x0, x1, "sqr")
+        u0, u1 = fs.fused_c_ref(t, x0, x1, "fwd")
+        m0, m1 = fs.fused_c_ref(t, x0, x1, "mul", u0, u1)
+        a = from_pairs(*g.canon(sq0, sq1))
+        b = from_pairs(*g.canon(m0, m1))
+        assert (a == b).all()

@@ -31,8 +31,10 @@ tbl = jax.jit(lambda: fs.FourStepTables.build(fp, jnp, G=8, lanes=128))()
 import os
 if not os.environ.get("PRMERS_NO_MXU"):
     fs.attach_mxu_tables(tbl, device_put=jax.device_put)
+if not os.environ.get("PRMERS_NO_FUSE"):
+    fs.attach_fused_c_tables(tbl, device_put=jax.device_put)
 jax.block_until_ready(jax.tree_util.tree_leaves(tbl))
-print("tables ready", flush=True)
+print(f"tables ready (fused={tbl.fused is not None})", flush=True)
 
 R1, R2 = fp.rs.L1, fp.rs.L2
 CB = tbl.w[0].shape[2]
@@ -46,9 +48,10 @@ x1 = jax.random.randint(key, ax_shape, 0, 1 << 18, dtype=jnp.int32
 z11 = jnp.zeros((1, 1), jnp.uint32)
 a_pair = (jnp.full((1, 1), np.uint32(1)), z11)
 
-s0 = kn._forward_r(fp, tbl, x0, x1, cin=(z11, z11))
-ay0 = kn._to_ay(fp, s0[0])
-ay1 = kn._to_ay(fp, s0[1])
+if not kn._fused_ok(fp, tbl):
+    s0 = kn._forward_r(fp, tbl, x0, x1, cin=(z11, z11))
+    ay0 = kn._to_ay(fp, s0[0])
+    ay1 = kn._to_ay(fp, s0[1])
 
 
 def timeit(fn, *args, reps=REPS, warm=2):
@@ -63,41 +66,65 @@ def timeit(fn, *args, reps=REPS, warm=2):
 
 
 def serial(fn2):
-    """Chain fn2 (pair->pair) K times with a data dependency; outputs are
-    reshaped back to the input shape (values are irrelevant for timing)."""
+    """Chain fn2 (tbl, pair)->pair K times with a data dependency; the
+    tables ride as a jit ARGUMENT (closure constants over the fused
+    tables exceed the remote compiler's HTTP body limit)."""
     K = 8
 
     @jax.jit
-    def run(a, b):
+    def run(tb, a, b):
         def step(i, ab):
-            r0, r1 = fn2(ab[0], ab[1])
+            r0, r1 = fn2(tb, ab[0], ab[1])
             return r0.reshape(ab[0].shape), r1.reshape(ab[1].shape)
         return lax.fori_loop(0, K, step, (a, b))
 
     def timed(a, b):
-        return timeit(run, a, b) / K
+        return timeit(run, tbl, a, b) / K
     return timed
 
 
 stages = []
 
-stages.append(("P1+P2 fwd_r (incl cin)", serial(
-    lambda a, b: kn._forward_r(fp, tbl, a, b, cin=(z11, z11))), (x0, x1)))
-stages.append(("T to_ay (transpose)", serial(
-    lambda a, b: (kn._to_ay(fp, a), kn._to_ay(fp, b))), (s0[0], s0[1])))
-stages.append(("P3+P4+P5 middle sqr", serial(
-    lambda a, b: kn._middle(fp, tbl, a, b, "sqr")), (ay0, ay1)))
-stages.append(("T' to_ax (transpose)", serial(
-    lambda a, b: (kn._to_ax(fp, a), kn._to_ax(fp, b))), (ay0, ay1)))
-stages.append(("P6+P7 inverse_r", serial(
-    lambda a, b: kn._inverse_r(fp, tbl, a, b)), (x0, x1)))
-stages.append(("P8 carry k4", serial(
-    lambda a, b: kn.k4(fp, tbl, a, b, a_pair)[:2]), (x0, x1)))
+if kn._fused_ok(fp, tbl):
+    wf = kn._wfold_ok(fp, tbl)
+    stages.append(("P1+P2 fwd_r (fused mid)", serial(
+        lambda tb, a, b: kn._forward_r(fp, tb, a, b, cin=(z11, z11),
+                                       wfold=wf,
+                                       mid_tab=kn._fused_mid_tabs(tb)[0])),
+        (x0, x1)))
+    stages.append(("F2 fused C (sqr)", serial(
+        lambda tb, a, b: kn.fused_c_pass(fp, tb, a, b, "sqr")), (x0, x1)))
+    stages.append(("P6+P7 inverse_r", serial(
+        lambda tb, a, b: kn._inverse_r(
+            fp, tb, a, b, wfold=wf,
+            mid_inv_tab=kn._fused_mid_tabs(tb)[1])), (x0, x1)))
+    stages.append(("P8 carry k4", serial(
+        lambda tb, a, b: kn.k4(fp, tb, a, b, a_pair)[:2]), (x0, x1)))
+    stages.append(("P8 carry k4 (a=1)", serial(
+        lambda tb, a, b: kn.k4(fp, tb, a, b, a_pair,
+                               a_is_one=True)[:2]), (x0, x1)))
+else:
+    stages.append(("P1+P2 fwd_r (incl cin)", serial(
+        lambda tb, a, b: kn._forward_r(fp, tb, a, b, cin=(z11, z11))),
+        (x0, x1)))
+    stages.append(("T to_ay (transpose)", serial(
+        lambda tb, a, b: (kn._to_ay(fp, a), kn._to_ay(fp, b))),
+        (s0[0], s0[1])))
+    stages.append(("P3+P4+P5 middle sqr", serial(
+        lambda tb, a, b: kn._middle(fp, tb, a, b, "sqr")), (ay0, ay1)))
+    stages.append(("T' to_ax (transpose)", serial(
+        lambda tb, a, b: (kn._to_ax(fp, a), kn._to_ax(fp, b))),
+        (ay0, ay1)))
+    stages.append(("P6+P7 inverse_r", serial(
+        lambda tb, a, b: kn._inverse_r(fp, tb, a, b)), (x0, x1)))
+    stages.append(("P8 carry k4", serial(
+        lambda tb, a, b: kn.k4(fp, tb, a, b, a_pair)[:2]), (x0, x1)))
 
 
 @jax.jit
-def full(a, b):
-    d0, d1, c0, c1 = kn.square_step(fp, tbl, a, b, z11, z11, a_pair)
+def full(tb, a, b):
+    d0, d1, c0, c1 = kn.square_step(fp, tb, a, b, z11, z11, a_pair,
+                                    a_is_one=True)
     return d0, d1
 
 
@@ -106,7 +133,7 @@ for name, fn, args in stages:
     dt = fn(*args)
     total += dt
     print(f"{name:28s} {dt*1e3:8.3f} ms", flush=True)
-print(f"{'SUM':28s} {total*1e3:8.3f} ms")
-dt_full = timeit(full, x0, x1)
+print(f"{'SUM':28s} {total*1e3:8.3f} ms", flush=True)
+dt_full = timeit(full, tbl, x0, x1)
 print(f"{'square_step (jit whole)':28s} {dt_full*1e3:8.3f} ms "
       f"-> {1.0/dt_full:7.1f} iter/s")

@@ -29,8 +29,11 @@ tbl = jax.jit(lambda: fs.FourStepTables.build(fp, jnp, G=8, lanes=128))()
 import os
 if not os.environ.get("PRMERS_NO_MXU"):
     fs.attach_mxu_tables(tbl, device_put=jax.device_put)
+if not os.environ.get("PRMERS_NO_FUSE"):
+    fs.attach_fused_c_tables(tbl, device_put=jax.device_put)
 jax.block_until_ready(jax.tree_util.tree_leaves(tbl))
-print(f"tables built in {time.time()-t0:.1f}s (mxu={bool(tbl.mxu)})")
+print(f"tables built in {time.time()-t0:.1f}s (mxu={bool(tbl.mxu)} "
+      f"fused={tbl.fused is not None})")
 
 rng = np.random.default_rng(11)
 mp = (1 << p) - 1
