@@ -259,6 +259,8 @@ def run_app(opts: Options, log=print) -> int:
 
 def main(argv=None) -> int:
     from ..io.cli import parse_args
+    from ..parallel import dist
+    dist.init_from_env()   # join a multi-process group if configured
     opts = parse_args(argv)
     log = LogTee(os.path.join(opts.save_dir, "prmers.log"))
     try:

@@ -51,7 +51,23 @@ def ckpt_filename(p: int, mode: str, wagstaff: bool = False,
     return os.path.join(save_dir, f"{prefix}m_{p}.ckpt")
 
 
+def _is_primary_process() -> bool:
+    """Multi-host: only process 0 writes checkpoint files (every process
+    gathers identical register state through the host collectives, so
+    skipping the write elsewhere is safe; see parallel/dist.py)."""
+    try:
+        import sys
+        jax = sys.modules.get("jax")
+        if jax is None:
+            return True
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def write_checkpoint(path: str, data: CheckpointData) -> None:
+    if not _is_primary_process():
+        return
     payload = struct.pack(
         "<iIIIId",
         VERSION, data.p, data.mode_tag, BACKEND_TAG_JAX,

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-s2variant", dest="stage2_variant", default="vtrace",
                     choices=["vtrace", "classic"],
                     help="P-1 stage 2 algorithm")
+    ap.add_argument("-lowmem", action="store_true",
+                    help="P-1 with 3 registers: no GL buffers, stage 2 as "
+                         "a streamed H^Q product-exponent (no baby table)")
+    ap.add_argument("-ultralowmem", action="store_true",
+                    help="P-1 with 1-2 registers (H^Q two-register stage "
+                         "2; base-3 recompute variant with one)")
     ap.add_argument("-s2regs", dest="stage2_regs_cap", type=int, default=0,
                     help="V-trace register budget (memory cap)")
     ap.add_argument("-resume_save", default="",
@@ -135,6 +141,8 @@ def parse_args(argv: list[str] | None = None) -> Options:
         save_dir=ns.save_dir, proof=not ns.noproof,
         proof_power=ns.proof_power, proof_verify=ns.proofverify,
         b1=ns.b1, b2=ns.b2, max_e_bits=ns.max_e_bits,
+        pm1_variant=("ultralowmem" if ns.ultralowmem else
+                     "lowmem" if ns.lowmem else "auto"),
         stage2_d=ns.stage2_d, curves=ns.curves, curve_seed=ns.curve_seed,
         sigma=ns.sigma, torsion=ns.torsion, edwards=not ns.montgomery,
         known_factors=factors, worktodo_path=ns.worktodo_path,

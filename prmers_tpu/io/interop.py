@@ -37,6 +37,31 @@ def write_ecm_resume(path: str, b1: int, p: int, x: int) -> None:
         f.write(line + "\n")
 
 
+def write_ecm_resume_ecm(path: str, b1: int, p: int, x_aff: int,
+                         a: int | None = None,
+                         sigma: int | None = None) -> None:
+    """Append a METHOD=ECM stage-1 resume line (GMP-ECM format) so an
+    external stage 2 can continue a curve: SIGMA lines for Suyama
+    curves, A= lines for A-based/custom families (reference:
+    src/modes/RunEcm.cpp:1025-1085 — note the A-variant checksum skips
+    the curve parameter)."""
+    n = ((1 << p) - 1) % CHKSUMMOD
+    if sigma is not None:
+        chk = (b1 % CHKSUMMOD) * (sigma % CHKSUMMOD) % CHKSUMMOD \
+            * n % CHKSUMMOD * (x_aff % CHKSUMMOD) % CHKSUMMOD
+        body = (f"METHOD=ECM; SIGMA={sigma}; B1={b1}; N=2^{p}-1; "
+                f"X=0x{x_aff:x}; CHECKSUM={chk}; "
+                f"PROGRAM=PrMers; X0=0x0; Y0=0x0; TIME=;")
+    else:
+        chk = (b1 % CHKSUMMOD) * n % CHKSUMMOD \
+            * (x_aff % CHKSUMMOD) % CHKSUMMOD
+        body = (f"METHOD=ECM; B1={b1}; N=2^{p}-1; X=0x{x_aff:x}; "
+                f"A={a}; CHECKSUM={chk}; "
+                f"PROGRAM=PrMers; X0=0x0; Y0=0x0; TIME=;")
+    with open(path, "a") as f:
+        f.write(body + "\n")
+
+
 def read_ecm_resume(path: str) -> tuple[int, int, int]:
     """(b1, p, x) from a GMP-ECM P-1 resume line; checksum-verified when a
     CHECKSUM field is present. Raises ValueError on malformed input."""

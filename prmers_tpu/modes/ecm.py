@@ -78,6 +78,90 @@ def suyama_curve(sigma: int, n: int) -> tuple[int, int]:
     return x0, a24
 
 
+def torsion8_curve(seed: int, n: int) -> tuple[int, int, int]:
+    """(x0, a24, param) of a Montgomery curve with rational 8-torsion
+    (reference: the picked_mode==2 construction, src/modes/RunEcm.cpp:
+    ~1530-1560): random a, v = 4a^2/(48a^2 - 1),
+    A = -((4v+1)^2 + 16v), x0 = 4v + 1."""
+    a = splitmix64(seed ^ 0xD1E2C3B4A5968775) % n
+    if a < 2:
+        a += 2
+    a2 = a * a % n
+    v = 4 * a2 % n * _inv_or_factor(48 * a2 - 1, n) % n
+    fourv1 = (4 * v + 1) % n
+    A = (-(fourv1 * fourv1 + 16 * v)) % n
+    a24 = (A + 2) * _inv_or_factor(4, n) % n
+    return fourv1, a24, a
+
+
+def _ec_mul_4x(k: int, n: int) -> tuple[int, int] | None:
+    """k * (4, 8) on y^2 = x^3 + 4x mod n (affine short Weierstrass);
+    None at infinity; a non-invertible denominator raises _FactorFound
+    (reference: EC_mod4, src/modes/RunEcmTwistedEdwards.cpp:723-807)."""
+    def dbl(P):
+        if P is None:
+            return None
+        x, y = P
+        if y % n == 0:
+            return None
+        lam = (3 * x * x + 4) * _inv_or_factor(2 * y, n) % n
+        x3 = (lam * lam - 2 * x) % n
+        return x3, (lam * (x - x3) - y) % n
+
+    def add(P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        if P[0] % n == Q[0] % n:
+            if (P[1] + Q[1]) % n == 0:
+                return None
+            return dbl(P)
+        lam = (Q[1] - P[1]) * _inv_or_factor(Q[0] - P[0], n) % n
+        x3 = (lam * lam - P[0] - Q[0]) % n
+        return x3, (lam * (P[0] - x3) - P[1]) % n
+
+    P0 = (4, 8)
+    P = P0
+    for b in range(k.bit_length() - 2, -1, -1):
+        P = dbl(P)
+        if (k >> b) & 1:
+            P = add(P, P0)
+        if P is None:
+            return None
+    return P
+
+
+def torsion16_mont_curve(seed: int, n: int) -> tuple[int, int, int]:
+    """(x0, a24, k) of a Montgomery curve with rational 16-torsion
+    (reference: picked_mode==1, src/modes/RunEcm.cpp:~1480-1528):
+    (s, t) = k*(4, 8) on y^2 = x^3 + 4x, alpha = (t+8)/(s-4),
+    r = (8+2a)/(8-a^2), A = (8r^4-16r^3+16r^2-8r+1)/(4r^2),
+    x0 = 1/2 - r^2."""
+    for tries in range(128):
+        k = splitmix64(seed ^ 0x544F4D31 ^ tries) | 1
+        if k < 3:
+            k += 2
+        st = _ec_mul_4x(k, n)
+        if st is None:
+            continue
+        s, t = st
+        alpha = (t + 8) * _inv_or_factor(s - 4, n) % n
+        a2 = alpha * alpha % n
+        r = (8 + 2 * alpha) * _inv_or_factor(8 - a2, n) % n
+        r2 = r * r % n
+        r3 = r2 * r % n
+        r4 = r2 * r2 % n
+        A = ((8 * r4 - 16 * r3 + 16 * r2 - 8 * r + 1)
+             * _inv_or_factor(4 * r2, n)) % n
+        a24 = (A + 2) * _inv_or_factor(4, n) % n
+        x0 = (_inv_or_factor(2, n) - r2) % n
+        if x0 == 0:
+            continue
+        return x0, a24, k
+    raise _FactorFound(0)
+
+
 # fixed register map (scratch + curve state); baby tables allocate upward
 (XA, ZA, XB, ZB, T1, T2, T3, T4, M1, RA24, RX0, RACC, RGX, RGZ, RPX, RPZ,
  GDX, GDZ, PRVX, PRVZ) = range(20)
@@ -300,12 +384,22 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
     m = MontOps(eng)
     seed0 = opts.curve_seed or 0x5EED
     result = EcmResult(p=p, b1=opts.b1, b2=opts.b2, curves=K)
+    torsion = getattr(opts, "torsion", 0)
+    family = ("torsion16" if torsion == 16 else
+              "torsion8" if torsion == 8 else "suyama")
+    if opts.sigma:
+        family = "suyama"          # forced sigma implies the Suyama map
     for c in range(K):
         sigma = 6 + splitmix64(seed0 + c) % ((1 << 60) - 6)
         if opts.sigma and c == 0:
             sigma = int(opts.sigma)
         try:
-            x0, a24 = suyama_curve(sigma, n)
+            if family == "torsion16":
+                x0, a24, sigma = torsion16_mont_curve(seed0 + c, n)
+            elif family == "torsion8":
+                x0, a24, sigma = torsion8_curve(seed0 + c, n)
+            else:
+                x0, a24 = suyama_curve(sigma, n)
         except _FactorFound as f:
             if f.f:
                 result.factor, result.stage = f.f, 0
@@ -314,6 +408,25 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
             continue
         eng.set_int(RA24, a24)
         _stage1(eng, m, x0, opts.b1)
+        if opts.resume_save:
+            try:
+                from ..io import interop
+                za = eng.get_int(ZA) % n
+                x_aff = gmp.mulmod(eng.get_int(XA) % n,
+                                   _inv_or_factor(za, n), n)
+                a_mont = (4 * a24 - 2) % n
+                if family == "suyama":
+                    interop.write_ecm_resume_ecm(opts.resume_save,
+                                                 opts.b1, p, x_aff,
+                                                 sigma=sigma)
+                else:
+                    interop.write_ecm_resume_ecm(opts.resume_save,
+                                                 opts.b1, p, x_aff,
+                                                 a=a_mont)
+                log(f"ECM stage-1 resume line appended to "
+                    f"{opts.resume_save}")
+            except _FactorFound:
+                pass  # the gcd below reports it
         g = gmp.gcd(eng.get_int(ZA) % n, n)
         if g == n:
             log(f"ECM curve {c}: gcd == N, backtracking stage 1")

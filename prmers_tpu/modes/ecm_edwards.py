@@ -136,6 +136,89 @@ def torsion16_curve(seed: int, n: int) -> tuple[int, int, int]:
     raise _FactorFound(0)   # no usable curve from this seed
 
 
+def family_iv163_curve(seed: int, n: int) -> tuple[int, int, int]:
+    """a = -1 twisted Edwards curve from the rational IV-163 family
+    (reference: the family_iv_163 construction,
+    src/modes/RunEcmTwistedEdwards.cpp:2360-2430): m*(5, 8) on the
+    auxiliary curve y^2 = x^3 - x^2 - 9x + 9 over EXACT rationals, then
+      t = (4x+4)/(y-4),  e = (t^2+4t)/(t^2-4),  d = -e^4,
+      X = (2t^3 + 2t^2 - 8t - 8) / (t^4 + 6t^3 + 12t^2 + 16t),
+      Y = (t^6+6t^5+10t^4-16t^3-48t^2-32t-32) /
+          (t^6+6t^5+10t^4+16t^3+48t^2+64t),
+    reduced mod n (denominator inverses may reveal a factor)."""
+    from fractions import Fraction as Fr
+
+    def q_add(P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        if P[0] == Q[0]:
+            if P[1] == -Q[1] or P[1] == 0:
+                return None
+            lam = (3 * P[0] * P[0] - 2 * P[0] - 9) / (2 * P[1])
+        else:
+            lam = (Q[1] - P[1]) / (Q[0] - P[0])
+        x3 = lam * lam + 1 - P[0] - Q[0]
+        return (x3, -P[1] - lam * (x3 - P[0]))
+
+    def to_mod(q: Fr) -> int:
+        return q.numerator % n * _inv_or_factor(q.denominator, n) % n
+
+    for tries in range(128):
+        m = 1 + splitmix64(seed ^ (0x163163 + tries)) % 100
+        P = None
+        Q = (Fr(5), Fr(8))
+        k = m
+        while k:
+            if k & 1:
+                P = q_add(P, Q)
+            k >>= 1
+            if k:
+                Q = q_add(Q, Q)
+                if Q is None:
+                    break
+        if P is None or Q is None and k:
+            continue
+        x, y = P
+        if y == 4:
+            continue
+        t = (4 * x + 4) / (y - 4)
+        t2 = t * t
+        if t2 == 4:
+            continue
+        e = (t2 + 4 * t) / (t2 - 4)
+        if e == 0:
+            continue
+        t3 = t2 * t
+        t4 = t2 * t2
+        t6 = t4 * t2
+        denx = t4 + 6 * t3 + 12 * t2 + 16 * t
+        deny = t6 + 6 * t4 * t + 10 * t4 + 16 * t3 + 48 * t2 + 64 * t
+        if denx == 0 or deny == 0:
+            continue
+        Xq = (2 * t3 + 2 * t2 - 8 * t - 8) / denx
+        Yq = (t6 + 6 * t4 * t + 10 * t4 - 16 * t3 - 48 * t2
+              - 32 * t - 32) / deny
+        dq = -(e ** 4)
+        try:
+            d = to_mod(dq)
+            x0 = to_mod(Xq)
+            y0 = to_mod(Yq)
+        except _FactorFound as f:
+            if f.f:
+                raise
+            continue
+        if d in (0, 1, n - 1) or x0 == 0 or y0 == 0:
+            continue
+        lhs = (-x0 * x0 + y0 * y0) % n
+        rhs = (1 + d * x0 % n * x0 % n * y0 % n * y0) % n
+        if lhs != rhs:
+            continue
+        return x0, y0, d
+    raise _FactorFound(0)
+
+
 def edwards_curve(seed: int, n: int) -> tuple[int, int, int]:
     """(x0, y0, d) with -x0^2 + y0^2 = 1 + d x0^2 y0^2 (mod n)."""
     x0 = 2 + splitmix64(seed) % (1 << 48)
@@ -533,12 +616,16 @@ def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
     seed0 = opts.curve_seed or 0x5EED
     check_every = getattr(opts, "ecm_check_interval", 0) or 0
     result = EcmResult(p=p, b1=opts.b1, b2=opts.b2, curves=K)
-    use_t16 = getattr(opts, "torsion", 0) == 16
+    torsion = getattr(opts, "torsion", 0)
+    use_t16 = torsion == 16
+    use_iv163 = torsion == 163
     for c in range(K):
         seed = splitmix64(seed0 + c)
         try:
             if use_t16:
                 x0, y0, d = torsion16_curve(seed, n)
+            elif use_iv163:
+                x0, y0, d = family_iv163_curve(seed, n)
             else:
                 x0, y0, d = edwards_curve(seed, n)
         except _FactorFound as f:

@@ -180,6 +180,29 @@ def _exponentiate(eng: Engine, opts: Options, e_chunk: int, first: bool,
         run_block(start + n_full * B, bits)
 
 
+def _exponentiate_small(eng: Engine, e_chunk: int, first: bool) -> None:
+    """RS <- base^e_chunk with only registers {0 (RS), 1 (RBASE)} — the
+    low-memory stage-1 path: the base-3 first chunk folds its multiplies
+    into the carry operand (fast3), later chunks use RBASE; no Gerbicz-Li
+    buffers (reference low/ultralow register maps,
+    src/modes/RunPM1.cpp:6206-6222)."""
+    bits = e_chunk.bit_length()
+    if bits == 0:
+        return
+    rs, rbase = 0, 1
+    if first:
+        eng.set(rs, 3)               # consumes the MSB
+        eng.square_mul_seq(rs, [3 if (e_chunk >> (bits - 1 - i)) & 1
+                                else 1 for i in range(1, bits)])
+        return
+    eng.set_multiplicand(rbase, rs)
+    eng.set(rs, 1)
+    for i in range(bits - 1, -1, -1):
+        eng.square_mul(rs)
+        if (e_chunk >> i) & 1:
+            eng.mul(rs, rbase)
+
+
 def _s1_extra_pack(chunk_idx: int, blk: int, esum: int,
                    b1: int, errs: int) -> bytes:
     eb = esum.to_bytes((esum.bit_length() + 7) // 8 or 1, "little")
@@ -209,9 +232,15 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
     p, b1 = opts.exponent, opts.b1
     assert b1 >= 2
     mp = res.mersenne(p)
+    lowmem = opts.pm1_variant in ("lowmem", "ultralowmem")
     if eng is None:
-        eng = create_engine(p, S1_REGS, backend=opts.backend,
+        nregs = S1_REGS if not lowmem else \
+            (3 if opts.pm1_variant == "lowmem" else 2)
+        eng = create_engine(p, nregs, backend=opts.backend,
                             arith=opts.arith, workload="pm1_s1")
+    if lowmem and opts.gerbiczli:
+        log(f"[PM1] {opts.pm1_variant} stage 1: Gerbicz-Li disabled "
+            f"(register budget {eng.reg_count})")
     t0 = time.monotonic()
     max_bits = opts.max_e_bits or (1 << 22)
     mode_tag = ck.MODE_TAGS["pm1"]
@@ -261,10 +290,13 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
         # mid-chunk resume only for the base-3 first chunk (later chunks'
         # base register is only recoverable at chunk boundaries)
         mid = (idx == resume_chunk and idx == 0)
-        _exponentiate(eng, opts, e_chunk, first, mp, log,
-                      resume_blk=resume_blk if mid else 0,
-                      resume_esum=resume_esum if mid else 0,
-                      save_cb=make_save_cb(idx) if idx == 0 else None)
+        if lowmem:
+            _exponentiate_small(eng, e_chunk, first)
+        else:
+            _exponentiate(eng, opts, e_chunk, first, mp, log,
+                          resume_blk=resume_blk if mid else 0,
+                          resume_esum=resume_esum if mid else 0,
+                          save_cb=make_save_cb(idx) if idx == 0 else None)
         first = False
         # chunk-boundary checkpoint (clean resume point for chunk idx+1)
         ck.write_checkpoint(ckpt_path, ck.CheckpointData(
@@ -274,7 +306,10 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
                                  opts.gerbicz_error_count),
             regs=eng.get_checkpoint()))
     if first:  # b1 < 2 edge (no chunks): still do 3^(2p)
-        _exponentiate(eng, opts, lead, True, mp, log)
+        if lowmem:
+            _exponentiate_small(eng, lead, True)
+        else:
+            _exponentiate(eng, opts, lead, True, mp, log)
     ck.delete_checkpoints(ckpt_path)
 
     x = eng.get_int(RS) % mp
@@ -404,6 +439,64 @@ def _load_stage1_x(opts: Options, log) -> tuple[int, int]:
     return b1_old, x
 
 
+def run_pm1_stage2_lowmem(opts: Options, x1: int, eng: Engine | None = None,
+                          log=print) -> Pm1Result:
+    """Low-memory stage 2: H <- H^Q with Q = prod of primes in (B1, B2],
+    using only TWO registers (no baby table, no BSGS): gcd(H^Q - 1, M_p)
+    is divisible by H^q - 1 for every prime q | Q, so it catches any
+    single large prime exactly like BSGS — slower (one squaring per Q
+    bit) but with the minimal footprint (reference: the resume2reg /
+    streamed product-exponent stage 2, src/modes/RunPM1.cpp:1408-1700).
+    The exponent is consumed in product-tree chunks capped by -maxe."""
+    p, b1, b2 = opts.exponent, opts.b1, opts.b2
+    assert b2 > b1
+    mp = res.mersenne(p)
+    t0 = time.monotonic()
+    if eng is None:
+        eng = create_engine(p, 2, backend=opts.backend,
+                            arith=opts.arith, workload="pm1_s2")
+    rs, rbase = 0, 1
+    eng.set_int(rs, x1)
+    chunk_cap = max(opts.max_e_bits or 200_000, 1024)
+    n_primes = 0
+    n_bits = 0
+    q_chunk = 1
+    log(f"P-1 stage 2 (lowmem H^Q, 2 registers): primes in "
+        f"({b1}, {b2}], chunk cap {chunk_cap} bits")
+
+    def flush(qc: int):
+        nonlocal n_bits
+        eng.set_multiplicand(rbase, rs)
+        eng.set(rs, 1)
+        for i in range(qc.bit_length() - 1, -1, -1):
+            eng.square_mul(rs)
+            if (qc >> i) & 1:
+                eng.mul(rs, rbase)
+        n_bits += qc.bit_length()
+
+    for block in pr.segmented_primes(b1 + 1, b2 + 1):
+        for q in block.tolist():
+            q_chunk *= int(q)
+            n_primes += 1
+            if q_chunk.bit_length() >= chunk_cap:
+                flush(q_chunk)
+                q_chunk = 1
+    if q_chunk > 1:
+        flush(q_chunk)
+    log(f"P-1 stage 2 (lowmem): {n_primes} primes, "
+        f"{n_bits} exponent bits")
+    hq = eng.get_int(rs) % mp
+    g = gmp.gcd((hq - 1) % mp, mp)
+    factor = g if 1 < g < mp else 0
+    if factor:
+        log(f"P-1 stage 2 found factor {factor}")
+    return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
+                     stage=2 if factor else 0,
+                     res64=res.res64_hex(hq),
+                     elapsed=time.monotonic() - t0,
+                     transform_size=eng.get_size())
+
+
 def run_pm1(opts: Options, log=print) -> Pm1Result:
     """Full P-1: stage 1, then stage 2 when B2 > B1.
 
@@ -436,7 +529,9 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
         log(f"Prime95 stage-1 save written to: {opts.p95_save}")
     if opts.b2 <= opts.b1:
         return r1
-    if getattr(opts, "stage2_variant", "vtrace") == "classic":
+    if opts.pm1_variant in ("lowmem", "ultralowmem"):
+        r2 = run_pm1_stage2_lowmem(opts, r1._stage1_x, log=log)
+    elif getattr(opts, "stage2_variant", "vtrace") == "classic":
         r2 = run_pm1_stage2(opts, r1._stage1_x, log=log)
     else:
         r2 = run_pm1_stage2_vtrace(opts, r1._stage1_x, log=log)
@@ -498,6 +593,50 @@ def _phi_half_count(D: int) -> int:
     return len([j for j in range(1, D // 2 + 1) if math.gcd(j, D) == 1])
 
 
+def _plan_pairs(primes, D: int, units: int):
+    """Pair95-style irregular pairing (Atnashev-Woltman): two primes q1 <
+    q2 can share ONE trace product when q1 + q2 = 2mD and j = (q2 - q1)/2
+    <= units*D/2 (the trace V_mD - V_j covers both). Greedy nearest-
+    partner matching over residue buckets; leftovers become singles at
+    their nearest giant. Returns (work, n_pairs, n_primes) where work is
+    {m: set(j)} — note j may exceed D/2 (the extended baby table).
+    Reference: the irregular-unit prime pairing planner,
+    src/modes/RunPM1.cpp:1931-4334."""
+    from collections import defaultdict
+    two_d = 2 * D
+    lim = units * D
+    buckets = defaultdict(list)
+    for q in primes:
+        buckets[q % two_d].append(q)
+    used = set()
+    work = defaultdict(set)
+    n_pairs = 0
+    for q in primes:
+        if q in used:
+            continue
+        partner = None
+        for q2 in buckets[(-q) % two_d]:
+            if q2 <= q or q2 in used:
+                continue
+            if q2 - q > lim:
+                break                      # bucket lists are ascending
+            partner = q2
+            break
+        if partner is not None:
+            used.add(q)
+            used.add(partner)
+            m = (q + partner) // two_d
+            j = (partner - q) // 2
+            work[m].add(j)
+            n_pairs += 1
+    for q in primes:
+        if q not in used:
+            m = (q + D // 2) // D
+            j = abs(q - m * D)
+            work[m].add(j)
+    return work, n_pairs, len(primes)
+
+
 def _vtrace_auto_d(b1: int, b2: int, regs_cap: int) -> int:
     """Memory-aware D: minimize  babies*2 + giants*2 + pairs*2  transforms
     subject to phi(D)/2 + base regs fitting the register budget
@@ -547,25 +686,52 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
     mp = res.mersenne(p)
     t0 = time.monotonic()
 
-    regs_cap = opts.stage2_regs_cap or 224
+    if opts.stage2_regs_cap:
+        regs_cap = opts.stage2_regs_cap
+    else:
+        # measured HBM budget instead of a guess (VERDICT round-1: wire
+        # -s2regs to the device capacity)
+        from ..engine.paged import device_reg_budget
+        from ..core.plan import cached_plan
+        regs_cap = min(max(device_reg_budget(cached_plan(p).n), 16), 1024)
     D = opts.stage2_d or _vtrace_auto_d(b1, b2, regs_cap)
     if D % 2:
         raise ValueError("V-trace stage 2 requires even D")
-    baby_js = [j for j in range(1, D // 2 + 1) if math.gcd(j, D) == 1]
-    NB = len(baby_js)
+
+    # collect primes and plan the pairing (irregular units shrink the
+    # number of trace products toward half the prime count)
+    all_primes = []
+    for block in pr.segmented_primes(b1 + 1, b2 + 1):
+        all_primes.extend(int(q) for q in block.tolist()
+                          if math.gcd(int(q), D) == 1)
+    units = 4
+    while units > 1:
+        work, n_pairs, n_primes = _plan_pairs(all_primes, D, units)
+        used_js = sorted({j for js in work.values() for j in js})
+        if VTRACE_BASE_REGS + len(used_js) <= regs_cap:
+            break
+        units -= 1
+    else:
+        work, n_pairs, n_primes = _plan_pairs(all_primes, D, 1)
+        used_js = sorted({j for js in work.values() for j in js})
+    NB = len(used_js)
+    rate = 2.0 * n_pairs / max(n_primes, 1)
     if eng is None:
         eng = create_engine(p, VTRACE_BASE_REGS + NB, backend=opts.backend,
                             arith=opts.arith, workload="pm1")
     BABY0 = VTRACE_BASE_REGS
-    log(f"P-1 stage 2 (V-trace): D={D}, {NB} babies, "
-        f"giants from m0 to {(b2 + D // 2) // D}")
+    log(f"P-1 stage 2 (V-trace): D={D}, units={units}, {NB} babies, "
+        f"{n_primes} primes -> {len([1 for js in work.values() for _ in js])}"
+        f" trace products (pairing rate {rate:.0%}), "
+        f"giants to {(b2 + units * D // 2) // D}")
 
     # V_1 = H + H^-1 (host inverse mod the composite is fine: H is a unit)
     eng.set_int(V_H, x1)
     v1 = (x1 + gmp.invert(x1 % mp, mp)) % mp
     eng.set_int(V_V1, v1)
 
-    # babies V_j, odd j coprime to D: V_{j+2} = V_2 V_j - V_{j-2}
+    # babies V_j for every j the pairing plan uses (odd; extended units
+    # reach past D/2): V_{j+2} = V_2 V_j - V_{j-2}
     eng.copy(V_T, V_V1)
     eng.square_mul(V_T)
     eng.sub(V_T, 2)                     # V_2
@@ -575,7 +741,7 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
     eng.copy(V_GLO, V_V1)               # prev = V_1 (j-2 = -1)
     eng.copy(V_GHI, V_V1)               # cur  = V_1 (j = 1)
     j = 1
-    for jj in baby_js:
+    for jj in used_js:
         while j < jj:
             eng.copy(V_T, V_GHI)
             eng.mul(V_T, V_V2M)
@@ -603,18 +769,13 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
     mode_tag = ck.MODE_TAGS["pm1s2"]
     ckpt_path = ck.ckpt_filename(p, "pm1s2", save_dir=opts.save_dir)
     saved = ck.load_latest(ckpt_path, p, mode_tag)
-    if saved is not None and saved.iteration == D:
+    # the plan (D AND pairing units) must match for a resume to be valid
+    if saved is not None and saved.iteration == D * 100 + units:
         m_cur, count = _vtrace_ckpt_restore(eng, saved.extra)
         log(f"Resuming P-1 stage 2 from giant m={m_cur}")
     last_save = time.monotonic()
 
-    def giant_of(q: int) -> int:
-        return (q + D // 2) // D
-
-    pending: set[int] = set()
-    pend_m = m_cur
-
-    def flush(mset: set[int]):
+    def flush(mset):
         nonlocal count
         for jj in sorted(mset):
             eng.copy(V_T, V_GLO)
@@ -623,45 +784,27 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
             eng.mul(V_ACC, V_M)
             count += 1
 
-    for block in pr.segmented_primes(b1 + 1, b2 + 1):
-        for q in block.tolist():
-            if math.gcd(q, D) != 1:
-                continue
-            mq = giant_of(q)
-            if mq < m_cur:
-                continue  # resumed past this giant; pair already accumulated
-            if mq != pend_m:
-                if pending:
-                    flush(pending)
-                    pending = set()
-                while m_cur < mq:
-                    # V_{(m+1)D} = V_D V_{mD'} ... advance (lo, hi)
-                    eng.copy(V_T, V_GHI)
-                    eng.mul(V_T, V_VDM)
-                    eng.sub_reg(V_T, V_GLO)
-                    eng.copy(V_GLO, V_GHI)
-                    eng.copy(V_GHI, V_T)
-                    m_cur += 1
-                pend_m = mq
-                if (time.monotonic() - last_save) >= opts.backup_interval:
-                    ck.write_checkpoint(ckpt_path, ck.CheckpointData(
-                        p=p, mode_tag=mode_tag, iteration=D,
-                        elapsed=time.monotonic() - t0,
-                        extra=_vtrace_ckpt_blob(eng, m_cur, count),
-                        regs=b""))
-                    last_save = time.monotonic()
-            jj = abs(q - mq * D)
-            if jj:
-                pending.add(jj)
-    if pending:
-        while m_cur < pend_m:
+    for mq in sorted(work):
+        if mq < m_cur:
+            continue  # resumed past this giant; products already in acc
+        while m_cur < mq:
+            # advance (lo, hi) = (V_{mD}, V_{(m+1)D}) by one giant step
             eng.copy(V_T, V_GHI)
             eng.mul(V_T, V_VDM)
             eng.sub_reg(V_T, V_GLO)
             eng.copy(V_GLO, V_GHI)
             eng.copy(V_GHI, V_T)
             m_cur += 1
-        flush(pending)
+        if (time.monotonic() - last_save) >= opts.backup_interval:
+            # saved BEFORE this giant's products: a resume replays giant
+            # m_cur exactly once (acc in the blob excludes it)
+            ck.write_checkpoint(ckpt_path, ck.CheckpointData(
+                p=p, mode_tag=mode_tag, iteration=D * 100 + units,
+                elapsed=time.monotonic() - t0,
+                extra=_vtrace_ckpt_blob(eng, m_cur, count),
+                regs=b""))
+            last_save = time.monotonic()
+        flush(work[mq])
 
     log(f"P-1 stage 2 (V-trace): {count} paired trace products for primes "
         f"in ({b1}, {b2}]")

@@ -29,6 +29,7 @@ from __future__ import annotations
 import functools
 
 from .. import jaxconf  # noqa: F401
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -54,13 +55,13 @@ def _a2a(x, split_axis: int, concat_axis: int):
     return lax.all_to_all(x, LIMB, split_axis, concat_axis, tiled=True)
 
 
-def _mid_full(t: ntt.NttTables, inverse: bool):
+def _mid_full(t: ntt.NttTables, inverse: bool, Fops=None):
     """Materialized (R, C) mid-twiddle matrix (t1/t2 factored form exists
     to save memory single-chip; sharded we want clean slicing)."""
+    Fx = Fops if Fops is not None else F
     t1 = t.mid_t1_inv if inverse else t.mid_t1
     t2 = t.mid_t2_inv if inverse else t.mid_t2
-    jhi = t.C // t.mid_tile
-    m = F.mul(t1[:, :, None], t2[:, None, :])
+    m = Fx.mul(t1[:, :, None], t2[:, None, :])
     return m.reshape(t.R, t.C)
 
 
@@ -157,10 +158,13 @@ class ShardedEngineTables:
     def __init__(self, p: int, mesh: Mesh):
         self.plan = cached_plan(p)
         self.mesh = mesh
-        with jax.default_device(mesh.devices.flat[0]):
-            t = jax.jit(lambda: ntt.NttTables.from_plan(self.plan, jnp))()
-            mid_f = jax.jit(lambda: _mid_full(t, False))()
-            mid_i = jax.jit(lambda: _mid_full(t, True))()
+        # tables are built HOST-side (numpy): in a multi-process run the
+        # devices of the global mesh are mostly non-addressable, so
+        # on-device building (and closing over the result) is illegal
+        Fnp = FieldOps(np)
+        t = ntt.NttTables.from_plan(self.plan, np)
+        mid_f = _mid_full(t, False, Fops=Fnp)
+        mid_i = _mid_full(t, True, Fops=Fnp)
         R, C = t.R, t.C
         s = mesh.size
         if R % s or C % s:
@@ -168,8 +172,13 @@ class ShardedEngineTables:
         self.t = t
         self.R, self.C, self.s = R, C, s
 
+        from . import dist
+
         def put(a, spec):
-            return jax.device_put(a, NamedSharding(mesh, spec))
+            # multi-host safe placement (each process contributes its
+            # addressable shards; plain device_put on one host otherwise)
+            import numpy as _np
+            return dist.put_global(_np.asarray(a), mesh, spec)
 
         rc_r = P(LIMB, None)   # (R, C) sharded by rows
         rc_c = P(None, LIMB)   # (R, C) sharded by cols
@@ -216,31 +225,41 @@ def build_sharded_ops(tb: ShardedEngineTables):
         in_specs=(vec, vec, P(), vec, vec, vec), out_specs=vec,
         check_rep=False)
 
+    # tables ride as jit ARGUMENTS: closing over globally-sharded arrays
+    # is rejected in multi-process runs (non-addressable shards)
     tabs = (tb.w_rc, tb.iw_rc, tb.mid_f, tb.mid_i, tb.wid, tb.msk,
             tb.stages_r, tb.stages_c)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def step(regs, src, a):
+    def _step(regs, tabs, src, a):
         x = sq(regs[src], *tabs, a)
         return regs.at[src].set(x)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def mul_step(regs, dst, src, a):
+    def _mul_step(regs, tabs, dst, src, a):
         x = mu(regs[dst], regs[src], *tabs, a)
         return regs.at[dst].set(x)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def fwd_step(regs, dst, src):
-        u = fw(regs[src], tb.w_rc, tb.mid_f, tb.stages_r, tb.stages_c)
+    def _fwd_step(regs, tabs, dst, src):
+        w_rc, _iw, mid_f, _mi, _w, _m, stages_r, stages_c = tabs
+        u = fw(regs[src], w_rc, mid_f, stages_r, stages_c)
         return regs.at[dst].set(u)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def linear_step(regs, dst, src, coef_y, const_vec):
-        x = li(regs[dst], regs[src], coef_y, const_vec, tb.wid, tb.msk)
+    def _linear_step(regs, tabs, dst, src, coef_y, const_vec):
+        wid, msk = tabs[4], tabs[5]
+        x = li(regs[dst], regs[src], coef_y, const_vec, wid, msk)
         return regs.at[dst].set(x)
 
-    return {"square": step, "mul": mul_step, "fwd": fwd_step,
-            "linear": linear_step}
+    return {
+        "square": lambda regs, src, a: _step(regs, tabs, src, a),
+        "mul": lambda regs, dst, src, a: _mul_step(regs, tabs, dst,
+                                                   src, a),
+        "fwd": lambda regs, dst, src: _fwd_step(regs, tabs, dst, src),
+        "linear": lambda regs, dst, src, coef_y, const_vec:
+            _linear_step(regs, tabs, dst, src, coef_y, const_vec),
+    }
 
 
 def psum_res64(tb: ShardedEngineTables, digits):
@@ -287,7 +306,6 @@ class ShardedSquareStep:
 
 from ..engine.api import Engine, Reg      # noqa: E402
 from ..utils import digits as dgu         # noqa: E402
-import numpy as np                        # noqa: E402
 
 
 class ShardedEngine(Engine):
@@ -303,18 +321,19 @@ class ShardedEngine(Engine):
         self.plan = self.tables.plan
         self.n = self.plan.n
         self.mp = (1 << p) - 1
-        rs = NamedSharding(self.mesh, P(None, LIMB))
-        self.regs = jax.device_put(
-            jnp.zeros((reg_count, self.n), dtype=jnp.uint64), rs)
+        from . import dist
+        self._dist = dist
+        self.regs = dist.put_global(
+            np.zeros((reg_count, self.n), dtype=np.uint64),
+            self.mesh, P(None, LIMB))
         ops = build_sharded_ops(self.tables)
         self._step = ops["square"]
         self._mul = ops["mul"]
         self._fwd = ops["fwd"]
         self._linear = ops["linear"]
         self._spec: set[int] = set()     # registers holding spectral form
-        self._zero_const = jax.device_put(
-            jnp.zeros((self.n,), jnp.uint64), NamedSharding(self.mesh,
-                                                            P(LIMB)))
+        self._zero_const = dist.put_global(
+            np.zeros((self.n,), np.uint64), self.mesh, P(LIMB))
         self._delta_cache: dict[int, jax.Array] = {}
 
     # -- helpers -----------------------------------------------------------
@@ -328,8 +347,8 @@ class ShardedEngine(Engine):
     def _delta_vec(self, a: int) -> jax.Array:
         if a not in self._delta_cache:
             d = dgu.int_to_digits(a % self.mp, self.plan.widths)
-            self._delta_cache[a] = jax.device_put(
-                jnp.asarray(d), NamedSharding(self.mesh, P(LIMB)))
+            self._delta_cache[a] = self._dist.put_global(
+                np.asarray(d), self.mesh, P(LIMB))
         return self._delta_cache[a]
 
     # -- hot path ----------------------------------------------------------
@@ -379,15 +398,16 @@ class ShardedEngine(Engine):
     # -- host exchange -----------------------------------------------------
     def get_digits(self, src: Reg) -> np.ndarray:
         assert src not in self._spec, "spectral register read as digits"
-        return np.asarray(self.regs[src]).copy()
+        return self._dist.global_gather(self.regs[src]).copy()
 
     def set_digits(self, dst: Reg, digits: np.ndarray) -> None:
-        self.regs = self.regs.at[dst].set(
-            jnp.asarray(digits.astype(np.uint64)))
+        row = self._dist.put_global(
+            np.asarray(digits, dtype=np.uint64), self.mesh, P(LIMB))
+        self.regs = self.regs.at[dst].set(row)
         self._spec.discard(dst)
 
     def get_raw(self, src: Reg) -> np.ndarray:
-        return np.asarray(self.regs[src]).copy()
+        return self._dist.global_gather(self.regs[src]).copy()
 
     def get_raw_tagged(self, src: Reg) -> tuple[np.ndarray, bool]:
         return self.get_raw(src), src in self._spec

@@ -58,3 +58,45 @@ class TestEcmFactors:
         r = run_ecm(o, log=_silent)
         assert r.factor == 193707721
         assert r.stage == 2
+
+
+class TestTorsionFamilies:
+    """Montgomery torsion-8 / torsion-16 parametrizations (reference:
+    picked_mode 1/2 constructions, src/modes/RunEcm.cpp:1480-1560)."""
+
+    def test_torsion8_curve_on_curve(self):
+        from prmers_tpu.modes.ecm import torsion8_curve
+        n = (1 << 101) - 1
+        x0, a24, a = torsion8_curve(5, n)
+        # A = 4*a24 - 2; B y^2 = x^3 + A x^2 + x must have a valid RHS
+        A = (4 * a24 - 2) % n
+        rhs = (pow(x0, 3, n) + A * x0 % n * x0 + x0) % n
+        assert rhs != 0 and x0 != 0
+
+    def test_m29_factor_torsion8(self):
+        o = Options(exponent=29, mode="ecm", b1=300, b2=0, curves=6,
+                    curve_seed=9, torsion=8, backend="numpy",
+                    edwards=False)
+        from prmers_tpu.modes.ecm import run_ecm
+        r = run_ecm(o, log=_silent)
+        assert r.factor and ((1 << 29) - 1) % r.factor == 0
+
+    def test_m37_factor_torsion16(self):
+        o = Options(exponent=37, mode="ecm", b1=200, b2=3000, curves=8,
+                    curve_seed=3, torsion=16, backend="numpy",
+                    edwards=False)
+        from prmers_tpu.modes.ecm import run_ecm
+        r = run_ecm(o, log=_silent)
+        assert r.factor and ((1 << 37) - 1) % r.factor == 0
+
+    def test_resume_line_export(self, tmp_path):
+        path = tmp_path / "ecm_resume.save"
+        # M127 is prime: no factor interferes, the export always lands
+        o = Options(exponent=127, mode="ecm", b1=100, b2=0, curves=1,
+                    curve_seed=123456, backend="numpy", edwards=False,
+                    torsion=0, resume_save=str(path))
+        from prmers_tpu.modes.ecm import run_ecm
+        run_ecm(o, log=_silent)
+        text = path.read_text()
+        assert "METHOD=ECM;" in text and "SIGMA=" in text
+        assert "N=2^127-1" in text and "CHECKSUM=" in text

@@ -153,3 +153,23 @@ class TestTorsion16:
         r = run_ecm_edwards(o, log=_silent)
         assert r.factor > 1
         assert ((1 << 29) - 1) % r.factor == 0
+
+
+class TestFamilyIV163:
+    """a = -1 IV-163 rational family (reference: family_iv_163,
+    src/modes/RunEcmTwistedEdwards.cpp:2360-2430)."""
+
+    def test_curve_identity(self):
+        from prmers_tpu.modes.ecm_edwards import family_iv163_curve
+        n = (1 << 89) - 1
+        x0, y0, d = family_iv163_curve(17, n)
+        lhs = (-x0 * x0 + y0 * y0) % n
+        rhs = (1 + d * x0 % n * x0 % n * y0 % n * y0) % n
+        assert lhs == rhs
+
+    def test_m29_factor_iv163(self):
+        o = Options(exponent=29, mode="ecm", b1=300, b2=0, curves=6,
+                    curve_seed=21, torsion=163, backend="numpy")
+        from prmers_tpu.modes.ecm_edwards import run_ecm_edwards
+        r = run_ecm_edwards(o, log=_silent)
+        assert r.factor and ((1 << 29) - 1) % r.factor == 0

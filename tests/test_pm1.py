@@ -107,27 +107,63 @@ class TestVTrace:
                     backup_interval=0.0, save_dir=str(tmp_path))
         r1 = pm1mod.run_pm1_stage1(o, log=_silent)
 
-        real = pr.segmented_primes
+        # interrupt mid-run: with backup_interval=0 a checkpoint lands
+        # before every giant's products; kill the run after a few saves
+        real_write = pm1mod.ck.write_checkpoint
+        saves = {"n": 0}
 
-        def poisoned(lo, hi):
-            # re-chunk into small sub-blocks so several giants advance (and
-            # checkpoint, backup_interval=0) before the interrupt fires
-            for block in real(lo, hi):
-                for s in range(0, len(block), 50):
-                    sub = block[s:s + 50]
-                    if int(sub[0]) > 20000:
-                        raise KeyboardInterrupt
-                    yield sub
+        def poisoned_write(path, data):
+            real_write(path, data)
+            saves["n"] += 1
+            if saves["n"] >= 4:
+                raise KeyboardInterrupt
 
-        monkeypatch.setattr(pm1mod.pr, "segmented_primes", poisoned)
+        monkeypatch.setattr(pm1mod.ck, "write_checkpoint", poisoned_write)
         try:
             pm1mod.run_pm1_stage2_vtrace(o, r1._stage1_x, log=_silent)
             assert False, "poison should have fired"
         except KeyboardInterrupt:
             pass
-        monkeypatch.setattr(pm1mod.pr, "segmented_primes", real)
+        monkeypatch.setattr(pm1mod.ck, "write_checkpoint", real_write)
 
         logs = []
         r2 = pm1mod.run_pm1_stage2_vtrace(o, r1._stage1_x, log=logs.append)
         assert any("Resuming" in str(x) for x in logs)
         assert r2.factor == 50500996776315830904406967
+
+
+class TestLowMem:
+    """Low-memory P-1 variants (reference: 3-reg lowmem / 2-reg
+    resume2reg register maps, src/modes/RunPM1.cpp:1408-1700, :6206-6222)."""
+
+    def test_lowmem_full_m367(self, tmp_path):
+        o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                    backend="numpy", pm1_variant="lowmem",
+                    save_dir=str(tmp_path))
+        from prmers_tpu.modes.pm1 import run_pm1
+        r = run_pm1(o, log=_silent)
+        assert r.factor % 50500996776315830904406967 == 0 or \
+            r.factor == 50500996776315830904406967
+
+    def test_ultralowmem_stage1_m541(self, tmp_path):
+        o = Options(exponent=541, mode="pm1", b1=1000, b2=0,
+                    backend="numpy", pm1_variant="ultralowmem",
+                    save_dir=str(tmp_path))
+        from prmers_tpu.modes.pm1 import run_pm1
+        r = run_pm1(o, log=_silent)
+        assert r.factor == 4312790327
+
+    def test_lowmem_matches_normal_stage1(self, tmp_path):
+        """The lowmem exponentiation must produce the same stage-1 X."""
+        from prmers_tpu.modes.pm1 import run_pm1_stage1
+        o1 = Options(exponent=367, mode="pm1", b1=2000, backend="numpy",
+                     save_dir=str(tmp_path / "a"))
+        o2 = Options(exponent=367, mode="pm1", b1=2000, backend="numpy",
+                     pm1_variant="ultralowmem",
+                     save_dir=str(tmp_path / "b"))
+        import os
+        os.makedirs(o1.save_dir, exist_ok=True)
+        os.makedirs(o2.save_dir, exist_ok=True)
+        r1 = run_pm1_stage1(o1, log=_silent)
+        r2 = run_pm1_stage1(o2, log=_silent)
+        assert r1._stage1_x == r2._stage1_x
