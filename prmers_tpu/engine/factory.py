@@ -28,13 +28,18 @@ def configure_backend(backend: str, workload: str = "generic") -> None:
 
 
 def _pallas_eligible(p: int) -> bool:
-    """Pallas path needs power-of-two n >= 2^14 and a TPU device."""
+    """Pallas path needs n in {2^k, 5*2^k} big enough for the MXU weight
+    folds (rs.L1 >= 32), and a TPU device."""
     import os as _os
     if _os.environ.get("PRMERS_NO_PALLAS"):
         return False
     from ..core.plan import cached_plan
     n = cached_plan(p).n
-    if n & (n - 1) or n < (1 << 14):
+    if n % 5 == 0:
+        base = n // 5
+        if base & (base - 1) or n < 163840:
+            return False
+    elif n & (n - 1) or n < (1 << 15):
         return False
     try:
         from .. import jaxconf  # noqa: F401

@@ -330,11 +330,6 @@ class PallasEngine(Engine):
         self.regs[dst] = [jnp.asarray(lo), jnp.asarray(hi), z11, z11, True]
 
     def _ay_shape(self) -> tuple[int, ...]:
-        """Shape of a spectral (multiplicand) register: under the fused
-        C path it is the AX shell itself; otherwise the AY layout."""
-        if self.t.fused is not None:
-            return self._sh
-        fp = self.fp
-        RB = max(fp.R // (kn.G * kn.LANES), 1)
-        LN2 = fp.R // (RB * kn.G)
-        return (fp.cs.L1, fp.cs.L2, RB, kn.G, LN2)
+        """Shape of a spectral (multiplicand) register: the AX shell
+        itself under the wide-lane fused pipeline."""
+        return self._sh

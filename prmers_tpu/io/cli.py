@@ -88,7 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-curves", "-K", dest="curves", type=int, default=1)
     ap.add_argument("-sigma", default="")
     ap.add_argument("-curve-seed", dest="curve_seed", type=int, default=0)
-    ap.add_argument("-torsion", type=int, default=0)
+    ap.add_argument("-torsion", type=int, default=8,
+                    help="ECM curve family: 0 = Suyama/generic, 8 = "
+                         "Montgomery torsion-8 (default), 16 = "
+                         "torsion-16, 163 = Edwards IV-163 family")
     ap.add_argument("-montgomery", action="store_true",
                     help="ECM Montgomery/Suyama curves instead of the "
                          "default twisted Edwards")

@@ -72,13 +72,16 @@ def dif_freq_of_pos(L: int) -> np.ndarray:
 
 @dataclasses.dataclass(eq=False)
 class SplitSpec:
-    """One column-transform split: length L = L1 * L2, L1 on axis 0 (<=64),
-    L2 on the 8-sublane-granular axis 1 (<=64)."""
+    """One column-transform split: length L = L1 * L2, L1 on axis 0
+    (power of two <= 64, DIF-ordered), L2 on axis 1 (power of two <= 64
+    DIF-ordered, or 5*2^b <= 320 in NATURAL order — the radix-5 factor
+    runs as a general MXU matrix, so it needs no butterfly ordering;
+    reference radix-5 stages: kernels/marin.cl:946-1236)."""
     L: int
     L1: int
     L2: int
     freq1: np.ndarray  # (L1,) DIF output freq per axis-0 position
-    freq2: np.ndarray  # (L2,)
+    freq2: np.ndarray  # (L2,) (identity when L2 is the radix-5 factor)
 
     @property
     def freq(self) -> np.ndarray:
@@ -87,11 +90,23 @@ class SplitSpec:
 
 
 def make_split(L: int) -> SplitSpec:
-    assert L & (L - 1) == 0 and 4 <= L <= 4096, L
-    L1 = min(L, 64)
-    L2 = L // L1
-    assert L2 <= 64, f"column length {L} too large for one kernel"
-    return SplitSpec(L, L1, L2, dif_freq_of_pos(L1), dif_freq_of_pos(L2))
+    if L & (L - 1) == 0:
+        assert 4 <= L <= 4096, L
+        L1 = min(L, 64)
+        L2 = L // L1
+        assert L2 <= 64, f"column length {L} too large for one kernel"
+        return SplitSpec(L, L1, L2, dif_freq_of_pos(L1),
+                         dif_freq_of_pos(L2))
+    # 5-smooth: L = 5 * 2^m; the 5 rides the axis-1 factor as a
+    # natural-order MXU matrix
+    assert L % 5 == 0 and (L // 5) & (L // 5 - 1) == 0, L
+    m = (L // 5).bit_length() - 1
+    a = min(m, 6)
+    L1 = 1 << a
+    L2 = 5 << (m - a)
+    assert L2 <= 320, f"column length {L} too large for one kernel"
+    return SplitSpec(L, L1, L2, dif_freq_of_pos(L1),
+                     np.arange(L2, dtype=np.int64))
 
 
 @dataclasses.dataclass(eq=False)
@@ -109,14 +124,20 @@ class FourStepPlan:
     @classmethod
     def from_plan(cls, plan: Plan):
         n = plan.n
-        assert n & (n - 1) == 0, "pallas path requires power-of-two n"
-        # C carries the lane payload (cb, s=8, l=128) => C >= 1024 preferred;
-        # R is the first-pass column length, <= 4096.
+        five = n % 5 == 0
+        base = n // 5 if five else n
+        assert base & (base - 1) == 0, \
+            "pallas path requires n in {2^k, 5*2^k}"
+        # C is the pure power-of-two lane extent (the fused C kernel's
+        # shift-DFT factor caps at 64 lane tiles => C <= 8192); R takes
+        # the radix-5 factor when present.
+        r_cap = 20480 if five else 4096
         C = 1024
-        while n // C > 4096:
+        while n // C > r_cap and C < 8192:
             C *= 2
         R = n // C
-        assert R >= 4, f"transform too small for pallas path (n={n})"
+        assert R >= 4 and R <= r_cap, \
+            f"transform out of range for pallas path (n={n})"
         return cls(p=plan.p, n=n, R=R, C=C, rs=make_split(R),
                    cs=make_split(C), widths=plan.widths,
                    max_word=plan.max_word)
@@ -152,16 +173,22 @@ def shift_exponents(L1: int) -> list[tuple[int, list[int]]]:
 
 @dataclasses.dataclass(eq=False)
 class FourStepTables:
-    """Device tables for the kernel pipeline. All general-twiddle tables are
-    u64 pairs stored as (lo, hi) u32 arrays, pre-shaped for the kernels.
+    """Device tables for the kernel pipeline (wide-lane layout). All
+    general-twiddle tables are u64 pairs stored as (lo, hi) u32 arrays,
+    pre-shaped for the kernels.
 
-    With payload granularity G (8 on TPU; 1 for numpy oracle tests):
-      t_r:   (R1, R2, 1, 1, 1)    omega_R^(r2 * freq1[p1])  [R-pass T layer]
-      t_c:   (C1, C2, 1, 1, 1)    omega_C^(c2 * freq1'[q1]) [C-pass T layer]
-      w,iw:  (R1, R2, CB, G, LN)  weights / inv-weights*1/n, digit order
-      mid:   (R1, R2, CB, G, LN)  omega_n^(c * kR(pos)), AX layout
-      widths32/masks: same 5D layout (u32 / pair)
-    where the digit at [r1, r2, cb, s, l] is x[(r1*R2+r2)*C + cb*G*LN + s*LN + l].
+    Layout: the AX array is 3D (R1, R2, C) — the WHOLE length-C axis is
+    the lane extent (C/128 lane tiles), so the C-transform's high factor
+    is lane-tile arithmetic and every MXU dot runs with N = C. (The
+    round-1 narrow layout carried a (CB, G, LN) sublane payload; its
+    16-way sublane-strided slicing was the fused kernel's bottleneck.)
+
+      t_r:   (R1, R2, 1)   omega_R^(r2 * freq1[p1])  [R-pass T layer]
+      t_c:   (C1, C2, 1)   omega_C^(c2 * freq1'[q1]) [oracle only]
+      w,iw:  (R1, R2, C)   weights / inv-weights*1/n, digit order
+      mid:   (R1, R2, C)   omega_n^(c * kR(pos))
+      widths32/masks: same 3D layout (u32 / pair)
+    where the digit at [r1, r2, c] is x[(r1*R2 + r2)*C + c].
     """
     fp: FourStepPlan
     G: int
@@ -180,9 +207,10 @@ class FourStepTables:
     mxu_subs: Any = None   # ((key, (sub_lo, sub_hi)), ...) static
     wcorr: Any = None      # (er (R2,L1,1) u32, ec (CB,1,G,LN) u32) residues
     # fused C-transform (transpose-free): (wf8, corrf, wi8, corri,
-    # eca (ca_count,1) u32, ecl (1,LN) u32); subs via mxu_subs keys
-    # "fc_fwd"/"fc_inv". Built by attach_fused_c_tables; when present the
-    # pipeline runs P1-P2 / fused-C / P6-P7 with no global transposes.
+    # wrapc (1, C) u32 mask, mid_f lo/hi, mid_inv_f lo/hi); subs via
+    # mxu_subs keys "fc_fwd"/"fc_inv". Built by attach_fused_c_tables;
+    # when present the pipeline runs P1-P2 / fused-C / P6-P7 with no
+    # global transposes.
     fused: Any = None
 
     def mxu_sub(self, key: str):
@@ -235,15 +263,12 @@ class FourStepTables:
         masks64 = (xp.uint64(1) << widths.astype(xp.uint64)) - xp.uint64(1)
 
         R1, R2 = fp.rs.L1, fp.rs.L2
-        C1, C2 = fp.cs.L1, fp.cs.L2
-        CB = max(C // (G * lanes), 1)
-        ln = C // (CB * G)  # actual lane extent (= lanes when C >= G*lanes)
 
-        def ax5(a):  # (R, C) -> AX kernel layout
-            return a.reshape(R1, R2, CB, G, ln)
+        def ax3(a):  # (R, C) -> wide AX kernel layout
+            return a.reshape(R1, R2, C)
 
-        def t5(a):  # (L1, L2) -> broadcast form (L1, L2, 1, 1, 1)
-            return a.reshape(a.shape[0], a.shape[1], 1, 1, 1)
+        def t3(a):  # (L1, L2) -> broadcast form (L1, L2, 1)
+            return a.reshape(a.shape[0], a.shape[1], 1)
 
         def pair(a):
             return ((a & xp.uint64(0xFFFFFFFF)).astype(xp.uint32),
@@ -251,13 +276,13 @@ class FourStepTables:
 
         return cls(
             fp=fp, G=G,
-            w=pair(ax5(w)), iw=pair(ax5(iw)),
-            t_r=pair(t5(t_r)), t_r_inv=pair(t5(t_r_inv)),
-            mid=pair(ax5(mid)), mid_inv=pair(ax5(mid_inv)),
-            t_c=pair(t5(t_c)), t_c_inv=pair(t5(t_c_inv)),
-            widths32=ax5(widths),
-            masks_lo=ax5((masks64 & xp.uint64(0xFFFFFFFF)).astype(xp.uint32)),
-            masks_hi=ax5((masks64 >> xp.uint64(32)).astype(xp.uint32)),
+            w=pair(ax3(w)), iw=pair(ax3(iw)),
+            t_r=pair(t3(t_r)), t_r_inv=pair(t3(t_r_inv)),
+            mid=pair(ax3(mid)), mid_inv=pair(ax3(mid_inv)),
+            t_c=pair(t3(t_c)), t_c_inv=pair(t3(t_c_inv)),
+            widths32=ax3(widths),
+            masks_lo=ax3((masks64 & xp.uint64(0xFFFFFFFF)).astype(xp.uint32)),
+            masks_hi=ax3((masks64 >> xp.uint64(32)).astype(xp.uint32)),
         )
 
 
@@ -401,6 +426,78 @@ def dft_axis1(g: GL, x0, x1, L2: int, G: int, inverse: bool):
     return x0, x1
 
 
+def dft_lanes(g: GL, x0, x1, L: int, tile: int, inverse: bool):
+    """Length-L DIF/DIT over the lane-TILE index of a (B, L*tile) view:
+    element j occupies lanes [j*tile, (j+1)*tile). All slices are
+    tile-aligned lane blocks (the wide-lane layout's C-high factor);
+    twiddles are shifts (L | 192). Mirrors dft_axis0's orderings exactly."""
+    xp = g.xp
+    levels = shift_exponents(L)
+    if inverse:
+        levels = levels[::-1]
+    for m, exps in levels:
+        Bf = L // (2 * m)
+        outs0 = [None] * L
+        outs1 = [None] * L
+
+        def tileof(idx):
+            return (x0[:, idx * tile:(idx + 1) * tile],
+                    x1[:, idx * tile:(idx + 1) * tile])
+
+        for blk in range(Bf):
+            for jj in range(m):
+                pa = blk * 2 * m + jj
+                pb = pa + m
+                a0, a1 = tileof(pa)
+                b0, b1 = tileof(pb)
+                e = exps[jj]
+                if not inverse:
+                    s0, s1 = g.add(a0, a1, b0, b1)
+                    d0, d1 = g.sub(a0, a1, b0, b1)
+                    if e:
+                        d0, d1 = g.shiftmul(d0, d1, e)
+                    outs0[pa], outs1[pa] = s0, s1
+                    outs0[pb], outs1[pb] = d0, d1
+                else:
+                    t0, t1 = (g.shiftmul(b0, b1, 96 - e) if e
+                              else (b0, b1))
+                    s0, s1 = g.add(a0, a1, t0, t1)
+                    d0, d1 = g.sub(a0, a1, t0, t1)
+                    if e:   # j >= 1 twiddles are negated: swap outputs
+                        outs0[pa], outs1[pa] = d0, d1
+                        outs0[pb], outs1[pb] = s0, s1
+                    else:
+                        outs0[pa], outs1[pa] = s0, s1
+                        outs0[pb], outs1[pb] = d0, d1
+        x0 = xp.concatenate(outs0, axis=1)
+        x1 = xp.concatenate(outs1, axis=1)
+    return x0, x1
+
+
+def _dft_axis1_matrix(g: GL, x0, x1, L2: int, inverse: bool):
+    """Natural-order length-L2 DFT along axis 1 via explicit matrix
+    apply (numpy-oracle path for the radix-5 factor; the device runs the
+    same matrix on the MXU)."""
+    from .mxu_dft import dft_matrix
+    xp = g.xp
+    M = dft_matrix(L2, inverse)
+    m0, m1 = to_pairs(M)
+    outs0, outs1 = [], []
+    for k in range(L2):
+        acc0 = acc1 = None
+        for j in range(L2):
+            t0, t1 = g.mul(x0[:, j], x1[:, j],
+                           xp.uint32(int(m0[k, j])),
+                           xp.uint32(int(m1[k, j])))
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0, acc1 = g.add(acc0, acc1, t0, t1)
+        outs0.append(acc0)
+        outs1.append(acc1)
+    return xp.stack(outs0, axis=1), xp.stack(outs1, axis=1)
+
+
 def col_transform(g: GL, x0, x1, sp: SplitSpec, tw0, tw1, G: int,
                   inverse: bool):
     """Full length-L column transform on a (L1, L2*G, lanes) tile.
@@ -409,14 +506,28 @@ def col_transform(g: GL, x0, x1, sp: SplitSpec, tw0, tw1, G: int,
     Forward: DFT_L1(axis0) -> T -> DFT_L2(axis1).
     Inverse: DFT_L2(axis1) -> T^inv -> DFT_L1(axis0).
     """
+    pow2_l2 = sp.L2 & (sp.L2 - 1) == 0
+
+    def fwd2(a0, a1):
+        if pow2_l2:
+            return dft_axis1(g, a0, a1, sp.L2, G, False)
+        assert G == 1
+        return _dft_axis1_matrix(g, a0, a1, sp.L2, False)
+
+    def inv2(a0, a1):
+        if pow2_l2:
+            return dft_axis1(g, a0, a1, sp.L2, G, True)
+        assert G == 1
+        return _dft_axis1_matrix(g, a0, a1, sp.L2, True)
+
     if not inverse:
         x0, x1 = dft_axis0(g, x0, x1, sp.L1, False)
         if sp.L2 > 1:
             x0, x1 = g.mul(x0, x1, tw0, tw1)
-            x0, x1 = dft_axis1(g, x0, x1, sp.L2, G, False)
+            x0, x1 = fwd2(x0, x1)
     else:
         if sp.L2 > 1:
-            x0, x1 = dft_axis1(g, x0, x1, sp.L2, G, True)
+            x0, x1 = inv2(x0, x1)
             x0, x1 = g.mul(x0, x1, tw0, tw1)
         x0, x1 = dft_axis0(g, x0, x1, sp.L1, True)
     return x0, x1
@@ -429,81 +540,42 @@ def col_transform(g: GL, x0, x1, sp: SplitSpec, tw0, tw1, G: int,
 
 def square_ref(t: FourStepTables, digits64: np.ndarray,
                lanes: int = 128) -> np.ndarray:
-    """One IBDWT squaring (pre-carry) on numpy, following the exact kernel
-    dataflow. Returns the unnormalized convolution digit vector (u64 exact
-    integers < max_word)."""
+    """One IBDWT squaring (pre-carry) on numpy. Mathematical oracle for
+    the kernel pipeline: the C-transform here uses the (C1, C2) column
+    split, while the device kernels use the lane-tile decomposition —
+    the dyadic center is elementwise, so the composed result is
+    order-independent and must match exactly. Returns the unnormalized
+    convolution digit vector (u64 exact integers < max_word)."""
     g = GL(np)
-    fp, G = t.fp, t.G
+    fp = t.fp
     R, C = fp.R, fp.C
     R1, R2 = fp.rs.L1, fp.rs.L2
     C1, C2 = fp.cs.L1, fp.cs.L2
-    CB = t.w[0].shape[2]
-    LN = t.w[0].shape[4]
     x0, x1 = to_pairs(digits64)
-    x0 = x0.reshape(R1, R2, CB, G, LN)
-    x1 = x1.reshape(R1, R2, CB, G, LN)
+    x0 = x0.reshape(R1, R2, C)
+    x1 = x1.reshape(R1, R2, C)
 
-    def texp(pairs, L1x, L2x):  # broadcast 5D -> (L1, L2*G, 1)
-        return tuple(np.repeat(a.reshape(L1x, L2x), G, axis=1)[:, :, None]
-                     for a in pairs)
-
-    t_r_e = texp(t.t_r, R1, R2)
-    t_r_ie = texp(t.t_r_inv, R1, R2)
-    t_c_e = texp(t.t_c, C1, C2)
-    t_c_ie = texp(t.t_c_inv, C1, C2)
-
-    # K1: weights, forward R-column transform, mid twiddle (per cb block)
-    o0 = np.empty_like(x0)
-    o1 = np.empty_like(x1)
-    for cb in range(CB):
-        a0 = x0[:, :, cb].reshape(R1, R2 * G, LN)
-        a1 = x1[:, :, cb].reshape(R1, R2 * G, LN)
-        w0 = t.w[0][:, :, cb].reshape(R1, R2 * G, LN)
-        w1 = t.w[1][:, :, cb].reshape(R1, R2 * G, LN)
-        a0, a1 = g.mul(a0, a1, w0, w1)
-        a0, a1 = col_transform(g, a0, a1, fp.rs, t_r_e[0], t_r_e[1], G, False)
-        m0 = t.mid[0][:, :, cb].reshape(R1, R2 * G, LN)
-        m1 = t.mid[1][:, :, cb].reshape(R1, R2 * G, LN)
-        a0, a1 = g.mul(a0, a1, m0, m1)
-        o0[:, :, cb] = a0.reshape(R1, R2, G, LN)
-        o1[:, :, cb] = a1.reshape(R1, R2, G, LN)
-
-    # transpose (R, C) -> (C, R), reshape to AY layout
-    RB = max(R // (G * lanes), 1)
-    LN2 = R // (RB * G)
-    y0 = o0.reshape(R, C).T.reshape(C1, C2, RB, G, LN2).copy()
-    y1 = o1.reshape(R, C).T.reshape(C1, C2, RB, G, LN2).copy()
+    # K1: weights, forward R-column transform, mid twiddle
+    x0, x1 = g.mul(x0, x1, t.w[0], t.w[1])
+    x0, x1 = col_transform(g, x0, x1, fp.rs, t.t_r[0], t.t_r[1], 1, False)
+    x0, x1 = g.mul(x0, x1, t.mid[0], t.mid[1])
 
     # K2: forward C transform, dyadic square, inverse C transform
-    for rb in range(RB):
-        a0 = y0[:, :, rb].reshape(C1, C2 * G, LN2)
-        a1 = y1[:, :, rb].reshape(C1, C2 * G, LN2)
-        a0, a1 = col_transform(g, a0, a1, fp.cs, t_c_e[0], t_c_e[1], G, False)
-        a0, a1 = g.sqr(a0, a1)
-        a0, a1 = col_transform(g, a0, a1, fp.cs, t_c_ie[0], t_c_ie[1],
-                               G, True)
-        y0[:, :, rb] = a0.reshape(C1, C2, G, LN2)
-        y1[:, :, rb] = a1.reshape(C1, C2, G, LN2)
-
-    # transpose back to AX layout
-    z0 = y0.reshape(C, R).T.reshape(R1, R2, CB, G, LN)
-    z1 = y1.reshape(C, R).T.reshape(R1, R2, CB, G, LN)
+    y0 = x0.reshape(R, C).T.reshape(C1, C2, R).copy()
+    y1 = x1.reshape(R, C).T.reshape(C1, C2, R).copy()
+    y0, y1 = col_transform(g, y0, y1, fp.cs, t.t_c[0], t.t_c[1], 1, False)
+    y0, y1 = g.sqr(y0, y1)
+    y0, y1 = col_transform(g, y0, y1, fp.cs, t.t_c_inv[0], t.t_c_inv[1],
+                           1, True)
+    z0 = y0.reshape(C, R).T.reshape(R1, R2, C)
+    z1 = y1.reshape(C, R).T.reshape(R1, R2, C)
 
     # K3: inverse mid, inverse R transform, inverse weights (x 1/n)
-    for cb in range(CB):
-        a0 = z0[:, :, cb].reshape(R1, R2 * G, LN)
-        a1 = z1[:, :, cb].reshape(R1, R2 * G, LN)
-        m0 = t.mid_inv[0][:, :, cb].reshape(R1, R2 * G, LN)
-        m1 = t.mid_inv[1][:, :, cb].reshape(R1, R2 * G, LN)
-        a0, a1 = g.mul(a0, a1, m0, m1)
-        a0, a1 = col_transform(g, a0, a1, fp.rs, t_r_ie[0], t_r_ie[1],
-                               G, True)
-        i0 = t.iw[0][:, :, cb].reshape(R1, R2 * G, LN)
-        i1 = t.iw[1][:, :, cb].reshape(R1, R2 * G, LN)
-        a0, a1 = g.mul(a0, a1, i0, i1)
-        a0, a1 = g.canon(a0, a1)
-        z0[:, :, cb] = a0.reshape(R1, R2, G, LN)
-        z1[:, :, cb] = a1.reshape(R1, R2, G, LN)
+    z0, z1 = g.mul(z0, z1, t.mid_inv[0], t.mid_inv[1])
+    z0, z1 = col_transform(g, z0, z1, fp.rs, t.t_r_inv[0], t.t_r_inv[1],
+                           1, True)
+    z0, z1 = g.mul(z0, z1, t.iw[0], t.iw[1])
+    z0, z1 = g.canon(z0, z1)
 
     from .gl64 import from_pairs
     return from_pairs(z0.reshape(fp.n), z1.reshape(fp.n))
@@ -536,8 +608,10 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
     put = device_put if device_put is not None else (lambda a: a)
     fp = t.fp
     C = fp.C
-    LN = t.w[0].shape[4]
-    if LN != 128 or C % 128:
+    if C % 128 or fp.rs.L1 < 32:
+        # the fused tables assume the weight r-part is folded into the
+        # P1/P7 MXU tables (rs.L1 >= 32); without that the wc folds here
+        # would double-apply
         return t
     ca_count = C // 128
     if ca_count < 2 or ca_count & (ca_count - 1) or ca_count > 64:
@@ -589,14 +663,11 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
 
     # ca-part of the weights folds into the mid tables (it commutes
     # through the R-transform); stored as separate folded copies so the
-    # unfused tables stay valid for the fallback path and numpy oracle
+    # unfused tables stay valid for the numpy oracle
     wca = powv(nr2, eca)
     iwca = powv(nr2i, eca)
-    CB = t.w[0].shape[2]
-    G_ = t.w[0].shape[3]
-
-    def bshape(v):   # (ca_count,) -> (1, 1, CB, G, 1)
-        return np.ascontiguousarray(v.reshape(1, 1, CB, G_, 1))
+    wca_c = np.repeat(wca, 128).reshape(1, 1, C)
+    iwca_c = np.repeat(iwca, 128).reshape(1, 1, C)
 
     def mul_tab(pair, fac64):
         gnp = GL(np)
@@ -606,12 +677,16 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
         r0, r1 = gnp.canon(*gnp.mul(lo, hi, f0, f1))
         return put(r0), put(r1)
 
-    mid_f = mul_tab(t.mid, bshape(wca))
-    midi_f = mul_tab(t.mid_inv, bshape(iwca))
+    mid_f = mul_tab(t.mid, wca_c)
+    midi_f = mul_tab(t.mid_inv, iwca_c)
+
+    # root-of-2 wrap between the ca/l weight-exponent parts, as one
+    # precomputed (1, C) mask (halve forward / double inverse)
+    wrapc = ((np.repeat(eca, 128) + np.tile(ecl, ca_count)) >= n
+             ).astype(np.uint32).reshape(1, C)
 
     t.fused = (put(wf8), put(corrf), put(wi8), put(corri),
-               put(eca.astype(np.uint32).reshape(ca_count, 1)),
-               put(ecl.astype(np.uint32).reshape(1, 128)),
+               put(wrapc),
                mid_f[0], mid_f[1], midi_f[0], midi_f[1])
     subs = dict(t.mxu_subs or ())
     subs["fc_fwd"] = (int(subf_lo), int(subf_hi))
@@ -621,33 +696,37 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
 
 
 def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
-    """Numpy oracle of the fused C kernel's dataflow (exact mirror)."""
+    """Numpy oracle of the fused C kernel's dataflow (exact mirror of the
+    wide-lane formulation: lane-tile DFT + per-slot RHS dots)."""
     g = GL(np)
     fp = t.fp
-    n = fp.n
-    (wf8, corrf, wi8, corri, eca, ecl, *_rest) = t.fused
+    (wf8, corrf, wi8, corri, wrapc, *_rest) = t.fused
     sub_f = t.mxu_sub("fc_fwd")
     sub_i = t.mxu_sub("fc_inv")
     ca_count = wf8.shape[0]
     sh = x0.shape
-    R = fp.R
-    v0 = np.asarray(x0).reshape(R, ca_count, 128)
-    v1 = np.asarray(x1).reshape(R, ca_count, 128)
-    mask = (np.asarray(eca).astype(np.uint64)[None, :, :]
-            + np.asarray(ecl).astype(np.uint64)[None, :, :128]) >= n
-    mask = np.broadcast_to(mask.reshape(1, ca_count, 128), v0.shape)
+    R, C = fp.R, fp.C
+    v0 = np.asarray(x0).reshape(R, C)
+    v1 = np.asarray(x1).reshape(R, C)
+    mask = np.broadcast_to(np.asarray(wrapc) != 0, v0.shape)
     v0, v1 = g.halve_where(v0, v1, mask)
-    v0, v1 = dft_axis1(g, v0, v1, ca_count, 1, False)
+    v0, v1 = dft_lanes(g, v0, v1, ca_count, 128, False)
     from .mxu_dft import mxu_rhs_apply
-    outs0, outs1 = [], []
-    for j in range(ca_count):
-        y0, y1 = mxu_rhs_apply(g, v0[:, j, :], v1[:, j, :], 128,
-                               np.asarray(wf8)[j], np.asarray(corrf)[j],
-                               np.uint32(sub_f[0]), np.uint32(sub_f[1]))
-        outs0.append(y0.reshape(R, 1, 128))
-        outs1.append(y1.reshape(R, 1, 128))
-    v0 = np.concatenate(outs0, axis=1)
-    v1 = np.concatenate(outs1, axis=1)
+
+    def dots(v0, v1, w8, corr, sub):
+        outs0, outs1 = [], []
+        for j in range(ca_count):
+            y0, y1 = mxu_rhs_apply(
+                g, v0[:, j * 128:(j + 1) * 128],
+                v1[:, j * 128:(j + 1) * 128], 128,
+                np.asarray(w8)[j], np.asarray(corr)[j],
+                np.uint32(sub[0]), np.uint32(sub[1]))
+            outs0.append(y0)
+            outs1.append(y1)
+        return (np.concatenate(outs0, axis=1),
+                np.concatenate(outs1, axis=1))
+
+    v0, v1 = dots(v0, v1, wf8, corrf, sub_f)
     if mode == "fwd":
         return v0.reshape(sh), v1.reshape(sh)
     if mode == "sqr":
@@ -655,16 +734,8 @@ def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
     else:
         v0, v1 = g.mul(v0, v1, np.asarray(u0).reshape(v0.shape),
                        np.asarray(u1).reshape(v1.shape))
-    outs0, outs1 = [], []
-    for j in range(ca_count):
-        y0, y1 = mxu_rhs_apply(g, v0[:, j, :], v1[:, j, :], 128,
-                               np.asarray(wi8)[j], np.asarray(corri)[j],
-                               np.uint32(sub_i[0]), np.uint32(sub_i[1]))
-        outs0.append(y0.reshape(R, 1, 128))
-        outs1.append(y1.reshape(R, 1, 128))
-    v0 = np.concatenate(outs0, axis=1)
-    v1 = np.concatenate(outs1, axis=1)
-    v0, v1 = dft_axis1(g, v0, v1, ca_count, 1, True)
+    v0, v1 = dots(v0, v1, wi8, corri, sub_i)
+    v0, v1 = dft_lanes(g, v0, v1, ca_count, 128, True)
     v0, v1 = g.double_where(v0, v1, mask)
     return v0.reshape(sh), v1.reshape(sh)
 
@@ -690,7 +761,7 @@ def attach_mxu_tables(t: FourStepTables, device_put=None):
     from .gl64 import from_pairs as _fp64
     put = device_put if device_put is not None else (lambda a: a)
     fp = t.fp
-    sizes = {fp.rs.L1, fp.rs.L2, fp.cs.L1, fp.cs.L2}
+    sizes = {fp.rs.L1, fp.rs.L2}
     mxu = {}
     subs = {}
 
@@ -701,37 +772,34 @@ def attach_mxu_tables(t: FourStepTables, device_put=None):
         subs[key] = (int(sub_lo), int(sub_hi))
 
     for L in sorted(sizes):
-        if L < 32:   # int8 tiles are (32, 128); smaller DFTs stay on the VPU
+        if L < 32 and L & (L - 1) == 0:
+            # small power-of-two DFTs stay on the VPU (shift twiddles);
+            # radix-5 factors ALWAYS need their MXU matrix
             continue
         for inv in (False, True):
             add(mxu_key(L, inv), L, inv)
 
-    def fetch(pair):   # (L1, L2, 1, 1, 1) u32 pair -> (L1, L2) u64 host
+    def fetch(pair):   # (L1, L2, 1) u32 pair -> (L1, L2) u64 host
         lo = np.asarray(pair[0]).reshape(pair[0].shape[0], pair[0].shape[1])
         hi = np.asarray(pair[1]).reshape(lo.shape)
         return _fp64(lo, hi)
 
     if fp.rs.L1 >= 32:
         add("tr_fwd", fp.rs.L1, False, row_scale=fetch(t.t_r).T.copy())
-    if fp.cs.L1 >= 32:
-        add("tc_fwd", fp.cs.L1, False, row_scale=fetch(t.t_c).T.copy())
-    if fp.cs.L2 >= 32:
-        add("tc_inv", fp.cs.L2, True, row_scale=fetch(t.t_c_inv))
-    if fp.rs.L2 >= 32:
+    if fp.rs.L2 >= 32 or fp.rs.L2 % 5 == 0:
         add("tr_inv", fp.rs.L2, True, row_scale=fetch(t.t_r_inv))
 
-    # ---- IBDWT weight folds (P1/P3 forward, P5/P7 inverse) -------------
+    # ---- IBDWT weight folds (P1 forward, P7 inverse) -------------------
     # w(r*C + c) = wr(r) * wc(c) * 2^-k,  iw = iwr(r) * iwc(c) * 2^k / n,
-    # k = [er(r) + ec(c) >= n] (single wrap of the root-of-two exponent;
-    # identity verified at build). wr/iwr fold into the r1-pass tables
-    # (exact per row x grid), wc/iwc into the c1-pass tables; the 2^{-+k}
+    # k = [er(r) + ec(c) >= n] (single wrap of the root-of-two exponent).
+    # wr/iwr fold into the r1-pass tables (exact per row x grid); wc/iwc
+    # fold into the fused-C tables (attach_fused_c_tables); the 2^{-+k}
     # correction is a masked halve/double in the kernels (t.wcorr).
-    if fp.rs.L1 >= 32 and fp.cs.L1 >= 32:
+    if fp.rs.L1 >= 32:
         from ...core import field as fld
         n = fp.n
         R, C = fp.R, fp.C
         R1, R2 = fp.rs.L1, fp.rs.L2
-        C1, C2 = fp.cs.L1, fp.cs.L2
         nr2 = fld.root_two_nth(n)
         nr2i = fld.inv(nr2)
         pn = fp.p % n
@@ -746,31 +814,21 @@ def attach_mxu_tables(t: FourStepTables, device_put=None):
             return out
 
         wr = powv(nr2, er)
-        wc = powv(nr2, ec)
         ninv = fld.inv(n)
         iwr = (powv(nr2i, er).astype(object) * ninv % fld.P
                ).astype(np.uint64)
-        iwc = powv(nr2i, ec)
         tw_tr = fetch(t.t_r)          # (R1, R2)
-        tw_tc = fetch(t.t_c)          # (C1, C2)
-        from .mxu_dft import _mulmod_u64
         # column scales indexed [grid k][col j]
         wr_f = wr.reshape(R1, R2).T.copy()        # (R2, R1)
-        wc_f = wc.reshape(C1, C2).T.copy()        # (C2, C1)
         add("tr_fwd_w", R1, False, row_scale=tw_tr.T.copy(),
             col_scale=wr_f)
-        add("tc_fwd_w", C1, False, row_scale=tw_tc.T.copy(),
-            col_scale=wc_f)
-        # inverse: output-row scales
-        add("iwc_inv", C1, True, row_scale=iwc.reshape(C1, C2).T.copy())
+        # inverse: output-row scales (including 1/n)
         add("iw_inv", R1, True, row_scale=iwr.reshape(R1, R2).T.copy())
-        # correction residue tables in kernel block layouts
-        G_ = t.w[0].shape[3]
-        LN = t.w[0].shape[4]
-        CB = t.w[0].shape[2]
-        er_rc = er.reshape(R1, R2).T.reshape(R2, R1, 1).astype(np.uint32)
-        ec_ax = ec.reshape(CB, G_, LN).reshape(CB, 1, G_, LN
-                                               ).astype(np.uint32)
+        # correction residue tables in kernel block layouts: er in the
+        # AX (R1, R2, 1) arrangement (tiles slice the r2 dim like the
+        # data); ec broadcast over rows (1, C)
+        er_rc = er.reshape(R1, R2, 1).astype(np.uint32)
+        ec_ax = ec.reshape(1, C).astype(np.uint32)
         t.wcorr = (put(np.ascontiguousarray(er_rc)),
                    put(np.ascontiguousarray(ec_ax)))
 

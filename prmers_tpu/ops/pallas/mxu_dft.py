@@ -47,10 +47,21 @@ def _plane_offset(contraction: int) -> int:
 
 
 def dft_matrix(L: int, inverse: bool) -> np.ndarray:
-    """(L, L) u64 matrix reproducing fourstep.dft_axis0's map exactly
-    (including the DIF output ordering)."""
+    """(L, L) u64 DFT matrix: for power-of-two L it reproduces
+    fourstep.dft_axis0's map exactly (DIF output ordering); for other L
+    (the radix-5 factors, which only ever run on the MXU) it is the
+    NATURAL-order Vandermonde of the L-th root of unity."""
     from . import fourstep as fsm
     g = GL(np)
+    if L & (L - 1):
+        w = fsm.root_554(L)
+        if inverse:
+            from ...core import field as fld
+            w = fld.inv(w)
+        M = np.empty((L, L), dtype=np.uint64)
+        for k in range(L):
+            M[k] = [pow(w, k * j, P) for j in range(L)]
+        return M
     eye = np.eye(L, dtype=np.uint64)
     x0, x1 = to_pairs(eye)
     y0, y1 = fsm.dft_axis0(g, x0, x1, L, inverse)
@@ -295,12 +306,10 @@ def mxu_dft_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
     x values may be any u64 (lazy); output is the exact DFT mod P in lazy
     form, identical (mod P) to fourstep.dft_axis0.
 
-    Mosaic cannot reshape batch dims into the lane dim, so the batch is
-    kept as (MID, LN) and 2D views are built by slicing mid columns and
-    lane-concatenating groups of `grp`; one int8 (9L, 8L) @ (8L, grp*LN)
-    matmul per group feeds the VPU combine. All shape ops used here are
-    Mosaic-supported (verified on v5e): mid-merge/-split reshapes, scalar
-    mid indexing, lane/sublane slicing, axis-0/lane/mid concatenation.
+    With the wide-lane layout the batch IS the lane extent (view (L, C)),
+    so the whole transform is ONE int8 (9L, 8L) @ (8L, C) matmul feeding
+    the pair-merge combine — no per-column loop. A trailing (MID, LN)
+    batch (the legacy narrow layout) still loops one dot per mid column.
     """
     xp = g.xp
     is_np = xp is np
@@ -310,31 +319,36 @@ def mxu_dft_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
         B *= d
     LN = rest[-1] if rest else 1
     MID = B // LN
-    xl = x0.reshape((L, MID, LN))
-    xh = x1.reshape((L, MID, LN))
 
     if is_np:
         D = w8.astype(np.int32) @ _pack_planes(
-            g, xl.reshape(L, B), xh.reshape(L, B)).astype(np.int32)
+            g, x0.reshape(L, B), x1.reshape(L, B)).astype(np.int32)
         y0, y1 = _combine_2d(g, L, D + corr, sub_lo, sub_hi)
         return y0.reshape((L,) + rest), y1.reshape((L,) + rest)
 
     from jax import lax
     import jax.numpy as jnp
-    # One dot per mid column: lane-concat of sublane-offset slices is NOT
-    # Mosaic-supported (tpu.concatenate dim=1 rejects vpad offsets), so
-    # groups cannot be fused; N = LN = 128 is still a full MXU tile column.
-    outs0 = []
-    outs1 = []
-    for j in range(MID):
-        Xl = xl[:, j, :] if MID > 1 else xl.reshape(L, LN)
-        Xh = xh[:, j, :] if MID > 1 else xh.reshape(L, LN)
+
+    def one_dot(Xl, Xh):
         X8 = _pack_planes(g, Xl, Xh)
         D = lax.dot_general(w8, X8, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-        y0, y1 = _combine_2d(g, L, D + corr, sub_lo, sub_hi)
+        return _combine_2d(g, L, D + corr, sub_lo, sub_hi)
+
+    if MID == 1 or len(rest) == 1:
+        y0, y1 = one_dot(x0.reshape(L, B), x1.reshape(L, B))
+        return y0.reshape((L,) + rest), y1.reshape((L,) + rest)
+
+    # legacy narrow layout: lane-concat of sublane-offset slices is NOT
+    # Mosaic-supported, so one dot per mid column
+    xl = x0.reshape((L, MID, LN))
+    xh = x1.reshape((L, MID, LN))
+    outs0 = []
+    outs1 = []
+    for j in range(MID):
+        y0, y1 = one_dot(xl[:, j, :], xh[:, j, :])
         outs0.append(y0.reshape(L, 1, LN))
         outs1.append(y1.reshape(L, 1, LN))
-    y0 = outs0[0] if len(outs0) == 1 else xp.concatenate(outs0, axis=1)
-    y1 = outs1[0] if len(outs1) == 1 else xp.concatenate(outs1, axis=1)
+    y0 = xp.concatenate(outs0, axis=1)
+    y1 = xp.concatenate(outs1, axis=1)
     return y0.reshape((L,) + rest), y1.reshape((L,) + rest)

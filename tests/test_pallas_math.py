@@ -129,7 +129,7 @@ class TestFusedC:
         y0, y1 = g.canon(y0.reshape(R, R), y1.reshape(R, R))
         return from_pairs(y0, y1)
 
-    @pytest.mark.parametrize("n,seed", [(4096, 3), (8192, 4), (16384, 5)])
+    @pytest.mark.parametrize("n,seed", [(32768, 3), (65536, 4)])
     def test_fused_square_matches_square_ref(self, n, seed):
         p = int(n * 16.5) | 1
         plan = build_plan(p, n=n)
@@ -159,7 +159,7 @@ class TestFusedC:
 
         MRf = self._rtrans_matrix(t, False).astype(object)
         MRi = self._rtrans_matrix(t, True).astype(object)
-        (_wf8, _cf, _wi8, _ci, _eca, _ecl,
+        (_wf8, _cf, _wi8, _ci, _wrapc,
          mf0, mf1, mi0, mi1) = t.fused
         mid_f = from_pairs(np.asarray(mf0).reshape(fp.rs.L1, fp.rs.L2, -1),
                            np.asarray(mf1).reshape(fp.rs.L1, fp.rs.L2, -1)
@@ -182,7 +182,7 @@ class TestFusedC:
         assert ((got - want) % P == 0).all()
         assert (want % P == want).all()
 
-    @pytest.mark.parametrize("n", [4096])
+    @pytest.mark.parametrize("n", [32768])
     def test_fused_mul_path(self, n):
         """fwd (multiplicand) + mul center must equal squaring when
         multiplying a value by itself."""
@@ -192,6 +192,66 @@ class TestFusedC:
         t = fs.FourStepTables.build(fp, np, G=1, lanes=128)
         fs.attach_fused_c_tables(t)
         r = np.random.default_rng(9)
+        x = r.integers(0, 1 << 64, (fp.R, fp.C), dtype=np.uint64)
+        x0, x1 = to_pairs(x)
+        sq0, sq1 = fs.fused_c_ref(t, x0, x1, "sqr")
+        u0, u1 = fs.fused_c_ref(t, x0, x1, "fwd")
+        m0, m1 = fs.fused_c_ref(t, x0, x1, "mul", u0, u1)
+        a = from_pairs(*g.canon(sq0, sq1))
+        b = from_pairs(*g.canon(m0, m1))
+        assert (a == b).all()
+
+
+class TestRadix5:
+    """5-smooth transforms (n = 5*2^k): the radix-5 factor rides rs.L2
+    as a natural-order MXU matrix (reference radix-5 stages:
+    kernels/marin.cl:946-1236, ibdwt.h:17-43)."""
+
+    def test_split_shapes(self):
+        sp = fs.make_split(1280)
+        assert (sp.L1, sp.L2) == (64, 20)
+        sp = fs.make_split(20480)
+        assert (sp.L1, sp.L2) == (64, 320)
+        sp = fs.make_split(320)
+        assert (sp.L1, sp.L2) == (64, 5)
+
+    def test_dft_matrix_radix5_inverse(self):
+        from prmers_tpu.ops.pallas.mxu_dft import dft_matrix
+        for L in (5, 20):
+            M = dft_matrix(L, False).astype(object)
+            Mi = dft_matrix(L, True).astype(object)
+            prod = (Mi @ M) % P
+            Linv = pow(L, P - 2, P)
+            want = (np.eye(L, dtype=object) * L) % P
+            assert (prod == want).all()
+
+    def test_square_ref_5smooth(self):
+        n = 327680                       # 5 * 2^16 -> R = 320 = 64 * 5
+        p = int(n * 16.5) | 1
+        plan = build_plan(p, n=n)
+        fp = fs.FourStepPlan.from_plan(plan)
+        assert fp.R == 320 and (fp.rs.L1, fp.rs.L2) == (64, 5)
+        t = fs.FourStepTables.build(fp, np, G=1, lanes=128)
+        r = np.random.default_rng(7)
+        mp = (1 << p) - 1
+        v = int.from_bytes(r.bytes(p // 8), "little") % mp
+        y = fs.square_ref(t, dg.int_to_digits(v, plan.widths))
+        q = np.concatenate(
+            [[0], np.cumsum(plan.widths.astype(np.int64))])[:n]
+        val = sum(int(x) << int(qq) for x, qq in zip(y, q)) % mp
+        assert val == (v * v) % mp
+
+    def test_fused_c_still_exact_5smooth(self):
+        """The fused C tables are independent of the radix-5 R factor;
+        fwd+mul must equal sqr on a 5-smooth plan."""
+        n = 327680
+        p = int(n * 16.5) | 1
+        plan = build_plan(p, n=n)
+        fp = fs.FourStepPlan.from_plan(plan)
+        t = fs.FourStepTables.build(fp, np, G=1, lanes=128)
+        fs.attach_fused_c_tables(t)
+        assert t.fused is not None
+        r = np.random.default_rng(8)
         x = r.integers(0, 1 << 64, (fp.R, fp.C), dtype=np.uint64)
         x0, x1 = to_pairs(x)
         sq0, sq1 = fs.fused_c_ref(t, x0, x1, "sqr")

@@ -37,10 +37,8 @@ jax.block_until_ready(jax.tree_util.tree_leaves(tbl))
 print(f"tables ready (fused={tbl.fused is not None})", flush=True)
 
 R1, R2 = fp.rs.L1, fp.rs.L2
-CB = tbl.w[0].shape[2]
-LN = tbl.w[0].shape[4]
 key = jax.random.PRNGKey(0)
-ax_shape = (R1, R2, CB, 8, LN)
+ax_shape = (R1, R2, fp.C)
 x0 = jax.random.randint(key, ax_shape, 0, 1 << 30, dtype=jnp.int32
                         ).astype(jnp.uint32)
 x1 = jax.random.randint(key, ax_shape, 0, 1 << 18, dtype=jnp.int32

@@ -41,10 +41,9 @@ v = int.from_bytes(rng.bytes(p // 8), "little") % mp
 digits = dg.int_to_digits(v, plan.widths)
 lo, hi = to_pairs(digits)
 R1, R2 = fp.rs.L1, fp.rs.L2
-CB = tbl.w[0].shape[2]
-LN = tbl.w[0].shape[4]
-x0 = jnp.asarray(lo.reshape(R1, R2, CB, 8, LN))
-x1 = jnp.asarray(hi.reshape(R1, R2, CB, 8, LN))
+
+x0 = jnp.asarray(lo.reshape(R1, R2, fp.C))
+x1 = jnp.asarray(hi.reshape(R1, R2, fp.C))
 z11 = jnp.zeros((fp.rs.L1, 1), jnp.uint32)   # per-block carry vector
 a_pair = (jnp.full((1, 1), np.uint32(A)), jnp.zeros((1, 1), jnp.uint32))
 
