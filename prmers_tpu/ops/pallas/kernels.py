@@ -57,6 +57,14 @@ def _cparams(**kw):
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT, **kw)
 
 
+def _interpret() -> bool:
+    """Pallas interpret mode: kernels execute as jax ops (CPU mesh tests
+    and the driver's multi-chip dryrun run the SAME kernel code without
+    Mosaic)."""
+    import os
+    return bool(os.environ.get("PRMERS_PALLAS_INTERPRET"))
+
+
 def _full(shape):
     """Whole-array VMEM spec with an explicit all-i32 index map (default
     maps emit i64 literals under jax_enable_x64, breaking Mosaic)."""
@@ -301,6 +309,7 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct(sh, jnp.uint32)),
         compiler_params=_cparams(),
+        interpret=_interpret(),
     )(*ins)
     return r0, r1
 
@@ -346,6 +355,7 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct(sh, jnp.uint32)),
         compiler_params=_cparams(),
+        interpret=_interpret(),
     )(*ins)
     return r0, r1
 
@@ -354,13 +364,34 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
 # Fused C-transform kernel (lane-tile DFT + per-slot lane-axis dots)
 # ---------------------------------------------------------------------------
 
-def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, *refs):
+def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
+                    *refs):
+    """r2cfg: None, or (L2, sub2, sub6, has_mx6) — then the r2 forward
+    dot (P2, with the folded mid table) and the r2 inverse dot (P6, with
+    mid_inv) run INSIDE this kernel: the tile already holds all of R2,
+    so the two passes' HBM round trips fold away."""
     i = 0
     x0_ref, x1_ref = refs[i], refs[i + 1]
     i += 2
     if mode == "mul":
         u0_ref, u1_ref = refs[i], refs[i + 1]
         i += 2
+    if r2cfg is not None:
+        L2, sub2, sub6, has_mx6 = r2cfg
+        if sub2 is not None:
+            w2_ref, c2_ref = refs[i], refs[i + 1]
+            i += 2
+        mf0_ref, mf1_ref = refs[i], refs[i + 1]
+        i += 2
+        if mode != "fwd":
+            if has_mx6:
+                w6_ref, c6_ref = refs[i], refs[i + 1]
+                i += 2
+            else:
+                tri0_ref, tri1_ref = refs[i], refs[i + 1]
+                i += 2
+            mi0_ref, mi1_ref = refs[i], refs[i + 1]
+            i += 2
     wf8_ref, corrf_ref = refs[i], refs[i + 1]
     i += 2
     if mode != "fwd":
@@ -371,11 +402,34 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, *refs):
     o0_ref, o1_ref = refs[i], refs[i + 1]
 
     sh = x0_ref.shape                   # (RC, R2, C)
+    RC = sh[0]
     B = sh[0] * sh[1]
     C = sh[2]
     v = (B, C)
     x0 = x0_ref[:].reshape(v)
     x1 = x1_ref[:].reshape(v)
+
+    if r2cfg is not None:
+        # ---- P2 in-tile: r2-DFT per r1 row, then the mid*wca table ----
+        v3 = (RC, sh[1], C)
+        x0 = x0.reshape(v3)
+        x1 = x1.reshape(v3)
+        outs0, outs1 = [], []
+        for rc in range(RC):
+            a0, a1 = x0[rc], x1[rc]
+            if sub2 is not None:
+                a0, a1 = mxm.mxu_dft_apply(
+                    g, a0, a1, L2, w2_ref[:], c2_ref[:],
+                    jnp.uint32(sub2[0]), jnp.uint32(sub2[1]))
+            else:
+                a0, a1 = fsm.dft_axis0(g, a0, a1, L2, False)
+            outs0.append(a0.reshape((1,) + a0.shape))
+            outs1.append(a1.reshape((1,) + a1.shape))
+        x0 = jnp.concatenate(outs0, axis=0) if RC > 1 else outs0[0]
+        x1 = jnp.concatenate(outs1, axis=0) if RC > 1 else outs1[0]
+        x0, x1 = g.mul(x0, x1, mf0_ref[:], mf1_ref[:])
+        x0 = x0.reshape(v)
+        x1 = x1.reshape(v)
 
     mask = jnp.broadcast_to(wrapc_ref[:] != jnp.uint32(0), v)
     x0, x1 = g.halve_where(x0, x1, mask)
@@ -405,16 +459,40 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, *refs):
         x0, x1 = dots(x0, x1, wi8_ref, corri_ref, sub_i)
         x0, x1 = fsm.dft_lanes(g, x0, x1, ca_count, 128, True)
         x0, x1 = g.double_where(x0, x1, mask)
+        if r2cfg is not None:
+            # ---- P6 in-tile: mid_inv*iwca, then the r2-inverse DFT ----
+            v3 = (RC, sh[1], C)
+            x0 = x0.reshape(v3)
+            x1 = x1.reshape(v3)
+            x0, x1 = g.mul(x0, x1, mi0_ref[:], mi1_ref[:])
+            outs0, outs1 = [], []
+            for rc in range(RC):
+                a0, a1 = x0[rc], x1[rc]
+                if has_mx6:
+                    # per-r1 variant tables (t_r_inv folded as row scales)
+                    a0, a1 = mxm.mxu_dft_apply(
+                        g, a0, a1, L2, w6_ref[rc], c6_ref[rc],
+                        jnp.uint32(sub6[0]), jnp.uint32(sub6[1]))
+                else:
+                    a0, a1 = fsm.dft_axis0(g, a0, a1, L2, True)
+                outs0.append(a0.reshape((1,) + a0.shape))
+                outs1.append(a1.reshape((1,) + a1.shape))
+            x0 = jnp.concatenate(outs0, axis=0) if RC > 1 else outs0[0]
+            x1 = jnp.concatenate(outs1, axis=0) if RC > 1 else outs1[0]
+            if not has_mx6:
+                x0, x1 = g.mul(x0, x1, tri0_ref[:], tri1_ref[:])
     o0_ref[:] = x0.reshape(sh)
     o1_ref[:] = x1.reshape(sh)
 
 
 def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
-                 u=None):
+                 u=None, r2fold: bool = False):
     """Run the fused C kernel over the (R1, R2, C) array; grid tiles r1
     so each invocation transforms RC*R2 batch rows against the
-    VMEM-resident variant tables."""
-    (wf8, corrf, wi8, corri, wrapc, *_r) = t.fused
+    VMEM-resident variant tables. With r2fold the r2-DFT passes (P2 with
+    the folded mid table, P6 with mid_inv) run inside the same kernel —
+    the tile already holds all of R2, so their HBM round trips vanish."""
+    (wf8, corrf, wi8, corri, wrapc, *_mids) = t.fused
     ca_count = wf8.shape[0]
     sh = x0.shape
     R2 = sh[1]
@@ -430,6 +508,43 @@ def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
     if mode == "mul":
         ins += [u[0], u[1]]
         in_specs += [xspec, xspec]
+    r2cfg = None
+    if r2fold:
+        L2 = fp.rs.L2
+        mf0, mf1, mi0, mi1 = _mids
+        g2 = _mx(t, (L2, False))
+        mx6 = _mx(t, "tr_inv")
+        assert (g2 is not None or L2 & (L2 - 1) == 0), \
+            "radix-5 r2 factor requires its MXU matrix"
+        sub2 = g2[1] if g2 else None
+        has_mx6 = mx6 is not None
+        sub6 = mx6[1] if mx6 else None
+        r2cfg = (L2, sub2, sub6, has_mx6)
+        if g2 is not None:
+            ins += [g2[0][0], g2[0][1]]
+            in_specs += [_full(g2[0][0].shape), _full(g2[0][1].shape)]
+        ins += [mf0, mf1]
+        in_specs += [xspec, xspec]
+        if mode != "fwd":
+            if has_mx6:
+                w6, c6 = mx6[0]
+                ins += [w6, c6]
+                in_specs += [
+                    pl.BlockSpec((RC,) + tuple(w6.shape[1:]),
+                                 lambda i: (i, i * 0, i * 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((RC,) + tuple(c6.shape[1:]),
+                                 lambda i: (i, i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)]
+            else:
+                tri = t.t_r_inv
+                ins += [tri[0], tri[1]]
+                tspec = pl.BlockSpec((RC, R2, 1),
+                                     lambda i: (i, i * 0, i * 0),
+                                     memory_space=pltpu.VMEM)
+                in_specs += [tspec, tspec]
+            ins += [mi0, mi1]
+            in_specs += [xspec, xspec]
     ins += [wf8, corrf]
     in_specs += [_full(wf8.shape), _full(corrf.shape)]
     if mode != "fwd":
@@ -438,7 +553,8 @@ def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
     ins += [wrapc]
     in_specs += [_full(wrapc.shape)]
     kern = functools.partial(_fused_c_kernel, ca_count, mode,
-                             t.mxu_sub("fc_fwd"), t.mxu_sub("fc_inv"))
+                             t.mxu_sub("fc_fwd"), t.mxu_sub("fc_inv"),
+                             r2cfg)
     r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
@@ -447,6 +563,7 @@ def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct(sh, jnp.uint32)),
         compiler_params=_cparams(),
+        interpret=_interpret(),
     )(*ins)
     return r0, r1
 
@@ -528,17 +645,18 @@ def _k4_kernel(fp: FourStepPlan, rounds: int, with_a: bool, *refs):
         d0, d1, c0, c1 = split(y0, y1)
         return d0, d1, c0, c1, s0, a1_
 
-    def pending(state):
-        d0, d1, c0, c1, _, _ = state
-        nz = jnp.where((c0 | c1) != jnp.uint32(0), jnp.int32(1),
-                       jnp.int32(0))
-        return jnp.max(nz) > 0
-
     state = (d0, d1, c0, c1, acc0, acc1)
     for _ in range(rounds - 1):
         state = more(state)
-    state = lax.while_loop(pending, more, state)
     d0, d1, c0, c1, acc0, acc1 = state
+    # after `rounds` rounds the remaining carries are 0/1 (saturation
+    # ripple only): add them UNSPLIT — digits may reach 2^w, which the
+    # convolution bound and the next injection both tolerate (round 1
+    # ran a data-dependent while_loop with a full-tile reduce per check)
+    c0, c1, o0c, o1c = shift_one(c0, c1)
+    s0f, ccf = g.addc(acc0, o0c)
+    acc0, acc1 = s0f, acc1 + o1c + ccf
+    d0 = d0 + c0
 
     o0_ref[:] = d0.reshape(sh)
     o1_ref[:] = d1.reshape(sh)
@@ -578,6 +696,7 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a,
                    jax.ShapeDtypeStruct((R1, 1, 1), jnp.uint32),
                    jax.ShapeDtypeStruct((R1, 1, 1), jnp.uint32)),
         compiler_params=_cparams(),
+        interpret=_interpret(),
     )(*ins)
     return d0, d1, co0.reshape(R1, 1), co1.reshape(R1, 1)
 
@@ -711,17 +830,41 @@ def _inverse_r(fp, t, z0, z1, wfold=False, mid_inv_tab=None):
     return z0, z1
 
 
+def _p1_pass(fp, t, x0, x1, cin=None, wfold=False):
+    """P1 alone (the r1-dot); P2 lives inside the fused kernel now."""
+    mx1 = _mx(t, "tr_fwd_w" if wfold else "tr_fwd")
+    return _axis0_pass(x0, x1, fp.rs.L1, False,
+                       pre=None if wfold else t.w,
+                       post=None if mx1 else t.t_r, cin=cin,
+                       cin_widths=_cin_widths(fp) if cin else None,
+                       mxu=mx1,
+                       wcorr=(t.wcorr[0], t.wcorr[1], fp.n)
+                       if wfold else None)
+
+
+def _p7_pass(fp, t, z0, z1, wfold=False):
+    """P7 alone (the r1-inverse dot + inverse weights + canon)."""
+    mx7 = _mx(t, "iw_inv" if wfold else (fp.rs.L1, True))
+    return _axis0_pass(z0, z1, fp.rs.L1, True,
+                       post=None if wfold else t.iw,
+                       mxu=mx7,
+                       wcorr=(t.wcorr[0], t.wcorr[1], fp.n)
+                       if wfold else None,
+                       canon=True)
+
+
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
                 cin0, cin1, a, a_is_one: bool = False):
-    """One full (x^2 * a) iteration. Returns (d0, d1, cout0, cout1);
+    """One full (x^2 * a) iteration — FOUR kernels: P1 (r1-dot), the big
+    fused kernel (r2-dot + mid + whole C-transform + square + mirrors),
+    P7 (r1-inverse), and the carry. Returns (d0, d1, cout0, cout1);
     the carry pair is the per-block vector ((R1, 1) u32 x2)."""
     assert t.fused is not None, "pallas pipeline requires fused-C tables"
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
-    mf, mi = _fused_mid_tabs(t)
-    s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf, mid_tab=mf)
-    s0, s1 = fused_c_pass(fp, t, s0, s1, "sqr")
-    z0, z1 = _inverse_r(fp, t, s0, s1, wfold=wf, mid_inv_tab=mi)
+    s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
+    s0, s1 = fused_c_pass(fp, t, s0, s1, "sqr", r2fold=True)
+    z0, z1 = _p7_pass(fp, t, s0, s1, wfold=wf)
     return k4(fp, t, z0, z1, a, a_is_one)
 
 
@@ -732,10 +875,9 @@ def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
     assert t.fused is not None
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
-    mf, mi = _fused_mid_tabs(t)
-    s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf, mid_tab=mf)
-    s0, s1 = fused_c_pass(fp, t, s0, s1, "mul", u=(u0, u1))
-    z0, z1 = _inverse_r(fp, t, s0, s1, wfold=wf, mid_inv_tab=mi)
+    s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
+    s0, s1 = fused_c_pass(fp, t, s0, s1, "mul", u=(u0, u1), r2fold=True)
+    z0, z1 = _p7_pass(fp, t, s0, s1, wfold=wf)
     return k4(fp, t, z0, z1, a)
 
 
@@ -745,6 +887,5 @@ def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     assert t.fused is not None
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
-    mf, _mi = _fused_mid_tabs(t)
-    s0, s1 = _forward_r(fp, t, x0, x1, wfold=wf, mid_tab=mf)
-    return fused_c_pass(fp, t, s0, s1, "fwd")
+    s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
+    return fused_c_pass(fp, t, s0, s1, "fwd", r2fold=True)

@@ -1,0 +1,333 @@
+"""Pallas kernels inside shard_map: the wide-lane squaring pipeline over
+a device mesh.
+
+Round 1 left the mesh path on the slow XLA u64 four-step (VERDICT: the
+sharded hot path was the 23-iter/s-class code). This module runs the
+SAME fused Pallas pass kernels per shard, with explicit collectives
+where a pass needs an axis that is sharded:
+
+  at rest: AX digits (R1, R2, C) sharded over r1 (leading axis) — digit
+  order is r1-major, so shards hold contiguous digit blocks and the
+  carry ring is a one-hop ppermute.
+
+  inject   local block-carry injection; the cross-shard boundary carry
+           is a single ppermute scalar pair (wrap = mod-M_p fold)
+  A2A      -> (R1, R2/s, C)  [r2-sharded]
+  P1       r1-dot, per-r2 variant tables sharded over their K axis
+  A2A      -> (R1/s, R2, C)  [r1-sharded]
+  P2       r2-dot (r2 fully local)
+  F2       fused C-transform (C fully local; tables replicated)
+  P6       r2-inverse dot
+  A2A      P7 (r1-inverse) under r2-sharding, then A2A back
+  K4       carry, grid over local r1 blocks -> local boundary carries
+
+Four all-to-alls per squaring — the four-step's two global transposes,
+each appearing twice because the rest layout is digit-contiguous
+(SURVEY §5.7: the inter-pass transpose becomes ICI traffic). On the CPU
+test mesh the kernels run in Pallas interpret mode
+(PRMERS_PALLAS_INTERPRET=1); on a real TPU mesh the same code lowers
+through Mosaic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from .. import jaxconf  # noqa: F401
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.plan import cached_plan
+from ..ops.pallas import fourstep as fsm
+from ..ops.pallas import kernels as kn
+from ..ops.pallas.fourstep import FourStepPlan, FourStepTables
+from . import dist
+from .sharded import LIMB, make_mesh  # noqa: F401  (same mesh axis)
+
+
+class PallasShardedTables:
+    """Wide-layout tables placed over the mesh with the sharding each
+    pass needs; exposed as a named (arrays, specs) list so the step
+    builder adapts to which MXU tables the shape has."""
+
+    def __init__(self, p: int, mesh: Mesh, n: int | None = None):
+        self.plan = cached_plan(p, n) if n else cached_plan(p)
+        self.mesh = mesh
+        fp = FourStepPlan.from_plan(self.plan)
+        self.fp = fp
+        s = mesh.size
+        R1, R2 = fp.rs.L1, fp.rs.L2
+        if R1 % s or R2 % s:
+            raise ValueError(
+                f"mesh size {s} must divide R1={R1} and R2={R2}")
+        self.s = s
+        t = FourStepTables.build(fp, np, G=kn.G, lanes=kn.LANES)
+        fsm.attach_mxu_tables(t)
+        fsm.attach_fused_c_tables(t)
+        if t.fused is None or not kn._wfold_ok(fp, t):
+            raise ValueError("pallas sharded step needs the fused tables")
+        self.t = t
+
+        r1_3 = P(LIMB, None, None)     # shard dim 0 (r1 or K=R2 tables)
+        self._names: list[str] = []
+        self._arrays: list = []
+        self._specs: list = []
+
+        def add(name, a, spec):
+            self._names.append(name)
+            self._arrays.append(dist.put_global(np.asarray(a), mesh, spec))
+            self._specs.append(spec)
+
+        def rep(a):
+            return P(*((None,) * np.asarray(a).ndim))
+
+        w8f, corrf = t.mxu["tr_fwd_w"]
+        w8i, corri = t.mxu["iw_inv"]
+        add("p1_w8", w8f, r1_3)        # K = R2 variants, r2-sharded
+        add("p1_corr", corrf, r1_3)
+        add("p7_w8", w8i, r1_3)
+        add("p7_corr", corri, r1_3)
+        self.sub_fwd = t.mxu_sub("tr_fwd_w")
+        self.sub_inv = t.mxu_sub("iw_inv")
+
+        g2 = t.mxu.get(fsm.mxu_key(fp.rs.L2, False))
+        self.sub_g2 = t.mxu_sub(fsm.mxu_key(fp.rs.L2, False)) if g2 \
+            else None
+        if g2:
+            add("p2_w8", g2[0], rep(g2[0]))
+            add("p2_corr", g2[1], rep(g2[1]))
+        g2i = t.mxu.get("tr_inv")
+        self.sub_g2i = t.mxu_sub("tr_inv") if g2i else None
+        if g2i:
+            add("p6_w8", g2i[0], r1_3)   # K = R1 variants, r1-sharded
+            add("p6_corr", g2i[1], r1_3)
+        else:
+            add("t_r_inv0", t.t_r_inv[0], r1_3)
+            add("t_r_inv1", t.t_r_inv[1], r1_3)
+
+        mf0, mf1, mi0, mi1 = t.fused[5:9]
+        add("mid_f0", mf0, r1_3)
+        add("mid_f1", mf1, r1_3)
+        add("mid_i0", mi0, r1_3)
+        add("mid_i1", mi1, r1_3)
+        add("widths", t.widths32, r1_3)
+        add("masks_lo", t.masks_lo, r1_3)
+        add("masks_hi", t.masks_hi, r1_3)
+        add("er", t.wcorr[0], P(None, LIMB, None))   # (R1, R2, 1)
+        add("ec", t.wcorr[1], rep(t.wcorr[1]))       # (1, C)
+        for nm, a in zip(("fc_wf8", "fc_corrf", "fc_wi8", "fc_corri",
+                          "fc_wrapc"), t.fused[:5]):
+            add(nm, a, rep(a))
+        self.sub_fc_f = t.mxu_sub("fc_fwd")
+        self.sub_fc_i = t.mxu_sub("fc_inv")
+        k, wtab, cum = kn._cin_plan(fp)
+        self.cin_k = k
+        add("cin_wt", wtab, P(LIMB, None))           # (R1, k)
+        add("cin_cum", cum, P(LIMB, None))
+
+    def args(self):
+        return tuple(self._arrays)
+
+    def specs(self):
+        return tuple(self._specs)
+
+    def names(self):
+        return tuple(self._names)
+
+
+def _inject_local(s, k, x0, x1, co0, co1, wt, cum):
+    """Local block-carry injection: shard-local carries roll by one block
+    with the previous shard's last carry arriving by ppermute (the wrap
+    from the last shard to shard 0 IS the mod-M_p fold)."""
+    perm = [(i, (i + 1) % s) for i in range(s)]
+    prev0 = lax.ppermute(co0[-1:], LIMB, perm)
+    prev1 = lax.ppermute(co1[-1:], LIMB, perm)
+    c0 = jnp.concatenate([prev0, co0[:-1]])
+    c1 = jnp.concatenate([prev1, co1[:-1]])
+    cin = (c0[:, 0].astype(jnp.uint64) |
+           (c1[:, 0].astype(jnp.uint64) << jnp.uint64(32)))
+    parts = (cin[:, None] >> cum) & ((jnp.uint64(1) << wt) - jnp.uint64(1))
+    covered = cum[:, -1:] >= jnp.uint64(64)
+    safe_sh = jnp.where(covered, jnp.uint64(0), cum[:, -1:])
+    last = jnp.where(covered, jnp.uint64(0), cin[:, None] >> safe_sh)
+    parts = jnp.concatenate([parts[:, :-1], last], axis=1)
+    x0 = x0.at[:, 0, :k].add(parts.astype(jnp.uint32))
+    return x0, x1
+
+
+def _fused_local(fp, t, x0, x1, fc_tabs):
+    """fused_c_pass against shard-local table operands (t.fused is
+    swapped to the operand arrays for the trace; metadata is static)."""
+    saved = t.fused
+    t.fused = tuple(fc_tabs) + (None, None, None, None)
+    try:
+        return kn.fused_c_pass(fp, t, x0, x1, "sqr")
+    finally:
+        t.fused = saved
+
+
+def _k4_local(fp, y0, y1, wd, mk0, mk1):
+    """k4 with local-shard table operands."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sh = y0.shape
+    R1s = sh[0]
+    wmin = int(fp.widths.min())
+    rounds = 1
+    bound = fp.max_word * 4
+    while bound >> (rounds * wmin) > 1:
+        rounds += 1
+    kern = functools.partial(kn._k4_kernel, fp, max(rounds, 2), False)
+    bs = pl.BlockSpec((1,) + sh[1:], lambda i: (i, i * 0, i * 0),
+                      memory_space=pltpu.VMEM)
+    co_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, i * 0, i * 0),
+                           memory_space=pltpu.SMEM)
+    d0, d1, co0, co1 = pl.pallas_call(
+        kern,
+        grid=(R1s,),
+        in_specs=[bs] * 5,
+        out_specs=(bs, bs, co_spec, co_spec),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct((R1s, 1, 1), jnp.uint32),
+                   jax.ShapeDtypeStruct((R1s, 1, 1), jnp.uint32)),
+        compiler_params=kn._cparams(),
+        interpret=kn._interpret(),
+    )(y0, y1, wd, mk0, mk1)
+    return d0, d1, co0.reshape(R1s, 1), co1.reshape(R1s, 1)
+
+
+def build_pallas_sharded_step(tb: PallasShardedTables):
+    """jitted (x0, x1, co0, co1, tabs) -> same: one full sharded
+    squaring (a = 1, the PRP hot iteration)."""
+    fp, s = tb.fp, tb.s
+    mesh = tb.mesh
+    k = tb.cin_k
+    names = tb.names()
+
+    def local_step(x0, x1, co0, co1, *tabs):
+        d = dict(zip(names, tabs))
+        t = tb.t
+
+        x0, x1 = _inject_local(s, k, x0, x1, co0, co1,
+                               d["cin_wt"], d["cin_cum"])
+
+        # ---- P1 under r2-sharding -----------------------------------
+        x0 = lax.all_to_all(x0, LIMB, 1, 0, tiled=True)
+        x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
+        x0, x1 = kn._axis0_pass(
+            x0, x1, fp.rs.L1, False,
+            mxu=((d["p1_w8"], d["p1_corr"]), tb.sub_fwd),
+            wcorr=(d["er"], d["ec"], fp.n))
+        x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
+        x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
+
+        # ---- P2 / F2 / P6 under r1-sharding -------------------------
+        mx2 = (((d["p2_w8"], d["p2_corr"]), tb.sub_g2)
+               if tb.sub_g2 else None)
+        x0, x1 = kn._axis1_pass(x0, x1, fp.rs.L2, False,
+                                post=(d["mid_f0"], d["mid_f1"]), mxu=mx2)
+        x0, x1 = _fused_local(fp, t, x0, x1,
+                              (d["fc_wf8"], d["fc_corrf"], d["fc_wi8"],
+                               d["fc_corri"], d["fc_wrapc"]))
+        mx6 = (((d["p6_w8"], d["p6_corr"]), tb.sub_g2i)
+               if tb.sub_g2i else None)
+        x0, x1 = kn._axis1_pass(
+            x0, x1, fp.rs.L2, True,
+            pre=(d["mid_i0"], d["mid_i1"]),
+            post=(None if tb.sub_g2i
+                  else (d["t_r_inv0"], d["t_r_inv1"])),
+            mxu=mx6)
+
+        # ---- P7 under r2-sharding -----------------------------------
+        x0 = lax.all_to_all(x0, LIMB, 1, 0, tiled=True)
+        x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
+        x0, x1 = kn._axis0_pass(
+            x0, x1, fp.rs.L1, True,
+            mxu=((d["p7_w8"], d["p7_corr"]), tb.sub_inv),
+            wcorr=(d["er"], d["ec"], fp.n), canon=True)
+        x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
+        x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
+
+        # ---- K4 carry over local r1 blocks --------------------------
+        return _k4_local(fp, x0, x1, d["widths"], d["masks_lo"],
+                         d["masks_hi"])
+
+    vec3 = P(LIMB, None, None)
+    co_s = P(LIMB, None)
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(vec3, vec3, co_s, co_s) + tb.specs(),
+        out_specs=(vec3, vec3, co_s, co_s),
+        check_rep=False)
+
+    @jax.jit
+    def step(x0, x1, co0, co1, tabs):
+        return fn(x0, x1, co0, co1, *tabs)
+
+    return step
+
+
+class PallasShardedStep:
+    """Driver-facing wrapper: digit in/out helpers around the jitted
+    sharded step (throughput measurement and the multi-chip dryrun)."""
+
+    def __init__(self, p: int, mesh: Mesh, n: int | None = None):
+        self.tables = PallasShardedTables(p, mesh, n=n)
+        self.fp = self.tables.fp
+        self.mesh = mesh
+        self._step = build_pallas_sharded_step(self.tables)
+        fp = self.fp
+        sh = (fp.rs.L1, fp.rs.L2, fp.C)
+        self.sh = sh
+        self.x0 = dist.put_global(np.zeros(sh, np.uint32), self.mesh,
+                                  P(LIMB, None, None))
+        self.x1 = dist.put_global(np.zeros(sh, np.uint32), self.mesh,
+                                  P(LIMB, None, None))
+        z = np.zeros((fp.rs.L1, 1), np.uint32)
+        self.co0 = dist.put_global(z, self.mesh, P(LIMB, None))
+        self.co1 = dist.put_global(z, self.mesh, P(LIMB, None))
+
+    def set_digits(self, digits: np.ndarray) -> None:
+        lo = (digits & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (digits >> np.uint64(32)).astype(np.uint32)
+        self.x0 = dist.put_global(lo.reshape(self.sh), self.mesh,
+                                  P(LIMB, None, None))
+        self.x1 = dist.put_global(hi.reshape(self.sh), self.mesh,
+                                  P(LIMB, None, None))
+        z = np.zeros((self.fp.rs.L1, 1), np.uint32)
+        self.co0 = dist.put_global(z, self.mesh, P(LIMB, None))
+        self.co1 = dist.put_global(z, self.mesh, P(LIMB, None))
+
+    def get_int(self) -> int:
+        """Value including the pending rolled block carries."""
+        lo = dist.global_gather(self.x0).astype(np.uint64).reshape(-1)
+        hi = dist.global_gather(self.x1).astype(np.uint64).reshape(-1)
+        co0 = dist.global_gather(self.co0)
+        co1 = dist.global_gather(self.co1)
+        digits = lo | (hi << np.uint64(32))
+        fp = self.fp
+        R1 = fp.rs.L1
+        bs = fp.n // R1
+        cin = (co0[:, 0].astype(np.uint64) |
+               (co1[:, 0].astype(np.uint64) << np.uint64(32)))
+        cin = np.roll(cin, 1)
+        from ..utils import digits as dgu
+        v = dgu.digits_to_int(digits, fp.widths)
+        offs = np.concatenate([[0], np.cumsum(
+            fp.widths.astype(np.int64))])
+        for b in range(R1):
+            v += int(cin[b]) << int(offs[b * bs])
+        return v % ((1 << fp.p) - 1)
+
+    def step(self, count: int = 1):
+        for _ in range(count):
+            self.x0, self.x1, self.co0, self.co1 = self._step(
+                self.x0, self.x1, self.co0, self.co1,
+                self.tables.args())
+        return self.x0

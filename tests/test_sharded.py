@@ -134,3 +134,24 @@ class TestShardedOnDeviceOps:
         eng2.set_checkpoint(blob)
         eng2.mul(0, 2)
         assert eng2.get_int(0) == 55555 * 77777 % mp
+
+
+class TestPallasSharded:
+    """The Pallas pass kernels inside shard_map (interpret mode on the
+    CPU mesh; identical code lowers through Mosaic on a TPU mesh)."""
+
+    def test_pallas_sharded_square_chain(self, mesh8, monkeypatch):
+        monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        from prmers_tpu.parallel.sharded_pallas import PallasShardedStep
+        from prmers_tpu.utils import digits as dg
+
+        n = 1 << 19
+        p = int(n * 16.2) | 1
+        from prmers_tpu.core.plan import cached_plan
+        plan = cached_plan(p, n)
+        mp = (1 << p) - 1
+        st = PallasShardedStep(p, mesh8, n=n)
+        st.set_digits(dg.int_to_digits(3, plan.widths))
+        st.step(3)
+        got = st.get_int()
+        assert got == pow(3, 8, mp)
