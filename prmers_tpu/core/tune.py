@@ -69,24 +69,35 @@ def measure_ips(eng, iters: int = 64, warm: int = 8) -> float:
 
 
 def run_tune(opts, log=print):
-    """Measure every ladder size on the attached device and persist."""
+    """Measure every ladder size on the attached device — BOTH arithmetic
+    paths — and persist, so the auto policy's measured branch becomes
+    live (reference: tune.txt consulted by bestFit,
+    third_party/aevum/tune.cpp)."""
     from ..engine.factory import create_engine
 
     iters = opts.bench_iters or 64
     results = {}
+    ariths = ("gl64", "fft3161") if getattr(opts, "arith", "auto") == \
+        "auto" else (opts.arith,)
     for p in TUNE_EXPONENTS:
         if opts.exponent and p > opts.exponent:
             break
-        try:
-            eng = create_engine(p, 2, backend=opts.backend,
-                               arith=getattr(opts, "arith", "auto"))
-        except Exception as e:  # noqa: BLE001 — skip sizes the device can't fit
-            log(f"tune: skip p={p}: {e}")
-            continue
-        ips = measure_ips(eng, iters=iters)
-        n = eng.get_size()
-        record(n, type(eng).__name__, ips, opts.save_dir)
-        results[n] = ips
-        log(f"tune: p={p} n={n} {ips:.2f} iter/s")
-        del eng
+        for arith in ariths:
+            try:
+                eng = create_engine(p, 2, backend=opts.backend,
+                                    arith=arith)
+            except Exception as e:  # noqa: BLE001 — skip unfittable sizes
+                log(f"tune: skip p={p} {arith}: {e}")
+                continue
+            try:
+                ips = measure_ips(eng, iters=iters)
+            except Exception as e:  # noqa: BLE001
+                log(f"tune: measure failed p={p} {arith}: {e}")
+                del eng
+                continue
+            n = eng.get_size()
+            record(n, type(eng).__name__, ips, opts.save_dir)
+            results[(p, arith)] = ips
+            log(f"tune: p={p} {arith} n={n} {ips:.2f} iter/s")
+            del eng
     return results

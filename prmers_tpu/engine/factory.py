@@ -68,8 +68,12 @@ def _create_engine(p: int, reg_count: int, backend: str | None = None,
     b = backend or os.environ.get("PRMERS_BACKEND") or _BACKEND
     a = arith or os.environ.get("PRMERS_ARITH") or "auto"
     if a == "auto":
-        from .policy import decide_arith
-        a = decide_arith(p, workload).arith
+        if b in ("numpy", "sharded"):
+            # the host oracle and the mesh engine are gl64-only surfaces
+            a = "gl64"
+        else:
+            from .policy import decide_arith
+            a = decide_arith(p, workload).arith
     if a == "fft3161":
         from .engine3161 import Engine3161
         if b == "numpy":

@@ -43,7 +43,18 @@ class ArithDecision:
 
 
 def decide_arith(p: int, workload: str = "generic",
-                 save_dir: str = ".") -> ArithDecision:
+                 save_dir: str = ".",
+                 gl64_has_pallas: bool | None = None) -> ArithDecision:
+    """Pick the arithmetic path. Decision order (reference:
+    aevum_auto_decide, src/aevum/AutoPolicy.cpp:86-152):
+      1. forced (PRMERS_ARITH / -arith),
+      2. measured tune rates when both paths have entries,
+      3. when the Goldilocks path has NO Pallas kernel set for this shape
+         (both paths run on XLA), the smaller transform wins within the
+         per-workload ratio threshold — the reference's core rule,
+      4. otherwise gl64 (it carries the MXU kernel set).
+    gl64_has_pallas overrides the eligibility probe (policy-boundary
+    tests)."""
     from ..core.plan import transform_size
     from ..core import tune
     from ..ops.ntt2 import transform_size_3161
@@ -70,8 +81,21 @@ def decide_arith(p: int, workload: str = "generic",
         pick = "fft3161" if ips_2 > ips_gl else "gl64"
         return ArithDecision(pick, n_gl, n_2, ratio, thr, ips_gl, ips_2,
                              "measured rates (tune cache)")
+    if gl64_has_pallas is None:
+        from .factory import _pallas_eligible
+        try:
+            gl64_has_pallas = _pallas_eligible(p)
+        except Exception:
+            gl64_has_pallas = False
+    if not gl64_has_pallas and ratio <= thr:
+        # both paths run as XLA graphs: per-word costs are comparable and
+        # the smaller transform wins (the reference's decision rule)
+        return ArithDecision("fft3161", n_gl, n_2, ratio, thr,
+                             ips_gl, ips_2,
+                             f"no gl64 kernel set; ratio {ratio:.2f} "
+                             f"within {thr:.2f}")
     if ratio > thr:
         return ArithDecision("gl64", n_gl, n_2, ratio, thr, ips_gl, ips_2,
                              f"ratio {ratio:.2f} exceeds {thr:.2f}")
     return ArithDecision("gl64", n_gl, n_2, ratio, thr, ips_gl, ips_2,
-                         "no tune data; optimized kernels are gl64")
+                         "gl64 carries the MXU kernel set")

@@ -106,10 +106,41 @@ class TestEngine3161:
 
 class TestPolicy:
     def test_ratio_and_defaults(self, tmp_path):
-        d = decide_arith(136279841, "prp", str(tmp_path))
-        assert d.arith == "gl64"           # no tune data -> optimized path
+        # flagship with the Pallas kernel set present: gl64 wins
+        d = decide_arith(136279841, "prp", str(tmp_path),
+                         gl64_has_pallas=True)
+        assert d.arith == "gl64"
         assert d.ratio <= 1.0
         assert d.n_3161 < d.n_gl64
+
+    def test_no_kernel_set_picks_smaller_transform(self, tmp_path):
+        """When gl64 has no Pallas path (both run as XLA graphs), the
+        smaller fft3161 transform wins within the workload threshold —
+        the reference's core decision rule (AutoPolicy.cpp:86-152)."""
+        d = decide_arith(136279841, "prp", str(tmp_path),
+                         gl64_has_pallas=False)
+        assert d.arith == "fft3161"
+        assert "ratio" in d.reason
+
+    def test_workload_threshold_boundary(self, tmp_path, monkeypatch):
+        """Policy boundary at the exact per-workload ratio threshold
+        (reference: the plan-policy boundary tests, README.md:903-921):
+        with the env override pinning the threshold just below/above the
+        actual ratio, the decision must flip."""
+        p = 136279841
+        d0 = decide_arith(p, "pm1_s1", str(tmp_path),
+                          gl64_has_pallas=False)
+        r = d0.ratio
+        monkeypatch.setenv("PRMERS_AUTO_PM1_S1_MAX_RATIO",
+                           str(r - 0.001))
+        d = decide_arith(p, "pm1_s1", str(tmp_path),
+                         gl64_has_pallas=False)
+        assert d.arith == "gl64"          # ratio now exceeds threshold
+        monkeypatch.setenv("PRMERS_AUTO_PM1_S1_MAX_RATIO",
+                           str(r + 0.001))
+        d = decide_arith(p, "pm1_s1", str(tmp_path),
+                         gl64_has_pallas=False)
+        assert d.arith == "fft3161"
 
     def test_tune_data_overrides(self, tmp_path):
         from prmers_tpu.core import tune
