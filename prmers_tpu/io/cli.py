@@ -45,8 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("-pm1", action="store_true", help="P-1 factoring")
     mode.add_argument("-ecm", action="store_true", help="ECM factoring")
     ap.add_argument("-s2variant", dest="stage2_variant", default="vtrace",
-                    choices=["vtrace", "classic"],
-                    help="P-1 stage 2 algorithm")
+                    choices=["vtrace", "classic", "nk"],
+                    help="P-1 stage 2 algorithm (nk = the n^K pairwise-"
+                         "difference variant, with -nmax and -K)")
+    ap.add_argument("-nmax", type=int, default=0,
+                    help="n^K stage 2: build H^(m^K) for m = 1..nmax")
     ap.add_argument("-lowmem", action="store_true",
                     help="P-1 with 3 registers: no GL buffers, stage 2 as "
                          "a streamed H^Q product-exponent (no baby table)")
@@ -153,6 +156,7 @@ def parse_args(argv: list[str] | None = None) -> Options:
         computer=ns.computer, ecm_check_interval=ns.ecm_check_interval,
         llsafe_block=ns.llsafeb, stage2_variant=ns.stage2_variant,
         stage2_regs_cap=ns.stage2_regs_cap,
+        nmax=ns.nmax, k_nk=ns.curves,
         resume_save=ns.resume_save, p95_save=ns.p95_save,
         resume_load=ns.resume_load,
         res64_display_interval=ns.res64_display_interval,

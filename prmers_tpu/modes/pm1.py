@@ -497,6 +497,69 @@ def run_pm1_stage2_lowmem(opts: Options, x1: int, eng: Engine | None = None,
                      transform_size=eng.get_size())
 
 
+def run_pm1_stage2_nk(opts: Options, x1: int, eng: Engine | None = None,
+                      log=print) -> Pm1Result:
+    """n^K stage-2 variant: build H^(m^K) for m = 1..nmax by finite
+    differences (Stirling-number seeds Z_j = H^(j! * S(K, j)); each step
+    costs K register multiplies), then accumulate prod_{i<j}
+    (H^(j^K) - H^(i^K)) — a factor q is caught when ord_q(H) divides
+    j^K - i^K for some pair (reference: runPM1Stage2MarinNKVersion,
+    src/modes/RunPM1.cpp:5422-5600)."""
+    p = opts.exponent
+    K, nmax = opts.k_nk, opts.nmax
+    assert K >= 1 and nmax >= 2
+    mp = res.mersenne(p)
+    t0 = time.monotonic()
+    # Stirling numbers of the second kind S(K, j) and factorials
+    S = [[0] * (K + 1) for _ in range(K + 1)]
+    S[0][0] = 1
+    for nn in range(1, K + 1):
+        for j in range(1, nn + 1):
+            S[nn][j] = j * S[nn - 1][j] + S[nn - 1][j - 1]
+    fact = [1] * (K + 1)
+    for j in range(1, K + 1):
+        fact[j] = fact[j - 1] * j
+
+    RSTATE, RACC, RTMP, RPOW, RDIFF, RONE = range(6)
+    Z0 = 6
+    VAL0 = Z0 + K + 1
+    regs = VAL0 + nmax
+    if eng is None:
+        eng = create_engine(p, regs, backend=opts.backend,
+                            arith=opts.arith, workload="pm1")
+    eng.set_int(RSTATE, x1)
+    eng.set_multiplicand(RPOW, RSTATE)
+    eng.set(Z0 + 0, 1)
+    for j in range(1, K + 1):
+        e = fact[j] * S[K][j]
+        _exp_by_reg(eng, Z0 + j, RPOW, e)
+    eng.set(RACC, 1)
+    log(f"P-1 stage 2 (n^K): K={K}, nmax={nmax}, {regs} registers")
+    for m in range(1, nmax + 1):
+        for q in range(K):
+            eng.set_multiplicand(RTMP, Z0 + q + 1)
+            eng.mul(Z0 + q, RTMP)
+        eng.copy(VAL0 + (m - 1), Z0 + 0)
+    pairs = 0
+    for i in range(nmax):
+        for j in range(i + 1, nmax):
+            eng.copy(RDIFF, VAL0 + j)
+            eng.sub_reg(RDIFF, VAL0 + i)
+            eng.set_multiplicand(RTMP, RDIFF)
+            eng.mul(RACC, RTMP)
+            pairs += 1
+    log(f"P-1 stage 2 (n^K): {pairs} pairwise differences accumulated")
+    acc = eng.get_int(RACC) % mp
+    g = gmp.gcd(acc, mp)
+    factor = g if 1 < g < mp else 0
+    if factor:
+        log(f"P-1 stage 2 (n^K) found factor {factor}")
+    return Pm1Result(p=p, b1=opts.b1, b2=opts.b2, factor=factor,
+                     stage=2 if factor else 0, res64=res.res64_hex(acc),
+                     elapsed=time.monotonic() - t0,
+                     transform_size=eng.get_size())
+
+
 def run_pm1(opts: Options, log=print) -> Pm1Result:
     """Full P-1: stage 1, then stage 2 when B2 > B1.
 
@@ -527,6 +590,13 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
         interop.write_prime95_s1(opts.p95_save, opts.exponent, opts.b1,
                                  r1._stage1_x)
         log(f"Prime95 stage-1 save written to: {opts.p95_save}")
+    if getattr(opts, "stage2_variant", "") == "nk" and opts.nmax:
+        r2 = run_pm1_stage2_nk(opts, r1._stage1_x, log=log)
+        r2.gerbicz_errors = r1.gerbicz_errors
+        if r1.factor and not r2.factor:
+            return r1
+        r2.stage1_factor = r1.factor
+        return r2
     if opts.b2 <= opts.b1:
         return r1
     if opts.pm1_variant in ("lowmem", "ultralowmem"):

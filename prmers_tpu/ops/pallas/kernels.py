@@ -436,13 +436,20 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
     x0, x1 = fsm.dft_lanes(g, x0, x1, ca_count, 128, False)
 
     def dots(y0, y1, w8_ref, corr_ref, sub):
+        # packs first, then dots, then combines: the independent dots are
+        # visible to the scheduler at once, so MXU work overlaps the
+        # VPU-heavy combines
+        X8s = [mxm._pack_planes_rhs(g, y0[:, j * 128:(j + 1) * 128],
+                                    y1[:, j * 128:(j + 1) * 128])
+               for j in range(ca_count)]
+        Ds = [lax.dot_general(X8s[j], w8_ref[j], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+              for j in range(ca_count)]
         outs0, outs1 = [], []
         for j in range(ca_count):
-            r0, r1 = mxm.mxu_rhs_apply(
-                g, y0[:, j * 128:(j + 1) * 128],
-                y1[:, j * 128:(j + 1) * 128], 128,
-                w8_ref[j], corr_ref[j],
-                jnp.uint32(sub[0]), jnp.uint32(sub[1]))
+            r0, r1 = mxm._combine_rhs(g, 128, Ds[j] + corr_ref[j],
+                                      jnp.uint32(sub[0]),
+                                      jnp.uint32(sub[1]))
             outs0.append(r0)
             outs1.append(r1)
         return (jnp.concatenate(outs0, axis=1),
@@ -673,7 +680,10 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a,
     wmin = int(fp.widths.min())
     rounds = 1
     bound = fp.max_word * 4
-    while bound >> (rounds * wmin) > 1:
+    # split until the residual fits HALF the minimum digit width: the
+    # final unsplit add then keeps digits under 2^(wmin+1), within the
+    # convolution bound's slack
+    while bound >> (rounds * wmin) > (1 << max(wmin - 1, 1)):
         rounds += 1
     with_a = not a_is_one
     kern = functools.partial(_k4_kernel, fp, max(rounds, 2), with_a)

@@ -167,3 +167,37 @@ class TestLowMem:
         r1 = run_pm1_stage1(o1, log=_silent)
         r2 = run_pm1_stage1(o2, log=_silent)
         assert r1._stage1_x == r2._stage1_x
+
+
+class TestNkVariant:
+    """n^K pairwise-difference stage 2 (reference:
+    runPM1Stage2MarinNKVersion, src/modes/RunPM1.cpp:5422)."""
+
+    def test_nk_matches_bigint(self, tmp_path):
+        from prmers_tpu.modes.pm1 import run_pm1_stage2_nk
+        p = 127
+        mp = (1 << p) - 1
+        x1 = pow(3, 123456789, mp)
+        o = Options(exponent=p, mode="pm1", b1=100, backend="numpy",
+                    nmax=5, k_nk=2, save_dir=str(tmp_path))
+        logs = []
+        r = run_pm1_stage2_nk(o, x1, log=logs.append)
+        # acc = prod_{i<j} (x1^(j^2) - x1^(i^2)) mod M_127
+        acc = 1
+        for i in range(1, 6):
+            for j in range(i + 1, 6):
+                acc = acc * (pow(x1, j * j, mp) - pow(x1, i * i, mp)) % mp
+        import re
+        assert r.res64.lower() == f"{acc & 0xFFFFFFFFFFFFFFFF:016x}"
+
+    def test_nk_finds_factor(self, tmp_path):
+        """ord_q(H) must divide j^K - i^K for some pair: with H = 3^(2p)
+        mod M_29 and factor q = 233 (ord | 232 = 8*29), K=2 and nmax
+        covering a pair with j^2 - i^2 divisible by ord works."""
+        from prmers_tpu.modes.pm1 import run_pm1
+        o = Options(exponent=29, mode="pm1", b1=2, backend="numpy",
+                    stage2_variant="nk", nmax=6, k_nk=2,
+                    save_dir=str(tmp_path))
+        r = run_pm1(o, log=_silent)
+        # M29 = 233 * 1103 * 2089; any of them counts
+        assert r.factor and ((1 << 29) - 1) % r.factor == 0

@@ -14,10 +14,14 @@ from prmers_tpu.ops.pallas import kernels as kn
 from prmers_tpu.ops.pallas.gl64 import to_pairs, from_pairs
 from prmers_tpu.utils import digits as dg
 
-LOG2N = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+ARG = sys.argv[1] if len(sys.argv) > 1 else "17"
 A = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
-n = 1 << LOG2N
+# "17" -> n = 2^17; "5x16" -> n = 5 * 2^16 (radix-5 shapes)
+if ARG.startswith("5x"):
+    n = 5 << int(ARG[2:])
+else:
+    n = 1 << int(ARG)
 p = int(n * 16.5) | 1  # any odd exponent with comfortable digit widths
 plan = build_plan(p, n=n)
 fp = fs.FourStepPlan.from_plan(plan)
