@@ -93,14 +93,21 @@ class Fq2:
             k += 1
         assert m in (1, 3, 9), f"unsupported odd part {m} of n={n}"
         assert k <= s + 1, f"2-adic order {k} exceeds {s + 1}"
-        # 2-part: an order-2^(s+1) element combines -1-free circle
-        # generation: find c on the norm-1 circle of order 2^s, then take
-        # the base-field -1 to top up? order(q+1 circle) = 2^s exactly.
+        # The whole root family must be CONSISTENT under the mixed-radix
+        # stage recursion: root_unity(L)^(L/r) == root_unity(r) for every
+        # r | L of the supported form (the DIF stage at length L assumes
+        # its radix-r DFT matrix uses w_L^(L/r)). Raising the 2-part
+        # c^(2^(s-k)) to L/2^j multiplies its exponent by the odd cofactor
+        # m, and the 3-part g3 to L/3^b by the even cofactor 2^k — so fold
+        # the CRT inverses in: u = m^-1 mod 2^k, v = (2^k)^-1 mod m. (The
+        # uncorrected family satisfied the identity only when the cofactor
+        # was 1 mod the other part — n=3*2^even passed, n=3*2^odd broke.)
         parts = (1, 0)
         if k:
             if k <= s:
                 c = self._circle_gen()           # order 2^s
-                parts = self.mul(parts, self.pow(c, 1 << (s - k)))
+                u = pow(m, -1, 1 << k)
+                parts = self.mul(parts, self.pow(c, (1 << (s - k)) * u))
             else:  # k == s + 1: multiply an order-2^s circle element by a
                 # base-field sqrt chain is impossible; use g2 = c * j where
                 # j^2 = c descends outside the circle — not needed for the
@@ -108,7 +115,8 @@ class Fq2:
                 raise AssertionError("k == s+1 unsupported")
         if m > 1:
             g3 = self._odd_gen(m)
-            parts = self.mul(parts, g3)
+            v = pow(1 << k, -1, m)
+            parts = self.mul(parts, self.pow(g3, v))
         return parts
 
     @functools.lru_cache(maxsize=None)
@@ -126,9 +134,14 @@ class Fq2:
 
     @functools.lru_cache(maxsize=None)
     def _odd_gen(self, m: int):
-        """Base-field element of order exactly m (m in {3, 9})."""
+        """Base-field element of order exactly m (m in {3, 9}). The
+        order-3 generator is the CUBE of the order-9 one so the two
+        families compose under the stage recursion (root_unity
+        consistency: w_9^3 == w_3)."""
         q = self.q
         assert (q - 1) % m == 0
+        if m == 3 and (q - 1) % 9 == 0:
+            return self.pow(self._odd_gen(9), 3)
         for g in range(2, 100):
             c = (pow(g, (q - 1) // m, q), 0)
             if self.order_is(c, m):

@@ -50,6 +50,7 @@ def _get_tables(p: int, n: int):
         import os
         if not os.environ.get("PRMERS_NO_FUSE"):
             fsm.attach_fused_c_tables(t, device_put=jax.device_put)
+        kn.attach_cinrow(t, device_put=jax.device_put)
         jax.block_until_ready(jax.tree_util.tree_leaves(t))
         masks64 = ((jnp.uint64(1) <<
                     jnp.asarray(plan.widths.astype(np.uint64)))
@@ -120,15 +121,23 @@ def _u64_to_pairs(y, shape5):
 
 @functools.partial(jax.jit, static_argnums=0)
 def op_settle(n: int, widths, masks, x0, x1, c0, c1):
-    """Fold the pending per-block boundary carries (rolled: block b's
-    carry enters block b+1, last wraps to 0) and renormalize (XLA)."""
+    """Fold the pending boundary carries (rolled: block/row b's carry
+    enters b+1, last wraps to 0) and renormalize (XLA). Carry state is
+    either the per-r1-block vector ((R1, 1) pair) or the row-carry
+    pipeline's per-row block ((R1, R2, 128) pair, value in lane 0)."""
     sh5 = x0.shape
-    R1 = c0.shape[0]
     y = _pairs_to_u64(x0, x1, n)
-    cin = (c0[:, 0].astype(jnp.uint64) |
-           (c1[:, 0].astype(jnp.uint64) << jnp.uint64(32)))
+    if c0.ndim == 3:
+        rows = c0.shape[0] * c0.shape[1]
+        cin = (c0[:, :, 0].reshape(rows).astype(jnp.uint64) |
+               (c1[:, :, 0].reshape(rows).astype(jnp.uint64)
+                << jnp.uint64(32)))
+    else:
+        rows = c0.shape[0]
+        cin = (c0[:, 0].astype(jnp.uint64) |
+               (c1[:, 0].astype(jnp.uint64) << jnp.uint64(32)))
     cin = jnp.roll(cin, 1)
-    starts = jnp.arange(R1, dtype=jnp.int32) * (n // R1)
+    starts = jnp.arange(rows, dtype=jnp.int32) * (n // rows)
     y = y.at[starts].add(cin)  # < P each: carry_full renormalizes
     d = carry_ops.carry_full(F, y, widths, masks, 1, lax=lax)
     return _u64_to_pairs(d, sh5)
@@ -164,21 +173,27 @@ class PallasEngine(Engine):
         self._sh = sh
         z5 = lambda: jnp.zeros(sh, jnp.uint32)  # noqa: E731
         self._r1 = self.fp.rs.L1
-        z11 = lambda: jnp.zeros((self._r1, 1), jnp.uint32)  # noqa: E731
+        # row-carry pipeline when its tables are live: carry state is the
+        # per-row (R1, R2, 128) block; else the per-r1-block (R1, 1)
+        self._rc = kn.use_rowcarry(self.fp, self.t)
+        self._csh = ((self._r1, self.fp.rs.L2, 128) if self._rc
+                     else (self._r1, 1))
         # per-register state: [x0, x1, c0, c1, is_spectral]
-        self.regs = [[z5(), z5(), z11(), z11(), False]
+        self.regs = [[z5(), z5(), self._zc(), self._zc(), False]
                      for _ in range(reg_count)]
         self._delta_cache: dict[int, jax.Array] = {}
         self._zero_const = jnp.zeros((self.n,), jnp.uint64)
 
     # -- helpers ----------------------------------------------------------
+    def _zc(self):
+        return jnp.zeros(self._csh, jnp.uint32)
+
     def _settled(self, r: Reg):
         st = self.regs[r]
         assert not st[4], "spectral register used as digits"
         x0, x1 = op_settle(self.n, self._w64, self._m64,
                            st[0], st[1], st[2], st[3])
-        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
-        self.regs[r] = [x0, x1, z11, z11, False]
+        self.regs[r] = [x0, x1, self._zc(), self._zc(), False]
         return x0, x1
 
     def get_size(self) -> int:
@@ -232,8 +247,7 @@ class PallasEngine(Engine):
         st = self.regs[src]
         assert not st[4]
         u0, u1 = op_fwd(self.fp, self.t, st[0], st[1], st[2], st[3])
-        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
-        self.regs[dst] = [u0, u1, z11, z11, True]
+        self.regs[dst] = [u0, u1, self._zc(), self._zc(), True]
 
     def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
         st = self.regs[dst]
@@ -248,16 +262,14 @@ class PallasEngine(Engine):
         y0, y1 = self._settled(src)
         r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, y0, y1,
                            jnp.int32(1), self._zero_const)
-        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
-        self.regs[dst] = [r0, r1, z11, z11, False]
+        self.regs[dst] = [r0, r1, self._zc(), self._zc(), False]
 
     def sub_reg(self, dst: Reg, src: Reg) -> None:
         x0, x1 = self._settled(dst)
         y0, y1 = self._settled(src)
         r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, y0, y1,
                            jnp.int32(-1), self._zero_const)
-        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
-        self.regs[dst] = [r0, r1, z11, z11, False]
+        self.regs[dst] = [r0, r1, self._zc(), self._zc(), False]
 
     def _delta_vec(self, a: int) -> jax.Array:
         if a not in self._delta_cache:
@@ -274,8 +286,7 @@ class PallasEngine(Engine):
         x0, x1 = self._settled(src)
         r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, x0, x1,
                            jnp.int32(0), self._delta_vec(a))
-        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
-        self.regs[src] = [r0, r1, z11, z11, False]
+        self.regs[src] = [r0, r1, self._zc(), self._zc(), False]
 
     def sync(self) -> None:
         # block_until_ready does not reliably wait through the axon tunnel;
@@ -295,10 +306,9 @@ class PallasEngine(Engine):
         d = np.asarray(digits, dtype=np.uint64)
         lo = (d & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         hi = (d >> np.uint64(32)).astype(np.uint32)
-        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
         self.regs[dst] = [jnp.asarray(lo.reshape(self._sh)),
                           jnp.asarray(hi.reshape(self._sh)),
-                          z11, z11, False]
+                          self._zc(), self._zc(), False]
 
     def get_raw(self, src: Reg) -> np.ndarray:
         """Raw register dump for checkpoints: settle digit regs; spectral
@@ -326,8 +336,8 @@ class PallasEngine(Engine):
         ay_sh = self._ay_shape()
         lo = (d & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(ay_sh)
         hi = (d >> np.uint64(32)).astype(np.uint32).reshape(ay_sh)
-        z11 = jnp.zeros((self._r1, 1), jnp.uint32)
-        self.regs[dst] = [jnp.asarray(lo), jnp.asarray(hi), z11, z11, True]
+        self.regs[dst] = [jnp.asarray(lo), jnp.asarray(hi),
+                          self._zc(), self._zc(), True]
 
     def _ay_shape(self) -> tuple[int, ...]:
         """Shape of a spectral (multiplicand) register: the AX shell

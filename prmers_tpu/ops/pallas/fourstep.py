@@ -212,6 +212,10 @@ class FourStepTables:
     # when present the pipeline runs P1-P2 / fused-C / P6-P7 with no
     # global transposes.
     fused: Any = None
+    # per-ROW carry-injection spread tables (wt, cum) each (R1, R2, k)
+    # u32 — built by kernels.attach_cinrow for the row-carry pipeline
+    # (carry fused into P7, injection fused into P1)
+    cinrow: Any = None
 
     def mxu_sub(self, key: str):
         for k, v in (self.mxu_subs or ()):
@@ -295,13 +299,14 @@ def _register_pytree():
     def flatten(t):
         children = (t.w, t.iw, t.t_r, t.t_r_inv, t.mid, t.mid_inv,
                     t.t_c, t.t_c_inv, t.widths32, t.masks_lo, t.masks_hi,
-                    t.mxu, t.wcorr, t.fused)
+                    t.mxu, t.wcorr, t.fused, t.cinrow)
         return children, (t.fp, t.G, t.mxu_subs)
 
     def unflatten(aux, children):
-        return FourStepTables(aux[0], aux[1], *children[:-3],
-                              mxu=children[-3], mxu_subs=aux[2],
-                              wcorr=children[-2], fused=children[-1])
+        return FourStepTables(aux[0], aux[1], *children[:-4],
+                              mxu=children[-4], mxu_subs=aux[2],
+                              wcorr=children[-3], fused=children[-2],
+                              cinrow=children[-1])
 
     tree_util.register_pytree_node(FourStepTables, flatten, unflatten)
 

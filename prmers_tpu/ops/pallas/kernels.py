@@ -361,6 +361,304 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
 
 
 # ---------------------------------------------------------------------------
+# P1 with in-kernel row-carry injection and P7 with the carry phase
+# fused in (per-row lane ripple + per-row boundary carries): the carry
+# kernel's full HBM round trip and the XLA injection copy both vanish.
+# Carry state between iterations: (R1, R2, 128) u32 pairs with the value
+# in lane 0 of each row (the 128-lane pad satisfies the Pallas block
+# rule for the small outputs).
+# ---------------------------------------------------------------------------
+
+def _p1c_kernel(L: int, k: int, mxu_sub, wcorr_n, *refs):
+    """P1 with vectorized carry injection: every row (r1, r2) receives
+    the previous row's boundary carry (pre-rolled outside), spread
+    base-2^width into its first k lanes, then the weight-fold wrap halve
+    and the per-r2-variant MXU dot."""
+    (cin0_ref, cin1_ref, wt_ref, cum_ref, x0_ref, x1_ref,
+     er_ref, ec_ref, w8_ref, corr_ref, o0_ref, o1_ref) = refs
+    sh = x0_ref.shape                   # (L, S, C)
+    v = (L, sh[1], sh[2])
+    x0 = x0_ref[:].reshape(v)
+    x1 = x1_ref[:].reshape(v)
+
+    c0 = cin0_ref[:, :, 0:1]            # (L, S, 1)
+    c1 = cin1_ref[:, :, 0:1]
+    wt = wt_ref[:]                      # (L, S, k)
+    cum = cum_ref[:]
+    lane = lax.broadcasted_iota(jnp.int32, v, 2)
+    add = jnp.zeros(v, jnp.uint32)
+    for j in range(k):
+        cm = cum[:, :, j:j + 1]
+        w = wt[:, :, j:j + 1]
+        lt32 = cm < jnp.uint32(32)
+        cm_lo = jnp.where(lt32, cm, jnp.uint32(0))
+        cm_hi = jnp.where(lt32 | (cm >= jnp.uint32(64)), jnp.uint32(0),
+                          cm - jnp.uint32(32))
+        lo_part = (c0 >> cm_lo) | ((c1 << jnp.uint32(1))
+                                   << (jnp.uint32(31) - cm_lo))
+        hi_part = c1 >> cm_hi
+        part = jnp.where(lt32, lo_part, hi_part)
+        if j < k - 1:
+            part = part & ((jnp.uint32(1) << w) - jnp.uint32(1))
+        else:
+            part = jnp.where(cm >= jnp.uint32(64), jnp.uint32(0), part)
+        add = jnp.where(lane == j, jnp.broadcast_to(part, v), add)
+    x0 = x0 + add   # parts < 2^(w+1): cannot wrap the low word
+
+    er = er_ref[:].reshape(L, sh[1], 1)
+    ec = ec_ref[:].reshape(1, 1, sh[2])
+    mask = jnp.broadcast_to((er + ec) >= jnp.uint32(wcorr_n), v)
+    x0, x1 = g.halve_where(x0, x1, mask)
+
+    S = sh[1]
+    slo = jnp.uint32(mxu_sub[0])
+    shi = jnp.uint32(mxu_sub[1])
+    outs0, outs1 = [], []
+    for s in range(S):
+        r0, r1 = mxm.mxu_dft_apply(g, x0[:, s, :], x1[:, s, :], L,
+                                   w8_ref[s], corr_ref[s], slo, shi)
+        outs0.append(r0.reshape(L, 1, sh[2]))
+        outs1.append(r1.reshape(L, 1, sh[2]))
+    x0 = jnp.concatenate(outs0, axis=1) if S > 1 else outs0[0]
+    x1 = jnp.concatenate(outs1, axis=1) if S > 1 else outs1[0]
+    o0_ref[:] = x0.reshape(sh)
+    o1_ref[:] = x1.reshape(sh)
+
+
+def _p7c_kernel(L: int, rounds: int, with_a: bool, mxu_sub, wcorr_n,
+                *refs):
+    """P7 (r1-inverse dot + wrap double + canon) with the carry fused in:
+    optional small-operand multiply, digit/carry split, a fixed number of
+    lane-ripple rounds (the flat digit order within a row IS the lane
+    order), the 0/residual tail added unsplit, and each row's boundary
+    carry written to lane 0 of the (L, S, 128) carry-out block."""
+    i = 0
+    if with_a:
+        a0_ref, a1_ref = refs[i], refs[i + 1]
+        i += 2
+    (x0_ref, x1_ref, er_ref, ec_ref, w8_ref, corr_ref,
+     wd_ref, mk0_ref, mk1_ref, o0_ref, o1_ref, co0_ref, co1_ref) = \
+        refs[i:i + 13]
+    sh = x0_ref.shape                   # (L, S, C)
+    v = (L, sh[1], sh[2])
+    x0 = x0_ref[:].reshape(v)
+    x1 = x1_ref[:].reshape(v)
+
+    S = sh[1]
+    slo = jnp.uint32(mxu_sub[0])
+    shi = jnp.uint32(mxu_sub[1])
+    outs0, outs1 = [], []
+    for s in range(S):
+        r0, r1 = mxm.mxu_dft_apply(g, x0[:, s, :], x1[:, s, :], L,
+                                   w8_ref[s], corr_ref[s], slo, shi)
+        outs0.append(r0.reshape(L, 1, sh[2]))
+        outs1.append(r1.reshape(L, 1, sh[2]))
+    x0 = jnp.concatenate(outs0, axis=1) if S > 1 else outs0[0]
+    x1 = jnp.concatenate(outs1, axis=1) if S > 1 else outs1[0]
+
+    er = er_ref[:].reshape(L, sh[1], 1)
+    ec = ec_ref[:].reshape(1, 1, sh[2])
+    mask = jnp.broadcast_to((er + ec) >= jnp.uint32(wcorr_n), v)
+    x0, x1 = g.double_where(x0, x1, mask)
+    x0, x1 = g.canon(x0, x1)
+
+    if with_a:
+        a = a0_ref[0, 0]
+        x0, x1 = g.mul_small(x0, x1, a)
+        x0, x1 = g.canon(x0, x1)
+
+    wd = wd_ref[:].reshape(v)
+    mk0 = mk0_ref[:].reshape(v)
+    mk1 = mk1_ref[:].reshape(v)
+    rem = jnp.uint32(31) - wd
+
+    def split(y0, y1):
+        d0 = y0 & mk0
+        d1 = y1 & mk1
+        c0 = (y0 >> wd) | ((y1 << jnp.uint32(1)) << rem)
+        c1 = y1 >> wd
+        return d0, d1, c0, c1
+
+    d0, d1, c0, c1 = split(x0, x1)
+    lane = lax.broadcasted_iota(jnp.int32, v, 2)
+
+    def shift_lane(c0, c1):
+        out0 = c0[:, :, -1:]            # (L, S, 1): leaves the row
+        out1 = c1[:, :, -1:]
+        A0 = pltpu.roll(c0, jnp.int32(1), axis=2)
+        A1 = pltpu.roll(c1, jnp.int32(1), axis=2)
+        z = jnp.uint32(0)
+        return (jnp.where(lane > 0, A0, z), jnp.where(lane > 0, A1, z),
+                out0, out1)
+
+    acc0 = jnp.zeros((L, sh[1], 1), jnp.uint32)
+    acc1 = jnp.zeros((L, sh[1], 1), jnp.uint32)
+    for _ in range(rounds):
+        c0, c1, o0c, o1c = shift_lane(c0, c1)
+        s0, cc = g.addc(acc0, o0c)
+        acc0, acc1 = s0, acc1 + o1c + cc
+        y0, yc = g.addc(d0, c0)
+        y1 = d1 + c1 + yc
+        d0, d1, c0, c1 = split(y0, y1)
+    # residual <= 2^(wmin-1): add unsplit (digit slack covers it)
+    c0, c1, o0c, o1c = shift_lane(c0, c1)
+    s0, cc = g.addc(acc0, o0c)
+    acc0, acc1 = s0, acc1 + o1c + cc
+    d0 = d0 + c0
+
+    o0_ref[:] = d0.reshape(sh)
+    o1_ref[:] = d1.reshape(sh)
+    cv = (L, sh[1], 128)
+    cl = lax.broadcasted_iota(jnp.int32, cv, 2)
+    co0_ref[:] = jnp.where(cl == 0, jnp.broadcast_to(acc0, cv),
+                           jnp.uint32(0))
+    co1_ref[:] = jnp.where(cl == 0, jnp.broadcast_to(acc1, cv),
+                           jnp.uint32(0))
+
+
+def _carry_rounds(fp: FourStepPlan) -> int:
+    wmin = int(fp.widths.min())
+    rounds = 1
+    bound = fp.max_word * 4
+    while bound >> (rounds * wmin) > (1 << max(wmin - 1, 1)):
+        rounds += 1
+    return max(rounds, 2)
+
+
+def _row_cin_plan(fp: FourStepPlan):
+    """Per-ROW spread tables: (k, wt (R1, R2, k) u32, cum (R1, R2, k))."""
+    R = fp.R
+    C = fp.C
+    wmat = fp.widths.reshape(R, C).astype(np.int64)
+    k = 1
+    while int(wmat[:, :k].sum(axis=1).min()) < 64:
+        k += 1
+    wt = wmat[:, :k].astype(np.uint32)
+    cum = np.zeros((R, k), dtype=np.uint32)
+    cum[:, 1:] = np.cumsum(wt[:, :-1], axis=1)
+    R1, R2 = fp.rs.L1, fp.rs.L2
+    return (k, wt.reshape(R1, R2, k), cum.reshape(R1, R2, k))
+
+
+def p1_carry_pass(fp, t, x0, x1, cin0, cin1):
+    """P1 with in-kernel injection of the pre-rolled row carries."""
+    sh = x0.shape
+    S = sh[1] if sh[1] < 8 else 8
+    grid = (sh[1] // S,)
+    blk = (fp.rs.L1, S, sh[2])
+    xspec = pl.BlockSpec(blk, lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((fp.rs.L1, S, 128),
+                         lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM)
+    wt, cum = t.cinrow
+    k = int(wt.shape[-1])
+    kspec = pl.BlockSpec((fp.rs.L1, S, k), lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM)
+    (w8, corr), sub = _mx(t, "tr_fwd_w")
+    er_t, ec_t = t.wcorr
+    vspec = pl.BlockSpec((fp.rs.L1, S, 1), lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM)
+    tabspec = pl.BlockSpec((S,) + tuple(w8.shape[1:]),
+                           lambda i: (i, i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+    tabspec_c = pl.BlockSpec((S,) + tuple(corr.shape[1:]),
+                             lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
+    kern = functools.partial(_p1c_kernel, fp.rs.L1, k, sub, fp.n)
+    r0, r1 = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[cspec, cspec, kspec, kspec, xspec, xspec,
+                  vspec, _full(ec_t.shape), tabspec, tabspec_c],
+        out_specs=(xspec, xspec),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct(sh, jnp.uint32)),
+        compiler_params=_cparams(),
+        interpret=_interpret(),
+    )(cin0, cin1, wt, cum, x0, x1, er_t, ec_t, w8, corr)
+    return r0, r1
+
+
+def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool):
+    """P7 with the carry fused in; returns (d0, d1, co0, co1) where the
+    carry pair is (R1, R2, 128) with values in lane 0."""
+    sh = z0.shape
+    S = sh[1] if sh[1] < 8 else 8
+    grid = (sh[1] // S,)
+    L = fp.rs.L1
+    blk = (L, S, sh[2])
+    xspec = pl.BlockSpec(blk, lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, S, 128), lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM)
+    (w8, corr), sub = _mx(t, "iw_inv")
+    er_t, ec_t = t.wcorr
+    vspec = pl.BlockSpec((L, S, 1), lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM)
+    tabspec = pl.BlockSpec((S,) + tuple(w8.shape[1:]),
+                           lambda i: (i, i * 0, i * 0),
+                           memory_space=pltpu.VMEM)
+    tabspec_c = pl.BlockSpec((S,) + tuple(corr.shape[1:]),
+                             lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
+                          memory_space=pltpu.SMEM)
+    with_a = not a_is_one
+    kern = functools.partial(_p7c_kernel, L, _carry_rounds(fp), with_a,
+                             sub, fp.n)
+    ins = ([a[0], a[1]] if with_a else []) + \
+        [z0, z1, er_t, ec_t, w8, corr,
+         t.widths32, t.masks_lo, t.masks_hi]
+    in_specs = ([smem11, smem11] if with_a else []) + \
+        [xspec, xspec, vspec, _full(ec_t.shape), tabspec, tabspec_c,
+         xspec, xspec, xspec]
+    R1, R2 = fp.rs.L1, fp.rs.L2
+    d0, d1, co0, co1 = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(xspec, xspec, cspec, cspec),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct((R1, R2, 128), jnp.uint32),
+                   jax.ShapeDtypeStruct((R1, R2, 128), jnp.uint32)),
+        compiler_params=_cparams(),
+        interpret=_interpret(),
+    )(*ins)
+    return d0, d1, co0, co1
+
+
+def roll_row_carries(fp: FourStepPlan, co0, co1):
+    """Pre-roll the (R1, R2, 128) row carries by one flat row (the last
+    row wraps to row 0 — the mod-M_p fold); a tiny XLA op."""
+    R1, R2 = fp.rs.L1, fp.rs.L2
+    c0 = jnp.roll(co0.reshape(R1 * R2, 128), 1, axis=0).reshape(
+        R1, R2, 128)
+    c1 = jnp.roll(co1.reshape(R1 * R2, 128), 1, axis=0).reshape(
+        R1, R2, 128)
+    return c0, c1
+
+
+def attach_cinrow(t: FourStepTables, device_put=None):
+    """Build and attach the per-row carry-spread tables (row-carry
+    pipeline)."""
+    put = device_put if device_put is not None else (lambda a: a)
+    _k, wt, cum = _row_cin_plan(t.fp)
+    t.cinrow = (put(np.ascontiguousarray(wt)),
+                put(np.ascontiguousarray(cum)))
+    return t
+
+
+def use_rowcarry(fp: FourStepPlan, t: FourStepTables) -> bool:
+    """The row-carry pipeline needs the weight-folded MXU tables, the
+    fused-C tables, and the cinrow spread tables."""
+    import os
+    return (t.cinrow is not None and _fused_ok(fp, t)
+            and not os.environ.get("PRMERS_NO_ROWCARRY"))
+
+
+# ---------------------------------------------------------------------------
 # Fused C-transform kernel (lane-tile DFT + per-slot lane-axis dots)
 # ---------------------------------------------------------------------------
 
@@ -865,11 +1163,19 @@ def _p7_pass(fp, t, z0, z1, wfold=False):
 
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
                 cin0, cin1, a, a_is_one: bool = False):
-    """One full (x^2 * a) iteration — FOUR kernels: P1 (r1-dot), the big
-    fused kernel (r2-dot + mid + whole C-transform + square + mirrors),
-    P7 (r1-inverse), and the carry. Returns (d0, d1, cout0, cout1);
-    the carry pair is the per-block vector ((R1, 1) u32 x2)."""
+    """One full (x^2 * a) iteration. With row-carry state (cin ndim 3,
+    (R1, R2, 128)) it is THREE kernels: P1-with-injection, the big fused
+    kernel (r2-dot + mid + whole C-transform + square + mirrors), and
+    P7-with-carry. With block-carry state ((R1, 1)) it is the four-kernel
+    pipeline (P1, fused-C, P7, carry) plus the XLA injection strip.
+    Returns (d0, d1, cout0, cout1) with the carry pair in the same shape
+    family as the input."""
     assert t.fused is not None, "pallas pipeline requires fused-C tables"
+    if cin0.ndim == 3:
+        r0, r1 = roll_row_carries(fp, cin0, cin1)
+        s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
+        s0, s1 = fused_c_pass(fp, t, s0, s1, "sqr", r2fold=True)
+        return p7_carry_pass(fp, t, s0, s1, a, a_is_one)
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
     s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
@@ -883,6 +1189,12 @@ def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
     """dst = dst * multiplicand(u) * a; u is a spectral pair in the
     (R1, R2, C) shell (fwd_step's output)."""
     assert t.fused is not None
+    if cin0.ndim == 3:
+        r0, r1 = roll_row_carries(fp, cin0, cin1)
+        s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
+        s0, s1 = fused_c_pass(fp, t, s0, s1, "mul", u=(u0, u1),
+                              r2fold=True)
+        return p7_carry_pass(fp, t, s0, s1, a, False)
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
     s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
@@ -895,6 +1207,10 @@ def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     """Forward transform only (multiplicand preparation); spectral out
     in the (R1, R2, C) shell."""
     assert t.fused is not None
+    if cin0.ndim == 3:
+        r0, r1 = roll_row_carries(fp, cin0, cin1)
+        s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
+        return fused_c_pass(fp, t, s0, s1, "fwd", r2fold=True)
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
     s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)

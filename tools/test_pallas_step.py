@@ -89,4 +89,44 @@ val2 = (dg.digits_to_int(out2, plan.widths) + co_value(co0b, co1b)) % mp
 want2 = gmp.mod(gmp.mul(gmp.mul(want, want), A), mp)
 print("second step (carry chain) correct:", val2 == want2)
 assert val2 == want2
+
+# row-carry pipeline (3 kernels/iter: carry fused into P7, injection
+# into P1) — the engine default when its tables attach
+kn.attach_cinrow(tbl, device_put=jax.device_put)
+if kn.use_rowcarry(fp, tbl):
+    R1, R2 = fp.rs.L1, fp.rs.L2
+    zrc = jnp.zeros((R1, R2, 128), jnp.uint32)
+
+    def co_value_rows(co0, co1):
+        """Per-ROW boundary carries: row b's carry enters the first digit
+        of row b+1 (last wraps to bit 0)."""
+        rows = R1 * R2
+        bs = n // rows
+        q = np.concatenate([[0], np.cumsum(plan.widths.astype(np.int64))])
+        c0v = np.asarray(co0).reshape(rows, 128)[:, 0].astype(np.uint64)
+        c1v = np.asarray(co1).reshape(rows, 128)[:, 0].astype(np.uint64)
+        tot = 0
+        for b in range(rows):
+            c = int(c0v[b]) | (int(c1v[b]) << 32)
+            pos = 0 if b == rows - 1 else int(q[(b + 1) * bs])
+            tot += c << pos
+        return tot
+
+    t0 = time.time()
+    e0, e1, ko0, ko1 = step(tbl, x0, x1, zrc, zrc)
+    oute = from_pairs(np.asarray(e0).reshape(n), np.asarray(e1).reshape(n))
+    vale = (dg.digits_to_int(oute, plan.widths)
+            + co_value_rows(ko0, ko1)) % mp
+    print(f"rowcarry first step {time.time()-t0:.1f}s "
+          f"correct: {vale == want}")
+    assert vale == want
+    e0b, e1b, ko0b, ko1b = step(tbl, e0, e1, ko0, ko1)
+    oute2 = from_pairs(np.asarray(e0b).reshape(n),
+                       np.asarray(e1b).reshape(n))
+    vale2 = (dg.digits_to_int(oute2, plan.widths)
+             + co_value_rows(ko0b, ko1b)) % mp
+    print("rowcarry second step (carry chain) correct:", vale2 == want2)
+    assert vale2 == want2
+else:
+    print("rowcarry: not eligible at this shape, skipped")
 print("ALL OK")
