@@ -29,23 +29,44 @@ from ..core.plan import digit_widths
 LOG2_CRT = 91.99   # log2(M31 * M61), safely rounded down
 
 
-def transform_size_3161(p: int) -> int:
-    """Smallest n in {2^k, 3*2^k, 9*2^k} with 2(w+1) + log2 n < log2(q31 q61)."""
+def max_bpw_3161(n: int) -> int:
+    """Per-shape capacity: the largest MEAN bits-per-word w = floor(p/n)
+    the shape supports — the fftbpw analog of the reference
+    (third_party/aevum FFTConfig.h:70-106 / fftbpw.h per-shape BPW
+    tables). Exact-NTT version: the convolution bound
+    2*(w+1) + log2 n < log2(M31*M61) with w+1 the max digit width
+    (IBDWT ceil-split digits are at most one bit over the mean); no
+    round-off-error tables are needed because the arithmetic is exact."""
     import math
-    best = None
+    return int((LOG2_CRT - math.log2(n)) / 2 - 1)
+
+
+def max_exponent_3161(n: int) -> int:
+    """Largest exponent the shape n supports (capacity boundary)."""
+    return n * (max_bpw_3161(n) + 1) - 1
+
+
+def shape_table_3161(max_k: int = 27) -> list[tuple[int, int, int]]:
+    """Sorted (n, max_bpw, max_exponent) rows for every supported shape
+    n in {2^k, 3*2^k, 9*2^k}, n >= 8 — the inspectable per-shape plan
+    table (reference: aevum FFT config enumeration, FFTConfig.h:24)."""
+    rows = []
     for odd in (1, 3, 9):
-        k = 1
-        while True:
+        for k in range(1, max_k + 1):
             n = odd << k
-            w = p // n
-            if 2 * (w + 1) + math.log2(n) < LOG2_CRT:
-                break
-            k += 1
-            if k > 40:
-                raise ValueError("exponent too large")
-        if best is None or odd << k < best:
-            best = odd << k
-    return max(best, 8)
+            if n >= 8:
+                rows.append((n, max_bpw_3161(n), max_exponent_3161(n)))
+    rows.sort()
+    return rows
+
+
+def transform_size_3161(p: int) -> int:
+    """Smallest n in {2^k, 3*2^k, 9*2^k} with p within the shape's BPW
+    capacity (max_exponent_3161)."""
+    for n, _bpw, pmax in shape_table_3161(40):
+        if p <= pmax:
+            return max(n, 8)
+    raise ValueError("exponent too large")
 
 
 def radix_seq_23(length: int) -> tuple[int, ...]:

@@ -68,6 +68,27 @@ class TestTransform:
             w = p // n2
             assert 2 * (w + 1) + np.log2(n2) < 92
 
+    def test_bpw_capacity_table(self):
+        """Per-shape BPW capacity model (fftbpw analog): the shape table
+        is sorted, capacities are exact boundaries (p = max_exponent
+        selects a shape <= n; p over the boundary violates the
+        convolution bound for n), and transform_size agrees with the
+        table everywhere."""
+        rows = ntt2.shape_table_3161(22)
+        ns = [r[0] for r in rows]
+        assert ns == sorted(ns) and len(set(ns)) == len(ns)
+        for n, bpw, pmax in rows:
+            assert bpw == ntt2.max_bpw_3161(n)
+            assert pmax == ntt2.max_exponent_3161(n)
+            # boundary is exact w.r.t. the convolution capacity rule
+            assert 2 * (pmax // n + 1) + np.log2(n) < ntt2.LOG2_CRT
+            assert not (2 * ((pmax + n) // n + 1) + np.log2(n)
+                        < ntt2.LOG2_CRT)
+        for n, _bpw, pmax in rows[3:12]:
+            assert ntt2.transform_size_3161(pmax) <= n
+            bigger = ntt2.transform_size_3161(pmax + 1)
+            assert bigger > pmax // (ntt2.max_bpw_3161(bigger) + 1)
+
 
 class TestEngine3161:
     def test_prp_m1279_numpy(self):
