@@ -540,8 +540,12 @@ def _row_cin_plan(fp: FourStepPlan):
     return (k, wt.reshape(R1, R2, k), cum.reshape(R1, R2, k))
 
 
-def p1_carry_pass(fp, t, x0, x1, cin0, cin1):
-    """P1 with in-kernel injection of the pre-rolled row carries."""
+def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
+    """P1 with in-kernel injection of the pre-rolled row carries.
+
+    tabs: optional explicit table operands {"wt", "cum", "w8", "corr",
+    "er", "ec"} (shard-local slices in the mesh pipeline; the variant/row
+    axes may be narrower than the plan's full extent)."""
     sh = x0.shape
     S = sh[1] if sh[1] < 8 else 8
     grid = (sh[1] // S,)
@@ -551,12 +555,16 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1):
     cspec = pl.BlockSpec((fp.rs.L1, S, 128),
                          lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
-    wt, cum = t.cinrow
+    wt, cum = (tabs["wt"], tabs["cum"]) if tabs else t.cinrow
     k = int(wt.shape[-1])
     kspec = pl.BlockSpec((fp.rs.L1, S, k), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
-    (w8, corr), sub = _mx(t, "tr_fwd_w")
-    er_t, ec_t = t.wcorr
+    if tabs:
+        (w8, corr), sub = (tabs["w8"], tabs["corr"]), _mx(t, "tr_fwd_w")[1]
+        er_t, ec_t = tabs["er"], tabs["ec"]
+    else:
+        (w8, corr), sub = _mx(t, "tr_fwd_w")
+        er_t, ec_t = t.wcorr
     vspec = pl.BlockSpec((fp.rs.L1, S, 1), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
     tabspec = pl.BlockSpec((S,) + tuple(w8.shape[1:]),
@@ -580,9 +588,14 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1):
     return r0, r1
 
 
-def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool):
+def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None):
     """P7 with the carry fused in; returns (d0, d1, co0, co1) where the
-    carry pair is (R1, R2, 128) with values in lane 0."""
+    carry pair is (R1, R2, 128) with values in lane 0 (R2 = the operand's
+    local r2 extent).
+
+    tabs: optional explicit table operands {"w8", "corr", "er", "ec",
+    "widths", "masks_lo", "masks_hi"} (shard-local slices in the mesh
+    pipeline)."""
     sh = z0.shape
     S = sh[1] if sh[1] < 8 else 8
     grid = (sh[1] // S,)
@@ -592,8 +605,12 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool):
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((L, S, 128), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
-    (w8, corr), sub = _mx(t, "iw_inv")
-    er_t, ec_t = t.wcorr
+    if tabs:
+        (w8, corr), sub = (tabs["w8"], tabs["corr"]), _mx(t, "iw_inv")[1]
+        er_t, ec_t = tabs["er"], tabs["ec"]
+    else:
+        (w8, corr), sub = _mx(t, "iw_inv")
+        er_t, ec_t = t.wcorr
     vspec = pl.BlockSpec((L, S, 1), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
     tabspec = pl.BlockSpec((S,) + tuple(w8.shape[1:]),
@@ -607,13 +624,14 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool):
     with_a = not a_is_one
     kern = functools.partial(_p7c_kernel, L, _carry_rounds(fp), with_a,
                              sub, fp.n)
+    wd, mk0, mk1 = ((tabs["widths"], tabs["masks_lo"], tabs["masks_hi"])
+                    if tabs else (t.widths32, t.masks_lo, t.masks_hi))
     ins = ([a[0], a[1]] if with_a else []) + \
-        [z0, z1, er_t, ec_t, w8, corr,
-         t.widths32, t.masks_lo, t.masks_hi]
+        [z0, z1, er_t, ec_t, w8, corr, wd, mk0, mk1]
     in_specs = ([smem11, smem11] if with_a else []) + \
         [xspec, xspec, vspec, _full(ec_t.shape), tabspec, tabspec_c,
          xspec, xspec, xspec]
-    R1, R2 = fp.rs.L1, fp.rs.L2
+    R1, R2 = fp.rs.L1, sh[1]
     d0, d1, co0, co1 = pl.pallas_call(
         kern,
         grid=grid,

@@ -128,6 +128,20 @@ class PallasShardedTables:
         self.cin_k = k
         add("cin_wt", wtab, P(LIMB, None))           # (R1, k)
         add("cin_cum", cum, P(LIMB, None))
+        # row-carry pipeline tables (per-ROW spread, consumed by P1 under
+        # r2-sharding) and r2-sharded width/mask copies for the fused-P7
+        # carry; rowcarry is on when the same shape would use it on one
+        # chip (kn.use_rowcarry semantics minus the env override)
+        kn.attach_cinrow(t)
+        rc_wt, rc_cum = t.cinrow
+        r2_3 = P(None, LIMB, None)
+        add("rc_wt", rc_wt, r2_3)                    # (R1, R2, k)
+        add("rc_cum", rc_cum, r2_3)
+        add("widths_r2", t.widths32, r2_3)
+        add("masks_lo_r2", t.masks_lo, r2_3)
+        add("masks_hi_r2", t.masks_hi, r2_3)
+        import os
+        self.rowcarry = not os.environ.get("PRMERS_NO_ROWCARRY")
 
     def args(self):
         return tuple(self._arrays)
@@ -204,7 +218,17 @@ def _k4_local(fp, y0, y1, wd, mk0, mk1):
 
 def build_pallas_sharded_step(tb: PallasShardedTables):
     """jitted (x0, x1, co0, co1, tabs) -> same: one full sharded
-    squaring (a = 1, the PRP hot iteration)."""
+    squaring (a = 1, the PRP hot iteration).
+
+    With tb.rowcarry the carry state is the per-row (R1, R2, 128) block
+    (r1-sharded at rest) and the squaring is the 3-kernel row-carry
+    pipeline per shard: roll the row carries locally (one ppermute for
+    the shard boundary; the last-row wrap to row 0 IS the mod-M_p fold),
+    all-to-all x AND carries to r2-sharding together so they stay
+    row-aligned, P1-with-injection, fused C, P7-with-carry, and the
+    all-to-alls back. Otherwise the per-block carry pipeline below."""
+    if tb.rowcarry:
+        return _build_rowcarry_step(tb)
     fp, s = tb.fp, tb.s
     mesh = tb.mesh
     k = tb.cin_k
@@ -273,6 +297,90 @@ def build_pallas_sharded_step(tb: PallasShardedTables):
     return step
 
 
+def _build_rowcarry_step(tb: PallasShardedTables):
+    """Row-carry mesh step: same kernels as the single-chip fast path,
+    carry state (R1, R2, 128) r1-sharded at rest."""
+    fp, s = tb.fp, tb.s
+    mesh = tb.mesh
+    names = tb.names()
+
+    def local_step(x0, x1, rc0, rc1, *tabs):
+        d = dict(zip(names, tabs))
+        t = tb.t
+
+        # ---- roll the row carries by one flat row (r1-major order is
+        # shard-contiguous at rest): local roll + boundary ppermute ----
+        R1s, R2 = rc0.shape[0], rc0.shape[1]
+        rows = R1s * R2
+        c0 = rc0.reshape(rows, 128)
+        c1 = rc1.reshape(rows, 128)
+        perm = [(i, (i + 1) % s) for i in range(s)]
+        prev0 = lax.ppermute(c0[-1:], LIMB, perm)
+        prev1 = lax.ppermute(c1[-1:], LIMB, perm)
+        c0 = jnp.concatenate([prev0, c0[:-1]]).reshape(R1s, R2, 128)
+        c1 = jnp.concatenate([prev1, c1[:-1]]).reshape(R1s, R2, 128)
+
+        # ---- to r2-sharding, x and carries together (stay row-aligned)
+        x0 = lax.all_to_all(x0, LIMB, 1, 0, tiled=True)
+        x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
+        c0 = lax.all_to_all(c0, LIMB, 1, 0, tiled=True)
+        c1 = lax.all_to_all(c1, LIMB, 1, 0, tiled=True)
+
+        # ---- P1 with in-kernel injection ----------------------------
+        x0, x1 = kn.p1_carry_pass(
+            fp, t, x0, x1, c0, c1,
+            tabs={"wt": d["rc_wt"], "cum": d["rc_cum"],
+                  "w8": d["p1_w8"], "corr": d["p1_corr"],
+                  "er": d["er"], "ec": d["ec"]})
+        x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
+        x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
+
+        # ---- P2 / F2 / P6 under r1-sharding -------------------------
+        mx2 = (((d["p2_w8"], d["p2_corr"]), tb.sub_g2)
+               if tb.sub_g2 else None)
+        x0, x1 = kn._axis1_pass(x0, x1, fp.rs.L2, False,
+                                post=(d["mid_f0"], d["mid_f1"]), mxu=mx2)
+        x0, x1 = _fused_local(fp, t, x0, x1,
+                              (d["fc_wf8"], d["fc_corrf"], d["fc_wi8"],
+                               d["fc_corri"], d["fc_wrapc"]))
+        mx6 = (((d["p6_w8"], d["p6_corr"]), tb.sub_g2i)
+               if tb.sub_g2i else None)
+        x0, x1 = kn._axis1_pass(
+            x0, x1, fp.rs.L2, True,
+            pre=(d["mid_i0"], d["mid_i1"]),
+            post=(None if tb.sub_g2i
+                  else (d["t_r_inv0"], d["t_r_inv1"])),
+            mxu=mx6)
+
+        # ---- P7 with the carry fused in, under r2-sharding ----------
+        x0 = lax.all_to_all(x0, LIMB, 1, 0, tiled=True)
+        x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
+        x0, x1, co0, co1 = kn.p7_carry_pass(
+            fp, t, x0, x1, None, True,
+            tabs={"w8": d["p7_w8"], "corr": d["p7_corr"],
+                  "er": d["er"], "ec": d["ec"],
+                  "widths": d["widths_r2"], "masks_lo": d["masks_lo_r2"],
+                  "masks_hi": d["masks_hi_r2"]})
+        x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
+        x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
+        co0 = lax.all_to_all(co0, LIMB, 0, 1, tiled=True)
+        co1 = lax.all_to_all(co1, LIMB, 0, 1, tiled=True)
+        return x0, x1, co0, co1
+
+    vec3 = P(LIMB, None, None)
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(vec3, vec3, vec3, vec3) + tb.specs(),
+        out_specs=(vec3, vec3, vec3, vec3),
+        check_rep=False)
+
+    @jax.jit
+    def step(x0, x1, co0, co1, tabs):
+        return fn(x0, x1, co0, co1, *tabs)
+
+    return step
+
+
 class PallasShardedStep:
     """Driver-facing wrapper: digit in/out helpers around the jitted
     sharded step (throughput measurement and the multi-chip dryrun)."""
@@ -289,9 +397,18 @@ class PallasShardedStep:
                                   P(LIMB, None, None))
         self.x1 = dist.put_global(np.zeros(sh, np.uint32), self.mesh,
                                   P(LIMB, None, None))
-        z = np.zeros((fp.rs.L1, 1), np.uint32)
-        self.co0 = dist.put_global(z, self.mesh, P(LIMB, None))
-        self.co1 = dist.put_global(z, self.mesh, P(LIMB, None))
+        self.co0, self.co1 = self._zero_carry()
+
+    def _zero_carry(self):
+        fp = self.fp
+        if self.tables.rowcarry:
+            z = np.zeros((fp.rs.L1, fp.rs.L2, 128), np.uint32)
+            spec = P(LIMB, None, None)
+        else:
+            z = np.zeros((fp.rs.L1, 1), np.uint32)
+            spec = P(LIMB, None)
+        return (dist.put_global(z, self.mesh, spec),
+                dist.put_global(z, self.mesh, spec))
 
     def set_digits(self, digits: np.ndarray) -> None:
         lo = (digits & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -300,28 +417,33 @@ class PallasShardedStep:
                                   P(LIMB, None, None))
         self.x1 = dist.put_global(hi.reshape(self.sh), self.mesh,
                                   P(LIMB, None, None))
-        z = np.zeros((self.fp.rs.L1, 1), np.uint32)
-        self.co0 = dist.put_global(z, self.mesh, P(LIMB, None))
-        self.co1 = dist.put_global(z, self.mesh, P(LIMB, None))
+        self.co0, self.co1 = self._zero_carry()
 
     def get_int(self) -> int:
-        """Value including the pending rolled block carries."""
+        """Value including the pending rolled carries (per-row blocks in
+        rowcarry mode, per-r1-block vectors otherwise)."""
         lo = dist.global_gather(self.x0).astype(np.uint64).reshape(-1)
         hi = dist.global_gather(self.x1).astype(np.uint64).reshape(-1)
         co0 = dist.global_gather(self.co0)
         co1 = dist.global_gather(self.co1)
         digits = lo | (hi << np.uint64(32))
         fp = self.fp
-        R1 = fp.rs.L1
-        bs = fp.n // R1
-        cin = (co0[:, 0].astype(np.uint64) |
-               (co1[:, 0].astype(np.uint64) << np.uint64(32)))
+        if self.tables.rowcarry:
+            nblk = fp.rs.L1 * fp.rs.L2
+            c0 = co0.reshape(nblk, 128)[:, 0]
+            c1 = co1.reshape(nblk, 128)[:, 0]
+        else:
+            nblk = fp.rs.L1
+            c0, c1 = co0[:, 0], co1[:, 0]
+        bs = fp.n // nblk
+        cin = (c0.astype(np.uint64) | (c1.astype(np.uint64)
+                                       << np.uint64(32)))
         cin = np.roll(cin, 1)
         from ..utils import digits as dgu
         v = dgu.digits_to_int(digits, fp.widths)
         offs = np.concatenate([[0], np.cumsum(
             fp.widths.astype(np.int64))])
-        for b in range(R1):
+        for b in range(nblk):
             v += int(cin[b]) << int(offs[b * bs])
         return v % ((1 << fp.p) - 1)
 
