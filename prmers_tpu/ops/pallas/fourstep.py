@@ -665,6 +665,12 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
         Mi[j] = _mulmod_u64(wipow[ei], iwcl[None, :])
     wf8, corrf, subf_lo, subf_hi = build_rhs_tables(Mf)
     wi8, corri, subi_lo, subi_hi = build_rhs_tables(Mi)
+    from .mxu_dft import permute_rhs_rows_bytes, use_bytecast
+    if use_bytecast():
+        # rows in bitcast byte order: the kernels' x-side pack becomes
+        # one XOR + int8 reinterpret per word
+        wf8 = permute_rhs_rows_bytes(wf8)
+        wi8 = permute_rhs_rows_bytes(wi8)
 
     # ca-part of the weights folds into the mid tables (it commutes
     # through the R-transform); stored as separate folded copies so the
@@ -718,6 +724,9 @@ def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
     v0, v1 = dft_lanes(g, v0, v1, ca_count, 128, False)
     from .mxu_dft import mxu_rhs_apply
 
+    from .mxu_dft import use_bytecast
+    byt = use_bytecast()
+
     def dots(v0, v1, w8, corr, sub):
         outs0, outs1 = [], []
         for j in range(ca_count):
@@ -725,7 +734,7 @@ def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
                 g, v0[:, j * 128:(j + 1) * 128],
                 v1[:, j * 128:(j + 1) * 128], 128,
                 np.asarray(w8)[j], np.asarray(corr)[j],
-                np.uint32(sub[0]), np.uint32(sub[1]))
+                np.uint32(sub[0]), np.uint32(sub[1]), bytes_order=byt)
             outs0.append(y0)
             outs1.append(y1)
         return (np.concatenate(outs0, axis=1),

@@ -751,12 +751,15 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
     x0, x1 = g.halve_where(x0, x1, mask)
     x0, x1 = fsm.dft_lanes(g, x0, x1, ca_count, 128, False)
 
+    pack = (mxm._pack_planes_rhs_bytes if mxm.use_bytecast()
+            else mxm._pack_planes_rhs)
+
     def dots(y0, y1, w8_ref, corr_ref, sub):
         # packs first, then dots, then combines: the independent dots are
         # visible to the scheduler at once, so MXU work overlaps the
         # VPU-heavy combines
-        X8s = [mxm._pack_planes_rhs(g, y0[:, j * 128:(j + 1) * 128],
-                                    y1[:, j * 128:(j + 1) * 128])
+        X8s = [pack(g, y0[:, j * 128:(j + 1) * 128],
+                    y1[:, j * 128:(j + 1) * 128])
                for j in range(ca_count)]
         Ds = [lax.dot_general(X8s[j], w8_ref[j], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)

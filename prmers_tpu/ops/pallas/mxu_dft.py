@@ -273,6 +273,47 @@ def _pack_planes_rhs(g: GL, Xl, Xh):
     return xp.concatenate(planes, axis=1)
 
 
+def use_bytecast() -> bool:
+    """Byte-order RHS pack: the x-side limb split becomes one XOR +
+    int8 bitcast per word (vs ~8 shift/mask/xor rounds) when the W
+    tables' rows are pre-permuted to the bitcast's little-endian byte
+    order. Opt-in (PRMERS_BYTECAST=1) until measured on device."""
+    import os
+    return bool(os.environ.get("PRMERS_BYTECAST"))
+
+
+def permute_rhs_rows_bytes(W8: np.ndarray) -> np.ndarray:
+    """Reorder (K, 8L, 9L) RHS-table rows from plane order (q*L + l) to
+    the bitcast byte order: x0's four bytes at l*4 + q (q < 4), then
+    x1's at 4L + l*4 + (q - 4). corr is a column sum — unchanged."""
+    K, rows, _ = W8.shape
+    L = rows // 8
+    idx = np.empty(rows, dtype=np.int64)
+    for q in range(8):
+        for ll in range(L):
+            new = (ll * 4 + q) if q < 4 else (4 * L + ll * 4 + (q - 4))
+            idx[new] = q * L + ll
+    return np.ascontiguousarray(W8[:, idx, :])
+
+
+def _pack_planes_rhs_bytes(g: GL, Xl, Xh):
+    """(B, L) u32 pair -> (B, 8L) int8 in BITCAST byte order: one XOR
+    (all four bytes at once) + reinterpret per word. Pair only with
+    permute_rhs_rows_bytes'd tables."""
+    xp = g.xp
+    c = xp.uint32(0x80808080)
+    if xp is np:
+        b0 = np.ascontiguousarray(Xl ^ c).view(np.int8)
+        b1 = np.ascontiguousarray(Xh ^ c).view(np.int8)
+        return np.concatenate([b0, b1], axis=1)
+    import jax
+    import jax.numpy as jnp
+    B = Xl.shape[0]
+    b0 = jax.lax.bitcast_convert_type(Xl ^ c, jnp.int8).reshape(B, -1)
+    b1 = jax.lax.bitcast_convert_type(Xh ^ c, jnp.int8).reshape(B, -1)
+    return jnp.concatenate([b0, b1], axis=1)
+
+
 def _combine_rhs(g: GL, L, D, sub_lo, sub_hi):
     """(B, 9L) int32 planes (lane-major) -> (lo, hi) u32 pairs (B, L),
     via the shared pair-merge scheme slicing planes along LANES."""
@@ -283,12 +324,13 @@ def _combine_rhs(g: GL, L, D, sub_lo, sub_hi):
 
 
 def mxu_rhs_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
-                  dot=None):
+                  dot=None, bytes_order: bool = False):
     """Lane-axis DFT of a (B, L) u32-pair batch via one (B, 8L) @ (8L, 9L)
     int8 matmul; exact mod-P lazy pair out. w8/corr are ONE variant slice
-    from build_rhs_tables."""
+    from build_rhs_tables (rows byte-permuted when bytes_order)."""
     xp = g.xp
-    X8 = _pack_planes_rhs(g, x0, x1)
+    pack = _pack_planes_rhs_bytes if bytes_order else _pack_planes_rhs
+    X8 = pack(g, x0, x1)
     if xp is np:
         D = X8.astype(np.int32) @ w8.astype(np.int32)
     else:
