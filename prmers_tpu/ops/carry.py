@@ -22,18 +22,16 @@ def split(F: FieldOps, y, widths, masks):
 
 
 def carry_full(F: FieldOps, y, widths, masks, a, lax=None):
-    """masks may be None (compact-table mode): derived transiently from
-    widths, which may then be a narrow dtype (u8) to save HBM at huge n."""
+    """Exact normalization of digit vector y (values < P), optional small
+    mul a: returns digits d with d[j] < 2^width[j] and value ==
+    (sum y_j 2^(q_j)) * a mod M_p. `a` may be a python int or a traced
+    u64 scalar. masks may be None (compact-table mode): derived
+    transiently from widths, which may then be a narrow dtype (u8) to
+    save HBM at huge n."""
     xp = F.xp
     if masks is None:
         widths = widths.astype(xp.uint64)
         masks = (xp.uint64(1) << widths) - xp.uint64(1)
-    """Exact normalization of digit vector y (values < P), optional small mul a.
-
-    Returns digits d with d[j] < 2^width[j] and value == (sum y_j 2^(q_j)) * a
-    mod M_p. `a` may be a python int or a traced u64 scalar.
-    """
-    xp = F.xp
     c, d = split(F, y, widths, masks)
     # fold in the small multiplier before propagation (adc_mul decomposition:
     # d*a < 2^(w+16), c*a < 2^(63-w+16) both fit u64 for a < 2^16)
