@@ -93,6 +93,25 @@ def test_square_chain_with_a(setup):
     assert _value(fp, plan, d0, d1, co0, co1) == want
 
 
+def test_edge_values(setup):
+    """0 and M_p - 1 ((-1)^2 = 1 exercises every wrap), then a follow-up
+    step consuming the pending carries."""
+    plan, fp, tbl, kn = setup
+    import jax.numpy as jnp
+    mp = (1 << P_EXP) - 1
+    zrc = jnp.zeros((fp.rs.L1, fp.rs.L2, 128), jnp.uint32)
+    one = (jnp.full((1, 1), np.uint32(1)), jnp.zeros((1, 1), jnp.uint32))
+    for v in (0, mp - 1):
+        x0, x1 = _to_state(fp, plan, v)
+        d0, d1, co0, co1 = kn.square_step(fp, tbl, x0, x1, zrc, zrc, one,
+                                          a_is_one=True)
+        want = v * v % mp
+        assert _value(fp, plan, d0, d1, co0, co1) == want, v
+        d0, d1, co0, co1 = kn.square_step(fp, tbl, d0, d1, co0, co1, one,
+                                          a_is_one=True)
+        assert _value(fp, plan, d0, d1, co0, co1) == want * want % mp, v
+
+
 def test_mul_and_fwd(setup):
     plan, fp, tbl, kn = setup
     import jax.numpy as jnp
