@@ -29,18 +29,32 @@ def configure_backend(backend: str, workload: str = "generic") -> None:
 
 def _pallas_eligible(p: int) -> bool:
     """Pallas path needs n in {2^k, 5*2^k} big enough for the MXU weight
-    folds (rs.L1 >= 32), and a TPU device."""
+    folds (rs.L1 >= 32), small enough for the VMEM-resident fused-C
+    variant tables (the four-step caps: R <= 4096/20480, C <= 4096,
+    ca_count <= 32 — n = 2^25+ and 5*2^25 fall back to the XLA engine),
+    and a TPU device. Probes the actual kernel plan so shape-cap changes
+    can never make the factory hand out an engine that asserts."""
     import os as _os
     if _os.environ.get("PRMERS_NO_PALLAS"):
         return False
     from ..core.plan import cached_plan
-    n = cached_plan(p).n
+    plan = cached_plan(p)
+    n = plan.n
     if n % 5 == 0:
         base = n // 5
         if base & (base - 1) or n < 163840:
             return False
     elif n & (n - 1) or n < (1 << 15):
         return False
+    try:
+        from ..ops.pallas.fourstep import FourStepPlan
+        fp = FourStepPlan.from_plan(plan)
+    except AssertionError:
+        return False        # beyond the kernel plan's shape caps
+    C, ca = fp.C, fp.C // 128
+    if (C % 128 or fp.rs.L1 < 32 or ca < 2 or ca & (ca - 1)
+            or ca > 32):
+        return False        # fused-C tables would not attach / fit VMEM
     try:
         from .. import jaxconf  # noqa: F401
         import jax
