@@ -169,7 +169,11 @@ def device_reg_budget(n: int, hbm_bytes: int | None = None) -> int:
     if env:
         return max(int(env), 2)
     if hbm_bytes is None:
-        hbm_bytes = int(15.5 * (1 << 30))   # usable HBM of a 16 GB v5e
+        memlim = os.environ.get("PRMERS_MEMLIM_MB")  # -memlim (MiB)
+        if memlim:
+            hbm_bytes = int(memlim) << 20
+        else:
+            hbm_bytes = int(15.5 * (1 << 30))  # usable HBM of a 16 GB v5e
     total = int(hbm_bytes * 0.95) // (8 * n)
     # fixed overhead: tables ~5 register-equivalents + XLA transform
     # temporaries ~4-5 + a transient host-transfer buffer. Every primitive

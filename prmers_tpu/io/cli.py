@@ -27,6 +27,139 @@ def _expand_config(argv: list[str]) -> list[str]:
     return out
 
 
+# Reference flag spellings rewritten to their canonical equivalents
+# (reference: include/io/CliParser.hpp:11-145 — the reference accepts many
+# spellings per option; a reference user's command line should just work).
+# Value-taking aliases keep the following token as the value.
+_ALIASES: dict[str, list[str]] = {
+    "-help": ["-h"], "--help": ["-h"],
+    "-version": ["-v"], "--version": ["-v"],
+    # P-1 variants
+    "-pm1-lowmem": ["-lowmem"], "-pm1lowmem": ["-lowmem"],
+    "--pm1-lowmem": ["-lowmem"],
+    "-pm1-ultralowmem": ["-ultralowmem"],
+    "-pm1ultralowmem": ["-ultralowmem"],
+    "--pm1-ultralowmem": ["-ultralowmem"],
+    "-pm1-stage2-classic": ["-s2variant", "classic"],
+    "-pm1-stage2-vtrace": ["-s2variant", "vtrace"],
+    "-pm1-vtrace": ["-s2variant", "vtrace"],
+    "--pm1-vtrace": ["-s2variant", "vtrace"],
+    "-vtrace": ["-s2variant", "vtrace"],
+    "-vtrace-off": ["-s2variant", "classic"],
+    "-pm1-vtrace-off": ["-s2variant", "classic"],
+    "--pm1-vtrace-off": ["-s2variant", "classic"],
+    "-vtrace-d": ["-d"], "-pm1-vtrace-d": ["-d"],
+    "--pm1-vtrace-d": ["-d"],
+    "-vtrace-max-regs": ["-s2regs"], "-pm1-vtrace-max-regs": ["-s2regs"],
+    "--pm1-vtrace-max-regs": ["-s2regs"],
+    "-b2start": ["-b2start"], "--b2start": ["-b2start"],
+    "-s2from": ["-b2start"], "--s2from": ["-b2start"],
+    "-stage2start": ["-b2start"], "--stage2start": ["-b2start"],
+    "-nogcd-stage1": ["-nogcdstage1"], "--nogcd-stage1": ["-nogcdstage1"],
+    "-no-gcd-stage1": ["-nogcdstage1"],
+    # ECM curve families / options
+    "-torsion8": ["-torsion", "8"],
+    "-torsion16": ["-torsion", "16"],
+    "-iv163": ["-torsion", "163"],
+    "-notorsion": ["-torsion", "0"],
+    "-cmont": ["-montgomery"],
+    "-seed": ["-curve-seed"],
+    "-ecm-continue-after-factor": ["-continue-after-factor"],
+    "--ecm-continue-after-factor": ["-continue-after-factor"],
+    "-ecm-continue-curves-after-factor": ["-continue-after-factor"],
+    # modes
+    "-llunsafe": ["-ll"],
+    "-llsafecpu": ["-llsafe"],
+    "--noask": ["-noask"],
+}
+
+# Accepted for reference compatibility; semantically a no-op here (the
+# behavior is the default, or the knob is OpenCL/network-specific).
+# Value = True when the flag consumes one argument.
+_NOOP_FLAGS: dict[str, bool] = {
+    "-gerbiczli": False,          # default on (disable: -nogerbiczli)
+    "-proof": False,              # default on (disable: -noproof)
+    "-resume": False,             # checkpoints auto-resume
+    "-noverify": False,           # proof verify is opt-in already
+    "-debug": False,
+    "-edwards": False,            # default curve family
+    "-ced": False,
+    "-brent": False,
+    "-bsgs": False,               # stage 2 is BSGS already
+    "-b1old": True,               # B1 extension derives it from the file
+    "-pm1-continue-after-factor": False,     # default behavior: stage 2
+    "--pm1-continue-after-factor": False,    # runs after a S1 factor
+    "-pm1-continue-stage2-after-factor": False,
+    "--pm1-continue-stage2-after-factor": False,
+    "-vtrace-pair95": False, "-pm1-vtrace-pair95": False,
+    "--pm1-vtrace-pair95": False,            # pairing is default-on
+    "-vtrace-pair95-off": False, "-pm1-vtrace-pair95-off": False,
+    "--pm1-vtrace-pair95-off": False,
+    "-vtrace-pair95-l": True, "-pm1-vtrace-pair95-l": True,
+    "--pm1-vtrace-pair95-l": True,
+    "-vtrace-product-tree": False, "-pm1-vtrace-product-tree": False,
+    "--pm1-vtrace-product-tree": False,      # accumulation is default-on
+    "-vtrace-product-tree-width": True,
+    "-pm1-vtrace-product-tree-width": True,
+    "--pm1-vtrace-product-tree-width": True,
+    "-vtrace-auto-d": False, "-pm1-vtrace-auto-d": False,
+    "--pm1-vtrace-auto-d": False,            # auto-D is default-on
+    "-vtrace-auto-d-aggressive": False,
+    "-pm1-vtrace-auto-d-aggressive": False,
+    "--pm1-vtrace-auto-d-aggressive": False,
+    "-vtrace-deep-d": False, "-pm1-vtrace-deep-d": False,
+    "--pm1-vtrace-deep-d": False,
+    "-vtrace-auto-batch": False, "-pm1-vtrace-auto-batch": False,
+    "--pm1-vtrace-auto-batch": False,
+    "-vtrace-no-auto-batch": False, "-pm1-vtrace-no-auto-batch": False,
+    "--pm1-vtrace-no-auto-batch": False,
+    "-vtrace-baby-batch": True, "-pm1-vtrace-baby-batch": True,
+    "--pm1-vtrace-baby-batch": True,
+    "-vtrace-max-batches": True, "-pm1-vtrace-max-batches": True,
+    "--pm1-vtrace-max-batches": True,
+    "-vtrace-negadd-off": False, "-pm1-vtrace-negadd-off": False,
+    "--pm1-vtrace-negadd-off": False,
+    "-nop95stage2": False,
+    "-nogcd-stage1-classic": False,
+    # OpenCL / device knobs with no TPU meaning
+    "-kernelpath": True, "-enqueue_max": True, "-chunk256": False,
+    "-l1": True, "-l2": True, "-l3": True, "-l5": True,
+    "-no-pfa": False, "-tbits": True, "-throttle_low": True,
+    "-iterforce": True, "-iterforce2": True, "-ecm_progress_ms": True,
+    "-filemers": True, "-c": True, "-f": True,
+    "-marin": False, "-engine-marin": False, "-backend-marin": False,
+    "-backend-auto": False, "-aevum": False, "-aevum-auto": False,
+    "-aevum-fft": True,
+    # network submission (no egress in this environment; the PrimeNet
+    # payload is still written to the results file)
+    "-http": False, "-submit": False, "-host": True, "-ipv4": False,
+    "-p95": False, "-p95path": True,
+    # experimental reference modes not carried over (SLn torus, s3/s4)
+    "-torus": False, "-s3": False, "-s4": False, "-b3": True, "-b4": True,
+}
+
+
+def _rewrite_aliases(argv: list[str]) -> tuple[list[str], list[str]]:
+    """Apply _ALIASES / swallow _NOOP_FLAGS; returns (argv, notes)."""
+    out: list[str] = []
+    notes: list[str] = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok in _ALIASES:
+            out.extend(_ALIASES[tok])
+            i += 1
+        elif tok in _NOOP_FLAGS:
+            takes = _NOOP_FLAGS[tok]
+            notes.append(f"{tok}: accepted for reference compatibility "
+                         f"(no-op on this backend)")
+            i += 2 if takes and i + 1 < len(argv) else 1
+        else:
+            out.append(tok)
+            i += 1
+    return out, notes
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="prmers",
@@ -83,8 +216,24 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-fft", dest="fft_spec", default="",
                     help="forced transform size (e.g. 8M)")
 
+    ap.add_argument("-v", action="version",
+                    version="prmers_tpu (PrMers-compatible TPU framework)")
     ap.add_argument("-b1", type=int, default=0)
     ap.add_argument("-b2", type=int, default=0)
+    ap.add_argument("-b2start", dest="b2_start", type=int, default=0,
+                    help="stage-2 start bound: primes in "
+                         "(max(B1, b2start), B2] (-s2from/-stage2start)")
+    ap.add_argument("-nogcdstage1", dest="no_gcd_stage1",
+                    action="store_true",
+                    help="skip the stage-1 gcd; the stage-2 gcd covers "
+                         "both stages")
+    ap.add_argument("-memlim", type=int, default=0,
+                    help="device memory budget in MiB (caps the register "
+                         "slot count; excess pages to host)")
+    ap.add_argument("-continue-after-factor", dest="continue_after_factor",
+                    action="store_true",
+                    help="ECM: keep running the remaining curves after a "
+                         "factor is found")
     ap.add_argument("-maxe", dest="max_e_bits", type=int, default=0)
     ap.add_argument("-d", dest="stage2_d", type=int, default=0,
                     help="stage-2 giant step D")
@@ -132,7 +281,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def parse_args(argv: list[str] | None = None) -> Options:
     argv = _expand_config(list(sys.argv[1:] if argv is None else argv))
+    argv, notes = _rewrite_aliases(argv)
     ns = build_parser().parse_args(argv)
+    for note in notes:
+        print(f"[cli] {note}", file=sys.stderr)
+    if ns.memlim:
+        import os
+        os.environ["PRMERS_MEMLIM_MB"] = str(ns.memlim)
     mode = ("ll" if ns.ll else "llsafe2" if ns.llsafe2 else
             "llsafe" if ns.llsafe else
             "pm1" if ns.pm1 else "ecm" if ns.ecm else
@@ -146,7 +301,10 @@ def parse_args(argv: list[str] | None = None) -> Options:
         erroriter=ns.erroriter, backup_interval=ns.backup_interval,
         save_dir=ns.save_dir, proof=not ns.noproof,
         proof_power=ns.proof_power, proof_verify=ns.proofverify,
-        b1=ns.b1, b2=ns.b2, max_e_bits=ns.max_e_bits,
+        b1=ns.b1, b2=ns.b2, b2_start=ns.b2_start,
+        no_gcd_stage1=ns.no_gcd_stage1,
+        continue_after_factor=ns.continue_after_factor,
+        max_e_bits=ns.max_e_bits,
         pm1_variant=("ultralowmem" if ns.ultralowmem else
                      "lowmem" if ns.lowmem else "auto"),
         stage2_d=ns.stage2_d, curves=ns.curves, curve_seed=ns.curve_seed,

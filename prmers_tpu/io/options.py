@@ -39,17 +39,23 @@ class Options:
     # P-1
     b1: int = 0
     b2: int = 0
+    b2_start: int = 0            # stage-2 start bound (-b2start/-s2from):
+                                 # primes in (max(B1, b2start), B2]
     max_e_bits: int = 0          # stage-1 exponent chunk cap (bits), 0 = auto
     pm1_variant: str = "auto"    # auto | normal | lowmem | ultralowmem
     stage2_d: int = 0            # 0 = auto
     nmax: int = 0
     k_nk: int = 0
+    no_gcd_stage1: bool = False  # skip the stage-1 gcd (-nogcd-stage1):
+                                 # the stage-2 gcd covers both stages
 
     # ECM
     curves: int = 1
+    continue_after_factor: bool = False  # keep running remaining curves
+                                 # after a factor (-ecm-continue-after-factor)
     curve_seed: int = 0
     sigma: str = ""
-    torsion: int = 8             # 0 | 8 | 16
+    torsion: int = 8             # 0 | 8 | 16 | 163 (Edwards IV-163)
     edwards: bool = True
     ecm_check_interval: int = 0
     llsafe_block: int = 0        # llsafe2 replay block size (-llsafeb)

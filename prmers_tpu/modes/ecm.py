@@ -53,6 +53,9 @@ class EcmResult:
     factor_curve: int = -1
     stage: int = 0
     elapsed: float = 0.0
+    # every factor found when -ecm-continue-after-factor keeps the
+    # remaining curves running (first one mirrored in .factor)
+    factors: tuple[int, ...] = ()
 
 
 class _FactorFound(Exception):
@@ -384,6 +387,17 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
     m = MontOps(eng)
     seed0 = opts.curve_seed or 0x5EED
     result = EcmResult(p=p, b1=opts.b1, b2=opts.b2, curves=K)
+    keep_going = getattr(opts, "continue_after_factor", False)
+
+    def record(f: int, stage: int, sig: int, curve: int) -> bool:
+        """Record a factor; True = stop the curve loop (default), False
+        when -ecm-continue-after-factor keeps the remaining curves."""
+        result.factors = result.factors + (f,)
+        if not result.factor:
+            result.factor, result.stage = f, stage
+            result.factor_sigma, result.factor_curve = sig, curve
+        return not keep_going
+
     torsion = getattr(opts, "torsion", 0)
     family = ("torsion16" if torsion == 16 else
               "torsion8" if torsion == 8 else "suyama")
@@ -401,9 +415,7 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
             else:
                 x0, a24 = suyama_curve(sigma, n)
         except _FactorFound as f:
-            if f.f:
-                result.factor, result.stage = f.f, 0
-                result.factor_sigma, result.factor_curve = sigma, c
+            if f.f and record(f.f, 0, sigma, c):
                 break
             continue
         eng.set_int(RA24, a24)
@@ -432,18 +444,18 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
             log(f"ECM curve {c}: gcd == N, backtracking stage 1")
             g = _stage1_backtrack(eng, m, n, opts.b1, log)
         if 1 < g < n:
-            result.factor, result.stage = g, 1
-            result.factor_sigma, result.factor_curve = sigma, c
             log(f"ECM curve {c} (sigma={sigma}) stage 1 factor {g}")
-            break
+            if record(g, 1, sigma, c):
+                break
+            continue
         if g == 1 and opts.b2 > opts.b1:
             acc = _stage2(eng, m, opts, n, log)
             g = gmp.gcd(acc % n, n)
             if 1 < g < n:
-                result.factor, result.stage = g, 2
-                result.factor_sigma, result.factor_curve = sigma, c
                 log(f"ECM curve {c} (sigma={sigma}) stage 2 factor {g}")
-                break
+                if record(g, 2, sigma, c):
+                    break
+                continue
         log(f"ECM curve {c} (sigma={sigma}): no factor")
     result.elapsed = time.monotonic() - t0
     return result

@@ -313,10 +313,15 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
     ck.delete_checkpoints(ckpt_path)
 
     x = eng.get_int(RS) % mp
-    g = gmp.gcd((x - 1) % mp, mp)
-    factor = g if 1 < g < mp else 0
-    if factor:
-        log(f"P-1 stage 1 found factor {factor}")
+    if getattr(opts, "no_gcd_stage1", False):
+        # -nogcd-stage1: defer to the stage-2 gcd (reference flag)
+        factor = 0
+        log("P-1 stage 1: gcd skipped (-nogcd-stage1)")
+    else:
+        g = gmp.gcd((x - 1) % mp, mp)
+        factor = g if 1 < g < mp else 0
+        if factor:
+            log(f"P-1 stage 1 found factor {factor}")
     r = Pm1Result(p=p, b1=b1, b2=opts.b2, factor=factor,
                   stage=1 if factor else 0,
                   res64=res.res64_hex(x),
@@ -332,6 +337,7 @@ def run_pm1_stage2(opts: Options, x1: int, eng: Engine | None = None,
     """Classic BSGS stage 2: acc = prod over primes q in (B1, B2] of
     (H^{kD} - H^{j}) with q = kD - j; factor = gcd(acc, M_p)."""
     p, b1, b2 = opts.exponent, opts.b1, opts.b2
+    b1 = max(b1, getattr(opts, "b2_start", 0))  # -b2start/-s2from
     assert b2 > b1
     mp = res.mersenne(p)
     t0 = time.monotonic()
@@ -449,6 +455,7 @@ def run_pm1_stage2_lowmem(opts: Options, x1: int, eng: Engine | None = None,
     streamed product-exponent stage 2, src/modes/RunPM1.cpp:1408-1700).
     The exponent is consumed in product-tree chunks capped by -maxe."""
     p, b1, b2 = opts.exponent, opts.b1, opts.b2
+    b1 = max(b1, getattr(opts, "b2_start", 0))  # -b2start/-s2from
     assert b2 > b1
     mp = res.mersenne(p)
     t0 = time.monotonic()
@@ -752,6 +759,7 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
                           log=print) -> Pm1Result:
     """V-trace BSGS stage 2 with +-j pairing and compact checkpoints."""
     p, b1, b2 = opts.exponent, opts.b1, opts.b2
+    b1 = max(b1, getattr(opts, "b2_start", 0))  # -b2start/-s2from
     assert b2 > b1
     mp = res.mersenne(p)
     t0 = time.monotonic()

@@ -31,6 +31,47 @@ class TestCli:
         o = parse_args(["541", "-config", str(cfg)])
         assert o.mode == "pm1" and o.b1 == 100
 
+    def test_reference_flag_aliases(self):
+        """Reference CLI spellings must parse to the same options
+        (reference: include/io/CliParser.hpp:11-145)."""
+        o = parse_args(["367", "-pm1", "-b1", "100", "-b2", "2000",
+                        "-pm1-lowmem", "-pm1-vtrace-max-regs", "64",
+                        "-s2from", "500"])
+        assert o.pm1_variant == "lowmem"
+        assert o.stage2_regs_cap == 64 and o.b2_start == 500
+        o = parse_args(["367", "-pm1", "-b1", "9", "-b2", "99",
+                        "-pm1-stage2-classic", "-nogcd-stage1"])
+        assert o.stage2_variant == "classic" and o.no_gcd_stage1
+        o = parse_args(["2053", "-ecm", "-torsion16", "-seed", "7",
+                        "-ecm-continue-after-factor"])
+        assert o.torsion == 16 and o.curve_seed == 7
+        assert o.continue_after_factor
+        o = parse_args(["2053", "-ecm", "-iv163"])
+        assert o.torsion == 163
+        o = parse_args(["127", "-llunsafe"])
+        assert o.mode == "ll"
+
+    def test_noop_reference_flags_accepted(self, capsys):
+        """Flags with no TPU meaning parse without error and note the
+        no-op (kernelpath/local sizes/network submission etc.)."""
+        o = parse_args(["9941", "-backend", "numpy", "-gerbiczli",
+                        "-proof", "-kernelpath", "/tmp/k", "-l1", "64",
+                        "-http", "-submit", "-vtrace-pair95",
+                        "-pm1-vtrace-product-tree-width", "8"])
+        assert o.exponent == 9941 and o.gerbiczli and o.proof
+        err = capsys.readouterr().err
+        assert "-kernelpath" in err and "no-op" in err
+
+    def test_memlim_budget(self, monkeypatch):
+        import os
+        from prmers_tpu.engine.paged import device_reg_budget
+        monkeypatch.delenv("PRMERS_MAX_DEVICE_REGS", raising=False)
+        monkeypatch.setenv("PRMERS_MEMLIM_MB", "512")
+        small = device_reg_budget(1 << 20)
+        monkeypatch.delenv("PRMERS_MEMLIM_MB")
+        big = device_reg_budget(1 << 20)
+        assert 2 <= small < big
+
 
 class TestWorktodo:
     def test_parse_prp_with_aid(self):

@@ -58,6 +58,16 @@ class TestPm1Golden:
         assert r.factor == 50500996776315830904406967
         assert r.stage1_factor == 646300400639
 
+    def test_m367_stage2_b2start(self):
+        """-b2start narrows the stage-2 range: the golden's large prime
+        is 38971, so starting at 38000 keeps the factor while skipping
+        most of (B1, B2]."""
+        o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                    b2_start=38000, backend="numpy")
+        r = run_pm1(o, log=_silent)
+        assert r.stage == 2
+        assert r.factor % 78138581882953 == 0
+
     def test_m1277_no_factor_small_bounds(self):
         # M1277 has no small P-1-smooth factor at these bounds
         o = Options(exponent=1277, mode="pm1", b1=100, b2=200,
