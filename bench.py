@@ -16,20 +16,39 @@ WARM = int(os.environ.get("PRMERS_BENCH_WARM", "16"))
 ITERS = int(os.environ.get("PRMERS_BENCH_ITERS", "192"))
 
 
-def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import jax
-    jax.config.update("jax_enable_x64", True)
-
+def _build_warm(K):
+    """Create the engine and warm-compile the timed chunk length."""
     from prmers_tpu.engine.factory import create_engine
 
     eng = create_engine(P_BENCH, 2)
     eng.set(0, 3)
     # warm-up compiles the exact chunk length used in the timed region
-    K = 64
     eng._SEQ_CHUNK = K
     eng.square_mul_seq(0, [1] * K)
     eng.sync()
+    return eng
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    # fastest path first; on a kernel-set compile/run failure fall back to
+    # progressively more conservative pipelines rather than losing the run
+    K = 64
+    eng = None
+    for fallback_env in (None, "PRMERS_NO_ROWCARRY", "PRMERS_NO_PALLAS"):
+        if fallback_env:
+            os.environ[fallback_env] = "1"
+        try:
+            eng = _build_warm(K)
+            break
+        except Exception as e:  # noqa: BLE001 — report and degrade
+            print(f"bench: pipeline failed ({type(e).__name__}: {e}); "
+                  f"degrading", file=sys.stderr)
+    if eng is None:
+        eng = _build_warm(K)
     rounds = max(ITERS // K, 1)
     t0 = time.perf_counter()
     for _ in range(rounds):

@@ -5,17 +5,22 @@ Analog of the reference's Aevum/Marin auto policy
 thresholds with AEVUM_AUTO_*_MAX_RATIO env overrides, decided per run in
 engine::create_gpu, src/marin/gpu.cpp:52).
 
-TPU adaptation: measured rates from the tune cache take precedence over
-the ratio heuristic — the Goldilocks path carries the MXU-optimized Pallas
-kernels, so a smaller fft3161 transform does not automatically win. With
-no tune data the policy keeps gl64 unless forced (-arith fft3161 or
-PRMERS_ARITH); the reference-parity ratio thresholds remain inspectable in
-the decision record.
+TPU adaptation: the reference's ratio thresholds encode "the two backends
+have comparable per-word throughput, so the smaller transform wins".
+That premise is measured false here (the fft3161 XLA stand-in runs
+4-17x slower per word than the gl64 XLA path on CPU, and PERF.md's
+op-count analysis shows a Pallas fft3161 set would lose to gl64 on
+16-bit-multiplier vector lanes too), so measured rates decide: exact
+tune entries when present, otherwise rates extrapolated from the nearest
+tuned size of the same engine family (n*log n scaling). The per-workload
+ratio thresholds and their env overrides still gate any switch to the
+second path — the reference-parity surface — but never pick it alone.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 
 # per-workload max n_3161/n_gl64 ratio at which the second path is viable
@@ -28,6 +33,8 @@ THRESHOLDS = {
     "ecm": 0.75,
     "generic": 1.00,
 }
+
+_GL64_ENGINES = ("JaxEngine", "PallasEngine", "NpEngine")
 
 
 @dataclasses.dataclass
@@ -42,17 +49,48 @@ class ArithDecision:
     reason: str
 
 
+def _best_rate(data: dict, n: int, engines) -> float:
+    """Best measured rate for transform size n among the engine names."""
+    return max((v for e, v in data.get(str(n), {}).items()
+                if e in engines), default=0.0)
+
+
+def _extrapolate_rate(data: dict, n: int, engines) -> tuple[float, int]:
+    """(estimated ips at size n, donor size) from the nearest tuned size
+    of the same engine family, scaled by the n*log2(n) work model; (0, 0)
+    when the family has no entries at all."""
+    best = (0.0, 0)
+    best_dist = None
+    for key, ent in data.items():
+        try:
+            m = int(key)
+        except ValueError:
+            continue
+        if m < 8:
+            continue
+        rate = max((v for e, v in ent.items() if e in engines), default=0.0)
+        if rate <= 0.0:
+            continue
+        dist = abs(math.log2(m / n))
+        if best_dist is None or dist < best_dist:
+            est = rate * (m * math.log2(m)) / (n * math.log2(n))
+            best = (est, m)
+            best_dist = dist
+    return best
+
+
 def decide_arith(p: int, workload: str = "generic",
                  save_dir: str = ".",
                  gl64_has_pallas: bool | None = None) -> ArithDecision:
     """Pick the arithmetic path. Decision order (reference:
     aevum_auto_decide, src/aevum/AutoPolicy.cpp:86-152):
       1. forced (PRMERS_ARITH / -arith),
-      2. measured tune rates when both paths have entries,
-      3. when the Goldilocks path has NO Pallas kernel set for this shape
-         (both paths run on XLA), the smaller transform wins within the
-         per-workload ratio threshold — the reference's core rule,
-      4. otherwise gl64 (it carries the MXU kernel set).
+      2. measured tune rates when both paths have exact entries,
+      3. rates extrapolated from the nearest tuned sizes when both
+         families have data (ratio threshold still gates the switch),
+      4. otherwise gl64 — an fft3161 family with no measurement anywhere
+         is never picked on the bare transform-size ratio (its premise,
+         comparable per-word rates, is measured false here; run -tune).
     gl64_has_pallas overrides the eligibility probe (policy-boundary
     tests)."""
     from ..core.plan import transform_size
@@ -67,11 +105,21 @@ def decide_arith(p: int, workload: str = "generic",
     if env:
         thr = float(env)
 
+    if gl64_has_pallas is None:
+        from .factory import _pallas_eligible
+        try:
+            gl64_has_pallas = _pallas_eligible(p)
+        except Exception:
+            gl64_has_pallas = False
+
     data = tune.load(save_dir)
-    ips_gl = max((v for k in (str(n_gl),)
-                  for e, v in data.get(k, {}).items()
-                  if e != "Engine3161"), default=0.0)
-    ips_2 = data.get(str(n_2), {}).get("Engine3161", 0.0)
+    # an exact-size tune entry is trusted whatever engine produced it; as
+    # an extrapolation DONOR a PallasEngine rate only transfers to shapes
+    # the Pallas kernel set can actually run
+    gl_donors = _GL64_ENGINES if gl64_has_pallas else \
+        tuple(e for e in _GL64_ENGINES if e != "PallasEngine")
+    ips_gl = _best_rate(data, n_gl, _GL64_ENGINES)
+    ips_2 = _best_rate(data, n_2, ("Engine3161",))
 
     forced = os.environ.get("PRMERS_ARITH")
     if forced in ("gl64", "fft3161"):
@@ -81,19 +129,32 @@ def decide_arith(p: int, workload: str = "generic",
         pick = "fft3161" if ips_2 > ips_gl else "gl64"
         return ArithDecision(pick, n_gl, n_2, ratio, thr, ips_gl, ips_2,
                              "measured rates (tune cache)")
-    if gl64_has_pallas is None:
-        from .factory import _pallas_eligible
-        try:
-            gl64_has_pallas = _pallas_eligible(p)
-        except Exception:
-            gl64_has_pallas = False
-    if not gl64_has_pallas and ratio <= thr:
-        # both paths run as XLA graphs: per-word costs are comparable and
-        # the smaller transform wins (the reference's decision rule)
+
+    # extrapolate the missing side(s) from the nearest tuned sizes
+    est_gl = ips_gl or _extrapolate_rate(data, n_gl, gl_donors)[0]
+    est_2 = ips_2 or _extrapolate_rate(data, n_2, ("Engine3161",))[0]
+    if est_gl > 0 and est_2 > 0:
+        pick = "fft3161" if (est_2 > est_gl and ratio <= thr) else "gl64"
+        return ArithDecision(pick, n_gl, n_2, ratio, thr, est_gl, est_2,
+                             "extrapolated rates (tune cache, n*log n)")
+    if est_2 > 0 and est_gl <= 0 and ratio <= thr:
+        # only the fft3161 family has any measurement
         return ArithDecision("fft3161", n_gl, n_2, ratio, thr,
-                             ips_gl, ips_2,
-                             f"no gl64 kernel set; ratio {ratio:.2f} "
-                             f"within {thr:.2f}")
+                             est_gl, est_2,
+                             "fft3161 measured; gl64 family unmeasured")
+
+    if est_2 <= 0 and ratio <= thr:
+        # no fft3161 measurement anywhere: the reference's bare ratio
+        # rule would pick the smaller transform here, but its premise
+        # (comparable per-word rates, AutoPolicy.cpp:86) is measured
+        # false for the XLA stand-in — gl64 holds until -tune shows
+        # otherwise (rates: CPU 4-17x/word against fft3161; PERF.md's
+        # op-count analysis says TPU is worse still)
+        return ArithDecision("gl64", n_gl, n_2, ratio, thr, ips_gl,
+                             ips_2,
+                             f"ratio {ratio:.2f} within {thr:.2f} but "
+                             "fft3161 unmeasured; run -tune to enable "
+                             "the second path")
     if ratio > thr:
         return ArithDecision("gl64", n_gl, n_2, ratio, thr, ips_gl, ips_2,
                              f"ratio {ratio:.2f} exceeds {thr:.2f}")

@@ -708,7 +708,9 @@ def _plan_pairs(primes, D: int, units: int):
             n_pairs += 1
     for q in primes:
         if q not in used:
-            m = (q + D // 2) // D
+            # m >= 1: tiny primes below D/2 ride giant 1 with an extended
+            # baby index (j = D - q), not a nonexistent giant 0
+            m = max((q + D // 2) // D, 1)
             j = abs(q - m * D)
             work[m].add(j)
     return work, n_pairs, len(primes)
@@ -779,9 +781,13 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
     # collect primes and plan the pairing (irregular units shrink the
     # number of trace products toward half the prime count)
     all_primes = []
+    d_primes = []      # stage-2 primes dividing D (only at tiny bounds)
     for block in pr.segmented_primes(b1 + 1, b2 + 1):
-        all_primes.extend(int(q) for q in block.tolist()
-                          if math.gcd(int(q), D) == 1)
+        for q in block.tolist():
+            if math.gcd(int(q), D) == 1:
+                all_primes.append(int(q))
+            else:
+                d_primes.append(int(q))
     units = 4
     while units > 1:
         work, n_pairs, n_primes = _plan_pairs(all_primes, D, units)
@@ -851,6 +857,16 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
     if saved is not None and saved.iteration == D * 100 + units:
         m_cur, count = _vtrace_ckpt_restore(eng, saved.extra)
         log(f"Resuming P-1 stage 2 from giant m={m_cur}")
+    elif d_primes:
+        # primes dividing D (possible only when B2 is below D's largest
+        # prime factor) can't ride the wheel: fold H^q - 1 into the
+        # accumulator directly (a handful of tiny exponentiations)
+        for q in d_primes:
+            eng.pow(V_T, V_H, q)
+            eng.sub(V_T, 1)
+            eng.set_multiplicand(V_M, V_T)
+            eng.mul(V_ACC, V_M)
+            count += 1
     last_save = time.monotonic()
 
     def flush(mset):

@@ -134,23 +134,41 @@ class TestPolicy:
         assert d.ratio <= 1.0
         assert d.n_3161 < d.n_gl64
 
-    def test_no_kernel_set_picks_smaller_transform(self, tmp_path):
-        """When gl64 has no Pallas path (both run as XLA graphs), the
-        smaller fft3161 transform wins within the workload threshold —
-        the reference's core decision rule (AutoPolicy.cpp:86-152)."""
-        d = decide_arith(136279841, "prp", str(tmp_path),
-                         gl64_has_pallas=False)
+    def test_measured_smaller_transform_wins(self, tmp_path):
+        """The reference's core decision rule (AutoPolicy.cpp:86-152)
+        realized through measured rates: when the fft3161 family measures
+        faster and its transform ratio is within the workload threshold,
+        the second path is picked."""
+        from prmers_tpu.core import tune
+        p = 756839
+        d0 = decide_arith(p, "prp", str(tmp_path), gl64_has_pallas=False)
+        tune.record(d0.n_gl64, "JaxEngine", 100.0, str(tmp_path))
+        tune.record(d0.n_3161, "Engine3161", 140.0, str(tmp_path))
+        d = decide_arith(p, "prp", str(tmp_path), gl64_has_pallas=False)
         assert d.arith == "fft3161"
-        assert "ratio" in d.reason
+
+    def test_unmeasured_never_picks_fft3161(self, tmp_path):
+        """With NO fft3161 measurement anywhere the bare ratio rule never
+        fires: its premise (comparable per-word rates) is measured false
+        for the XLA stand-in. gl64 holds until -tune provides rates."""
+        for p in (9941, 756839, 136279841):
+            d = decide_arith(p, "prp", str(tmp_path),
+                             gl64_has_pallas=False)
+            assert d.arith == "gl64"
+            assert "tune" in d.reason or "gl64" in d.reason
 
     def test_workload_threshold_boundary(self, tmp_path, monkeypatch):
         """Policy boundary at the exact per-workload ratio threshold
         (reference: the plan-policy boundary tests, README.md:903-921):
-        with the env override pinning the threshold just below/above the
-        actual ratio, the decision must flip."""
-        p = 136279841
+        with measured rates favoring fft3161, the env override pinning
+        the threshold just below/above the actual ratio must flip the
+        decision."""
+        from prmers_tpu.core import tune
+        p = 756839
         d0 = decide_arith(p, "pm1_s1", str(tmp_path),
                           gl64_has_pallas=False)
+        tune.record(d0.n_gl64, "JaxEngine", 100.0, str(tmp_path))
+        tune.record(d0.n_3161 * 2, "Engine3161", 80.0, str(tmp_path))
         r = d0.ratio
         monkeypatch.setenv("PRMERS_AUTO_PM1_S1_MAX_RATIO",
                            str(r - 0.001))
@@ -161,6 +179,24 @@ class TestPolicy:
                            str(r + 0.001))
         d = decide_arith(p, "pm1_s1", str(tmp_path),
                          gl64_has_pallas=False)
+        assert d.arith == "fft3161", d
+
+    def test_extrapolated_rates(self, tmp_path):
+        """With tune data at OTHER sizes, rates extrapolate (n*log n) and
+        decide instead of the bare ratio rule — a slow measured fft3161
+        family is never picked at a new size."""
+        from prmers_tpu.core import tune
+        p = 136279841
+        d0 = decide_arith(p, "prp", str(tmp_path), gl64_has_pallas=False)
+        # gl64 fast at a nearby size, fft3161 slow at a nearby size
+        tune.record(d0.n_gl64 // 2, "JaxEngine", 300.0, str(tmp_path))
+        tune.record(d0.n_3161 // 2, "Engine3161", 10.0, str(tmp_path))
+        d = decide_arith(p, "prp", str(tmp_path), gl64_has_pallas=False)
+        assert d.arith == "gl64"
+        assert "extrapolated" in d.reason
+        # and a measured-faster fft3161 family wins within the threshold
+        tune.record(d0.n_3161 // 2, "Engine3161", 2000.0, str(tmp_path))
+        d = decide_arith(p, "prp", str(tmp_path), gl64_has_pallas=False)
         assert d.arith == "fft3161"
 
     def test_tune_data_overrides(self, tmp_path):

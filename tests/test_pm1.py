@@ -39,6 +39,57 @@ class TestPrimes:
 class TestPm1Golden:
     """Factors from the reference P-1 test table."""
 
+    # reference: unit_tests.sh pm1_tests (exponent, b1, b2,
+    # stage1_factor, stage2_factor) — 0 = expect none; stage-2 factors
+    # are the raw gcds the reference prints
+    REF_TABLE = [
+        (269, 2141, 0, 13822297, 0),
+        (269, 192, 0, 0, 0),
+        (269, 192, 457, 0, 0),
+        (269, 4, 2141, 0, 13822297),
+        (263, 3527, 16477, 23671, 321269073670148767),
+        (569, 9, 677, 0, 55470673),
+        (1097, 3, 709, 0, 4576661533441),
+        (2151, 256, 4073, 327405968242246366421788399,
+         31810015665526476520196715312101168065463218256802641),
+        (4133, 23, 2099, 0, 11173615097),
+        (44159, 23, 31, 0, 1511297617),
+        (144139, 3, 3583, 0, 3098700223),
+        (544139, 3, 7, 22853839, 22853839),
+    ]
+
+    # the reference table's largest case: big transform, run under -m slow
+    REF_TABLE_SLOW = [
+        (11544157, 19, 101, 0, 44306474567),
+    ]
+
+    def _check_row(self, p, b1, b2, f1, f2):
+        o = Options(exponent=p, mode="pm1", b1=b1, b2=b2,
+                    backend="numpy")
+        r = run_pm1(o, log=_silent)
+        if b2 <= b1:
+            assert r.factor == f1, r.factor
+        elif f2 == 0:
+            assert r.factor == 0, r.factor
+            assert getattr(r, "stage1_factor", 0) == f1
+        else:
+            # raw stage-2 gcd: must contain the reference factor
+            assert r.factor % f2 == 0, r.factor
+            # stage-1's own factor: carried on the stage-2 result, or the
+            # result IS the stage-1 one when stage 2 found nothing new
+            s1 = getattr(r, "stage1_factor",
+                         r.factor if r.stage == 1 else 0)
+            assert s1 == f1
+
+    @pytest.mark.parametrize("p,b1,b2,f1,f2", REF_TABLE)
+    def test_reference_table(self, p, b1, b2, f1, f2):
+        self._check_row(p, b1, b2, f1, f2)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("p,b1,b2,f1,f2", REF_TABLE_SLOW)
+    def test_reference_table_slow(self, p, b1, b2, f1, f2):
+        self._check_row(p, b1, b2, f1, f2)
+
     def test_m541_stage1(self):
         o = Options(exponent=541, mode="pm1", b1=899, backend="numpy")
         r = run_pm1(o, log=_silent)
