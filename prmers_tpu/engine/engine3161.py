@@ -102,6 +102,7 @@ class Engine3161(Engine):
             self._jit_square = _jit_square
             self._jit_mul = _jit_mul
             self._jit_fwd = _jit_fwd
+            self._jit_square_seq = _jit_square_seq
 
     # -- helpers ----------------------------------------------------------
     def get_size(self) -> int:
@@ -145,6 +146,24 @@ class Engine3161(Engine):
             xp = self.xp
             self.regs = self._jit_square(self.regs, self.t, xp.int32(src),
                                          xp.uint64(a))
+        self._spec.pop(src, None)
+
+    _SEQ_CHUNK = 256
+
+    def square_mul_seq(self, src: Reg, a_vec) -> None:
+        if self.is_np:
+            return super().square_mul_seq(src, a_vec)
+        xp = self.xp
+        k = self._SEQ_CHUNK
+        a_vec = list(a_vec)
+        # fixed chunk length so the scan compiles once; remainder pads
+        # with a=1 squarings only when it would retrace a new length
+        for i in range(0, len(a_vec) - len(a_vec) % k, k):
+            self.regs = self._jit_square_seq(
+                self.regs, self.t, xp.int32(src),
+                xp.asarray(np.array(a_vec[i:i + k], dtype=np.uint64)))
+        for a in a_vec[len(a_vec) - len(a_vec) % k:]:
+            self.square_mul(src, int(a))
         self._spec.pop(src, None)
 
     def set_multiplicand(self, dst: Reg, src: Reg) -> None:
@@ -266,10 +285,25 @@ def _make_jits():
     def jfwd(regs, t, src):
         return ntt2.forward_3161(ops31, ops61, t, regs[src])
 
-    return jsquare, jmul, jfwd
+    @functools.partial(jax.jit, donate_argnums=0)
+    def jsquare_seq(regs, t, src, a_vec):
+        """Whole squaring chain in ONE dispatch (lax.scan) — the tunnel
+        costs ~2.5 ms per dispatch, so chains must not loop on the host."""
+        from jax import lax
+
+        def body(x, a):
+            s31, s61 = ntt2.forward_3161(ops31, ops61, t, x)
+            lo, hi = ntt2.inverse_3161(ops31, ops61, t, ops31.sqr(s31),
+                                       ops61.sqr(s61))
+            return ntt2.carry_3161(jnp, lo, hi, t.widths, t.masks, a), None
+
+        x, _ = lax.scan(body, regs[src], a_vec)
+        return regs.at[src].set(x)
+
+    return jsquare, jmul, jfwd, jsquare_seq
 
 
 try:
-    _jit_square, _jit_mul, _jit_fwd = _make_jits()
+    _jit_square, _jit_mul, _jit_fwd, _jit_square_seq = _make_jits()
 except Exception:  # pragma: no cover — jax unavailable
-    _jit_square = _jit_mul = _jit_fwd = None
+    _jit_square = _jit_mul = _jit_fwd = _jit_square_seq = None
