@@ -219,15 +219,36 @@ def _w4_is_i(q: int) -> bool:
     return w4 == (0, 1)
 
 
+@functools.lru_cache(maxsize=None)
+def _w3_pair(q: int, inverse: bool):
+    """root_unity(3) (or its inverse) as concrete ints for the radix-3
+    butterfly — same consistent root family as the dmat tables."""
+    F = field2.F31 if q == field2.M31 else field2.F61
+    w = F.root_unity(3)
+    return F.inv(w) if inverse else w
+
+
 def _bfly(ops: Fq2Ops, parts, inverse: bool):
-    """Radix-2/4 DFT as adds/subs/mul_i — every matrix entry is a unit
-    (1, -1, ±i), so no general Fq2 multiplies are needed. Bit-exact equal
-    to _apply_dft with dmat (same root family); ~10x fewer u64 ops and a
-    far smaller XLA graph."""
+    """Radix-2/3/4 DFT without the r x r general-multiply matrix.
+
+    Radix 2/4: every matrix entry is a unit (1, -1, ±i) — adds/subs and
+    mul_i only. Radix 3 (Winograd): with w^2 = -1 - w,
+      out1 = (x0 - x2) + w(x1 - x2),  out2 = (x0 - x1) - w(x1 - x2),
+    i.e. ONE general multiply. All bit-exact equal to _apply_dft with
+    dmat (same root family); far smaller XLA graphs."""
+    xp = ops.xp
     r = len(parts)
     if r == 2:
         x0, x1 = parts
         return [ops.add(x0, x1), ops.sub(x0, x1)]
+    if r == 3:
+        x0, x1, x2 = parts
+        wr, wi = _w3_pair(ops.q, inverse)
+        m = ops.mul((xp.uint64(wr), xp.uint64(wi)), ops.sub(x1, x2))
+        out0 = ops.add(x0, ops.add(x1, x2))
+        out1 = ops.add(ops.sub(x0, x2), m)
+        out2 = ops.sub(ops.sub(x0, x1), m)
+        return [out0, out1, out2]
     assert r == 4, r
     x0, x1, x2, x3 = parts
     a = ops.add(x0, x2)
@@ -251,7 +272,7 @@ def plane_fwd(ops: Fq2Ops, x, pt: PlaneTables):
         vre = re.reshape(B, r, m)
         vim = im.reshape(B, r, m)
         parts = [(vre[:, t], vim[:, t]) for t in range(r)]
-        if r in (2, 4):
+        if r in (2, 3, 4):
             outs = _bfly(ops, parts, inverse=False)
         else:
             outs = _apply_dft(ops, parts, pt.dmat[r][0])
@@ -286,7 +307,7 @@ def plane_inv(ops: Fq2Ops, x, pt: PlaneTables):
         parts = [(vre[:, 0], vim[:, 0])] + [
             ops.mul((tre[s][None, :], tim[s][None, :]), (vre[:, s], vim[:, s]))
             for s in range(1, r)]
-        if r in (2, 4):
+        if r in (2, 3, 4):
             outs = _bfly(ops, parts, inverse=True)
         else:
             outs = _apply_dft(ops, parts, pt.dmat[r][1])
