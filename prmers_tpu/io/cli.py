@@ -119,7 +119,6 @@ _NOOP_FLAGS: dict[str, bool] = {
     "--pm1-vtrace-max-batches": True,
     "-vtrace-negadd-off": False, "-pm1-vtrace-negadd-off": False,
     "--pm1-vtrace-negadd-off": False,
-    "-nop95stage2": False,
     "-nogcd-stage1-classic": False,
     # OpenCL / device knobs with no TPU meaning
     "-kernelpath": True, "-enqueue_max": True, "-chunk256": False,
@@ -133,7 +132,7 @@ _NOOP_FLAGS: dict[str, bool] = {
     # network submission (no egress in this environment; the PrimeNet
     # payload is still written to the results file)
     "-http": False, "-submit": False, "-host": True, "-ipv4": False,
-    "-p95": False, "-p95path": True,
+    "-p95": False,
     # experimental reference modes not carried over (SLn torus, s3/s4)
     "-torus": False, "-s3": False, "-s4": False, "-b3": True, "-b4": True,
 }
@@ -197,6 +196,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a Prime95 stage-1 save after stage 1")
     ap.add_argument("-resume_load", default="",
                     help="import a stage-1 X from a GMP-ECM or Prime95 file")
+    ap.add_argument("-p95path", dest="p95_path", default="",
+                    help="Prime95/mprime directory: run stage 2 there "
+                         "(reference: -p95path, RunPM1.cpp:5947)")
+    ap.add_argument("-nop95stage2", dest="p95_stage2",
+                    action="store_false",
+                    help="disable the external Prime95 stage 2")
     ap.add_argument("-ecm_check_interval", type=int, default=0,
                     help="Edwards invariant-check cadence in group ops")
     mode.add_argument("-bench", action="store_true", help="benchmark mode")
@@ -317,6 +322,7 @@ def parse_args(argv: list[str] | None = None) -> Options:
         nmax=ns.nmax, k_nk=ns.curves,
         resume_save=ns.resume_save, p95_save=ns.p95_save,
         resume_load=ns.resume_load,
+        p95_path=ns.p95_path, p95_stage2=ns.p95_stage2,
         res64_display_interval=ns.res64_display_interval,
         profile=ns.profile, verbose=not ns.quiet, gui=ns.gui,
         gui_port=ns.gui_port, bench_iters=ns.bench_iters,

@@ -64,6 +64,8 @@ class Options:
     resume_save: str = ""        # export GMP-ECM P-1 resume line after S1
     p95_save: str = ""           # export Prime95 stage-1 save after S1
     resume_load: str = ""        # import a stage-1 X (either format)
+    p95_path: str = ""           # Prime95 dir for external stage 2
+    p95_stage2: bool = True      # -nop95stage2 disables the handoff
     arith: str = "auto"          # auto | gl64 | fft3161 (second NTT path)
     invariant_error_iter: int = 0
 

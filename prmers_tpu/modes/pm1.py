@@ -606,6 +606,33 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
         return r2
     if opts.b2 <= opts.b1:
         return r1
+    if opts.p95_path and opts.p95_stage2:
+        # external Prime95 stage 2 (reference: run_pm1_stage2_external,
+        # RunPM1.cpp:5992-6070); orchestration failure falls back to the
+        # internal stage 2
+        from ..io import p95
+        rr = p95.run_pm1_stage2(
+            opts.p95_path, opts.exponent, opts.b1, opts.b2, r1._stage1_x,
+            b2_start=getattr(opts, "b2_start", 0),
+            known_factors=tuple(int(f) for f in opts.known_factors),
+            log=log)
+        if rr.success:
+            factor = 0 if rr.known_factor else rr.factor
+            if factor:
+                log(f">>>  Factor P-1 (stage 2) found : {factor}")
+            else:
+                log(f"No factor P-1 (stage 2) until B2 = {opts.b2}")
+            r2 = Pm1Result(p=opts.exponent, b1=opts.b1, b2=opts.b2,
+                           factor=factor, stage=2 if factor else 0,
+                           res64="", elapsed=r1.elapsed,
+                           gerbicz_errors=r1.gerbicz_errors,
+                           transform_size=r1.transform_size)
+            if r1.factor and not factor:
+                return r1
+            r2.stage1_factor = r1.factor
+            return r2
+        log(f"[PM1] Prime95 Stage2 error: {rr.error}; falling back to "
+            "the internal stage 2")
     if opts.pm1_variant in ("lowmem", "ultralowmem"):
         r2 = run_pm1_stage2_lowmem(opts, r1._stage1_x, log=log)
     elif getattr(opts, "stage2_variant", "vtrace") == "classic":

@@ -262,3 +262,84 @@ class TestNkVariant:
         r = run_pm1(o, log=_silent)
         # M29 = 233 * 1103 * 2089; any of them counts
         assert r.factor and ((1 << 29) - 1) % r.factor == 0
+
+
+class TestP95Handoff:
+    """External Prime95 stage-2 orchestration (reference:
+    p95_run_pm1_stage2_task, src/modes/RunPM1.cpp:479-633), driven with a
+    fake mprime that validates the state file + worktodo line before
+    answering — the reference's fake-engine test pattern."""
+
+    FAKE = r'''#!/usr/bin/env python3
+import json, os, struct, sys
+line = open("worktodo.txt").read().strip()
+assert line.startswith("Pminus1=1,2,"), line
+parts = line.split("=", 1)[1].split(",")
+p, b1, b2 = int(parts[2]), int(parts[4]), int(parts[5])
+assert parts[3] == "-1"
+with open(f"m{p:07d}", "rb") as f:
+    magic, version = struct.unpack("<II", f.read(8))
+assert magic == 830093643, magic
+out = {"status": os.environ.get("FAKE_STATUS", "F"),
+       "exponent": p, "worktype": "PM1", "B1": b1, "B2": b2}
+factor = os.environ.get("FAKE_FACTOR", "")
+if factor:
+    out["factors"] = [factor]
+with open("results.json.txt", "w") as f:
+    f.write(json.dumps(out) + "\n")
+'''
+
+    def _setup_dir(self, tmp_path):
+        import os
+        import stat
+        exe = tmp_path / "mprime"
+        exe.write_text(self.FAKE)
+        os.chmod(exe, os.stat(exe).st_mode | stat.S_IEXEC)
+        return str(tmp_path)
+
+    def test_handoff_factor(self, tmp_path, monkeypatch):
+        d = self._setup_dir(tmp_path)
+        monkeypatch.setenv("FAKE_FACTOR", "321269073670148767")
+        o = Options(exponent=263, mode="pm1", b1=3527, b2=16477,
+                    backend="numpy", p95_path=d, save_dir=str(tmp_path))
+        r = run_pm1(o, log=_silent)
+        assert r.factor == 321269073670148767
+        assert r.stage == 2
+        assert r.stage1_factor == 23671
+        # the state file Prime95 consumed resolves back to the stage-1 X
+        from prmers_tpu.io import interop
+        import math
+        p_in, b1_in, x_in = interop.read_prime95_s1(str(tmp_path /
+                                                        "m0000263"))
+        assert (p_in, b1_in) == (263, 3527)
+        # the handed-off residue carries the stage-1 factor
+        assert math.gcd(x_in - 1, (1 << 263) - 1) % 23671 == 0
+
+    def test_handoff_no_factor(self, tmp_path, monkeypatch):
+        d = self._setup_dir(tmp_path)
+        monkeypatch.setenv("FAKE_STATUS", "NF")
+        monkeypatch.delenv("FAKE_FACTOR", raising=False)
+        o = Options(exponent=269, mode="pm1", b1=192, b2=457,
+                    backend="numpy", p95_path=d, save_dir=str(tmp_path))
+        r = run_pm1(o, log=_silent)
+        assert r.factor == 0
+
+    def test_handoff_known_factor_skipped(self, tmp_path, monkeypatch):
+        d = self._setup_dir(tmp_path)
+        monkeypatch.setenv("FAKE_FACTOR", "13822297")
+        o = Options(exponent=269, mode="pm1", b1=192, b2=2141,
+                    backend="numpy", p95_path=d, save_dir=str(tmp_path),
+                    known_factors=("13822297",))
+        r = run_pm1(o, log=_silent)
+        assert r.factor == 0     # known factor is not re-reported
+
+    def test_missing_exe_falls_back_internal(self, tmp_path):
+        # empty dir: orchestration fails, internal stage 2 runs and
+        # finds the reference factor
+        o = Options(exponent=269, mode="pm1", b1=4, b2=2141,
+                    backend="numpy", p95_path=str(tmp_path),
+                    save_dir=str(tmp_path))
+        logs = []
+        r = run_pm1(o, log=logs.append)
+        assert r.factor % 13822297 == 0
+        assert any("falling back" in str(m) for m in logs)
