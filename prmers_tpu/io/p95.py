@@ -78,6 +78,93 @@ def parse_results_line(line: str) -> tuple[str, int]:
     return status, factor
 
 
+def ecm_worktodo_line(p: int, b2: int, resume_filename: str,
+                      known_factors: tuple = ()) -> str:
+    """Prime95 worktodo entry for an ECM stage-2 continuation from a
+    GMP-ECM resume file (reference: p95_enqueue_curve,
+    RunEcmTwistedEdwards.cpp:1170)."""
+    line = f'ECMSTAGE2=N/A,1,2,{p},-1,"{resume_filename}",{b2}'
+    if known_factors:
+        line += ',"' + ",".join(str(f) for f in known_factors) + '"'
+    return line
+
+
+def _run_and_parse(d: str, exe: str, line: str, log_path: str,
+                   known_factors: tuple, log,
+                   timeout: float | None) -> P95Result:
+    """Shared tail: write worktodo, run exe -d, parse results.json.txt."""
+    r = P95Result()
+    results_file = os.path.join(d, "results.json.txt")
+    for stale in ("worktodo.txt", "results.json.txt"):
+        try:
+            os.remove(os.path.join(d, stale))
+        except OSError:
+            pass
+    with open(os.path.join(d, "worktodo.txt"), "w") as f:
+        f.write(line + "\n")
+    try:
+        with open(log_path, "w") as lf:
+            proc = subprocess.run([exe, "-d"], cwd=d, stdout=lf,
+                                  stderr=subprocess.STDOUT,
+                                  timeout=timeout)
+        r.exit_code = proc.returncode
+    except (OSError, subprocess.TimeoutExpired) as e:
+        r.error = f"Prime95 run failed: {e}"
+        return r
+    try:
+        with open(results_file) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        r.json_line = lines[-1] if lines else ""
+    except OSError:
+        r.json_line = ""
+    if not r.json_line:
+        r.error = (f"Prime95 did not produce results.json.txt "
+                   f"(exit_code={r.exit_code}) | worktodo={line}")
+        return r
+    status, factor = parse_results_line(r.json_line)
+    if not status:
+        r.error = "unable to parse Prime95 results.json.txt line"
+        return r
+    r.status = status
+    r.factor = factor
+    known = {int(k) for k in known_factors}
+    r.known_factor = factor != 0 and factor in known
+    r.success = status in ("NF", "F")
+    if not r.success:
+        r.error = f"Prime95 returned an unsupported status: {status}"
+    return r
+
+
+def run_ecm_stage2(p95_dir: str, p: int, b2: int, resume_src: str,
+                   curve_idx: int = 0, known_factors: tuple = (),
+                   log=print, timeout: float | None = None) -> P95Result:
+    """Hand one curve's GMP-ECM stage-1 resume file to an external
+    Prime95 for ECM stage 2 (reference queues curves to a background
+    worker, RunEcmTwistedEdwards.cpp:1136-1199; here the handoff runs
+    synchronously per curve)."""
+    r = P95Result()
+    d = os.path.expanduser(p95_dir)
+    exe = find_exe(d)
+    if not exe:
+        r.error = f"no Prime95/mprime executable in '{p95_dir}'"
+        return r
+    fname = os.path.basename(resume_src)
+    dst = os.path.join(d, fname)
+    try:
+        if os.path.abspath(resume_src) != os.path.abspath(dst):
+            with open(resume_src, "rb") as fi, open(dst, "wb") as fo:
+                fo.write(fi.read())
+    except OSError as e:
+        r.error = f"could not stage resume file: {e}"
+        return r
+    line = ecm_worktodo_line(p, b2, fname, known_factors)
+    log_path = os.path.join(
+        d, f"prmers_p95stage2_curve_{curve_idx + 1:06d}.log")
+    log(f"[ECM] Prime95 Stage2 start | resume={fname} | log={log_path}")
+    return _run_and_parse(d, exe, line, log_path, known_factors, log,
+                          timeout)
+
+
 def run_pm1_stage2(p95_dir: str, p: int, b1: int, b2: int, x1: int,
                    b2_start: int = 0, known_factors: tuple = (),
                    log=print, timeout: float | None = None) -> P95Result:
@@ -101,48 +188,8 @@ def run_pm1_stage2(p95_dir: str, p: int, b1: int, b2: int, x1: int,
         r.error = f"could not write state file {state}: {e}"
         return r
 
-    results_file = os.path.join(d, "results.json.txt")
-    for stale in ("worktodo.txt", "results.json.txt"):
-        try:
-            os.remove(os.path.join(d, stale))
-        except OSError:
-            pass
     line = pm1_worktodo_line(p, b1, b2, b2_start, known_factors)
-    with open(os.path.join(d, "worktodo.txt"), "w") as f:
-        f.write(line + "\n")
-
     log_path = os.path.join(d, f"prmers_p95stage2_pm1_p{p}.log")
     log(f"[PM1] Prime95 Stage2 start | state={state} | log={log_path}")
-    try:
-        with open(log_path, "w") as lf:
-            proc = subprocess.run([exe, "-d"], cwd=d, stdout=lf,
-                                  stderr=subprocess.STDOUT,
-                                  timeout=timeout)
-        r.exit_code = proc.returncode
-    except (OSError, subprocess.TimeoutExpired) as e:
-        r.error = f"Prime95 run failed: {e}"
-        return r
-
-    try:
-        with open(results_file) as f:
-            lines = [ln.strip() for ln in f if ln.strip()]
-        r.json_line = lines[-1] if lines else ""
-    except OSError:
-        r.json_line = ""
-    if not r.json_line:
-        r.error = (f"Prime95 did not produce results.json.txt "
-                   f"(exit_code={r.exit_code}) | worktodo={line}")
-        return r
-
-    status, factor = parse_results_line(r.json_line)
-    if not status:
-        r.error = "unable to parse Prime95 results.json.txt line"
-        return r
-    r.status = status
-    r.factor = factor
-    known = {int(k) for k in known_factors}
-    r.known_factor = factor != 0 and factor in known
-    r.success = status in ("NF", "F")
-    if not r.success:
-        r.error = f"Prime95 returned an unsupported status: {status}"
-    return r
+    return _run_and_parse(d, exe, line, log_path, known_factors, log,
+                          timeout)

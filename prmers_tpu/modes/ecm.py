@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 from ..utils import gmp
 import time
@@ -449,13 +450,57 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
                 break
             continue
         if g == 1 and opts.b2 > opts.b1:
-            acc = _stage2(eng, m, opts, n, log)
-            g = gmp.gcd(acc % n, n)
-            if 1 < g < n:
-                log(f"ECM curve {c} (sigma={sigma}) stage 2 factor {g}")
-                if record(g, 2, sigma, c):
-                    break
-                continue
+            handed_off = False
+            if getattr(opts, "p95_path", "") and \
+                    getattr(opts, "p95_stage2", True):
+                # external Prime95 stage 2 for this curve (reference:
+                # p95_enqueue_curve, RunEcmTwistedEdwards.cpp:1160-1199);
+                # orchestration failure falls back to the internal one
+                from ..io import interop, p95
+                za = eng.get_int(ZA) % n
+                try:
+                    x_aff = gmp.mulmod(eng.get_int(XA) % n,
+                                       _inv_or_factor(za, n), n)
+                except _FactorFound as f:
+                    if f.f and record(f.f, 1, sigma, c):
+                        break
+                    continue
+                import tempfile
+                with tempfile.TemporaryDirectory() as td:
+                    src = os.path.join(td, f"resume_p{p}_c{c}.save")
+                    a_mont = (4 * a24 - 2) % n
+                    if family == "suyama":
+                        interop.write_ecm_resume_ecm(src, opts.b1, p,
+                                                     x_aff, sigma=sigma)
+                    else:
+                        interop.write_ecm_resume_ecm(src, opts.b1, p,
+                                                     x_aff, a=a_mont)
+                    rr = p95.run_ecm_stage2(
+                        opts.p95_path, p, opts.b2, src, curve_idx=c,
+                        known_factors=tuple(
+                            int(f) for f in opts.known_factors),
+                        log=log)
+                if rr.success:
+                    handed_off = True
+                    g = 0 if rr.known_factor else rr.factor
+                    if 1 < g < n:
+                        log(f"ECM curve {c} (sigma={sigma}) stage 2 "
+                            f"factor {g} (Prime95)")
+                        if record(g, 2, sigma, c):
+                            break
+                        continue
+                else:
+                    log(f"[ECM] Prime95 Stage2 error: {rr.error}; "
+                        "falling back to the internal stage 2")
+            if not handed_off:
+                acc = _stage2(eng, m, opts, n, log)
+                g = gmp.gcd(acc % n, n)
+                if 1 < g < n:
+                    log(f"ECM curve {c} (sigma={sigma}) stage 2 factor "
+                        f"{g}")
+                    if record(g, 2, sigma, c):
+                        break
+                    continue
         log(f"ECM curve {c} (sigma={sigma}): no factor")
     result.elapsed = time.monotonic() - t0
     return result

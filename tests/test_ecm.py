@@ -100,3 +100,43 @@ class TestTorsionFamilies:
         text = path.read_text()
         assert "METHOD=ECM;" in text and "SIGMA=" in text
         assert "N=2^127-1" in text and "CHECKSUM=" in text
+
+
+class TestP95EcmHandoff:
+    """ECM stage-2 Prime95 handoff orchestration (reference:
+    p95_enqueue_curve / ECMSTAGE2 worktodo line,
+    RunEcmTwistedEdwards.cpp:1160-1199), driven with a fake mprime."""
+
+    FAKE = r'''#!/usr/bin/env python3
+import json, os
+line = open("worktodo.txt").read().strip()
+assert line.startswith('ECMSTAGE2=N/A,1,2,'), line
+parts = line.split("=", 1)[1].split(",")
+assert parts[0] == "N/A" and parts[4] == "-1", parts
+p = int(parts[3])
+fname = parts[5].strip('"')
+b2 = int(parts[6])
+resume = open(fname).read()
+assert "METHOD=ECM;" in resume and f"N=2^{p}-1" in resume, resume
+out = {"status": "F", "exponent": p, "worktype": "ECM", "B2": b2,
+       "factors": [os.environ["FAKE_FACTOR"]]}
+with open("results.json.txt", "w") as f:
+    f.write(json.dumps(out) + "\n")
+'''
+
+    def test_handoff_factor(self, tmp_path, monkeypatch):
+        import os
+        import stat
+        exe = tmp_path / "mprime"
+        exe.write_text(self.FAKE)
+        os.chmod(exe, os.stat(exe).st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("FAKE_FACTOR", "223")
+        # M127 is prime: stage 1 can never find a factor, so the handoff
+        # always fires and the reported factor is the fake's answer
+        o = Options(exponent=127, mode="ecm", b1=20, b2=400, curves=1,
+                    curve_seed=999, backend="numpy", edwards=False,
+                    torsion=0, p95_path=str(tmp_path))
+        r = run_ecm(o, log=_silent)
+        assert r.factor == 223
+        assert r.stage == 2
+        assert (tmp_path / "results.json.txt").exists()
