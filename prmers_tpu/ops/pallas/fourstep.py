@@ -204,24 +204,17 @@ class FourStepTables:
     masks_lo: Any
     masks_hi: Any
     mxu: Any = None        # {key: (w8, corr)} device arrays; string keys
-    mxu_subs: Any = None   # ((key, (sub_lo, sub_hi)), ...) static
     wcorr: Any = None      # (er (R2,L1,1) u32, ec (CB,1,G,LN) u32) residues
     # fused C-transform (transpose-free): (wf8, corrf, wi8, corri,
-    # wrapc (1, C) u32 mask, mid_f lo/hi, mid_inv_f lo/hi); subs via
-    # mxu_subs keys "fc_fwd"/"fc_inv". Built by attach_fused_c_tables;
-    # when present the pipeline runs P1-P2 / fused-C / P6-P7 with no
-    # global transposes.
+    # wrapc (1, C) u32 mask, mid_f lo/hi, mid_inv_f lo/hi). Built by
+    # attach_fused_c_tables; when present the pipeline runs P1-P2 /
+    # fused-C / P6-P7 with no global transposes. The static plane-offset
+    # compensation lives inside every corr (_fold_sub_into_corr).
     fused: Any = None
     # per-ROW carry-injection spread tables (wt, cum) each (R1, R2, k)
     # u32 — built by kernels.attach_cinrow for the row-carry pipeline
     # (carry fused into P7, injection fused into P1)
     cinrow: Any = None
-
-    def mxu_sub(self, key: str):
-        for k, v in (self.mxu_subs or ()):
-            if k == key:
-                return v
-        return None
 
     @classmethod
     def build(cls, fp: FourStepPlan, xp, G: int = 8, lanes: int = 128):
@@ -300,11 +293,11 @@ def _register_pytree():
         children = (t.w, t.iw, t.t_r, t.t_r_inv, t.mid, t.mid_inv,
                     t.t_c, t.t_c_inv, t.widths32, t.masks_lo, t.masks_hi,
                     t.mxu, t.wcorr, t.fused, t.cinrow)
-        return children, (t.fp, t.G, t.mxu_subs)
+        return children, (t.fp, t.G)
 
     def unflatten(aux, children):
         return FourStepTables(aux[0], aux[1], *children[:-4],
-                              mxu=children[-4], mxu_subs=aux[2],
+                              mxu=children[-4],
                               wcorr=children[-3], fused=children[-2],
                               cinrow=children[-1])
 
@@ -663,8 +656,8 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
         # inverse: rows kh, cols l; unnormalized (1/n lives in iw fold)
         ei = (ll[None, :] * (kl + ca_count * kh[:, None])) % C
         Mi[j] = _mulmod_u64(wipow[ei], iwcl[None, :])
-    wf8, corrf, subf_lo, subf_hi = build_rhs_tables(Mf)
-    wi8, corri, subi_lo, subi_hi = build_rhs_tables(Mi)
+    wf8, corrf = build_rhs_tables(Mf)
+    wi8, corri = build_rhs_tables(Mi)
     from .mxu_dft import permute_rhs_rows_bytes, use_bytecast
     if use_bytecast():
         # rows in bitcast byte order: the kernels' x-side pack becomes
@@ -699,10 +692,6 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
     t.fused = (put(wf8), put(corrf), put(wi8), put(corri),
                put(wrapc),
                mid_f[0], mid_f[1], midi_f[0], midi_f[1])
-    subs = dict(t.mxu_subs or ())
-    subs["fc_fwd"] = (int(subf_lo), int(subf_hi))
-    subs["fc_inv"] = (int(subi_lo), int(subi_hi))
-    t.mxu_subs = tuple(sorted(subs.items()))
     return t
 
 
@@ -712,8 +701,6 @@ def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
     g = GL(np)
     fp = t.fp
     (wf8, corrf, wi8, corri, wrapc, *_rest) = t.fused
-    sub_f = t.mxu_sub("fc_fwd")
-    sub_i = t.mxu_sub("fc_inv")
     ca_count = wf8.shape[0]
     sh = x0.shape
     R, C = fp.R, fp.C
@@ -727,20 +714,20 @@ def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
     from .mxu_dft import use_bytecast
     byt = use_bytecast()
 
-    def dots(v0, v1, w8, corr, sub):
+    def dots(v0, v1, w8, corr):
         outs0, outs1 = [], []
         for j in range(ca_count):
             y0, y1 = mxu_rhs_apply(
                 g, v0[:, j * 128:(j + 1) * 128],
                 v1[:, j * 128:(j + 1) * 128], 128,
                 np.asarray(w8)[j], np.asarray(corr)[j],
-                np.uint32(sub[0]), np.uint32(sub[1]), bytes_order=byt)
+                bytes_order=byt)
             outs0.append(y0)
             outs1.append(y1)
         return (np.concatenate(outs0, axis=1),
                 np.concatenate(outs1, axis=1))
 
-    v0, v1 = dots(v0, v1, wf8, corrf, sub_f)
+    v0, v1 = dots(v0, v1, wf8, corrf)
     if mode == "fwd":
         return v0.reshape(sh), v1.reshape(sh)
     if mode == "sqr":
@@ -748,7 +735,7 @@ def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
     else:
         v0, v1 = g.mul(v0, v1, np.asarray(u0).reshape(v0.shape),
                        np.asarray(u1).reshape(v1.shape))
-    v0, v1 = dots(v0, v1, wi8, corri, sub_i)
+    v0, v1 = dots(v0, v1, wi8, corri)
     v0, v1 = dft_lanes(g, v0, v1, ca_count, 128, True)
     v0, v1 = g.double_where(v0, v1, mask)
     return v0.reshape(sh), v1.reshape(sh)
@@ -771,19 +758,23 @@ def attach_mxu_tables(t: FourStepTables, device_put=None):
     P1/P3/P4/P6 (the reference's analog: twiddles baked into fused radix
     kernels, kernels/marin.cl forward*_0 variants).
     """
-    from .mxu_dft import build_mxu_tables
+    from .mxu_dft import (build_mxu_tables, lhs_bitcast_mode,
+                          permute_lhs_cols_bytes)
     from .gl64 import from_pairs as _fp64
     put = device_put if device_put is not None else (lambda a: a)
     fp = t.fp
     sizes = {fp.rs.L1, fp.rs.L2}
     mxu = {}
-    subs = {}
+    lhs_mode = lhs_bitcast_mode()
 
     def add(key, L, inv, row_scale=None, col_scale=None):
-        w8, corr, sub_lo, sub_hi = build_mxu_tables(
+        w8, corr = build_mxu_tables(
             L, inv, row_scale=row_scale, col_scale=col_scale)
+        if lhs_mode:
+            # contraction columns in the device's bitcast byte order:
+            # the kernels' LHS pack becomes one XOR + bitcast per word
+            w8 = permute_lhs_cols_bytes(w8, lhs_mode)
         mxu[key] = (put(w8), put(corr))
-        subs[key] = (int(sub_lo), int(sub_hi))
 
     for L in sorted(sizes):
         if L < 32 and L & (L - 1) == 0:
@@ -847,5 +838,4 @@ def attach_mxu_tables(t: FourStepTables, device_put=None):
                    put(np.ascontiguousarray(ec_ax)))
 
     t.mxu = mxu
-    t.mxu_subs = tuple(sorted(subs.items()))
     return t

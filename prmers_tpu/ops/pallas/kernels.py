@@ -97,7 +97,7 @@ def _double_mod_p(x0, x1, mask):
 # ---------------------------------------------------------------------------
 
 def _pass_kernel(L: int, inverse: bool, has_pre: bool, has_post: bool,
-                 cin_widths, mxu_sub, wcorr_n, canon: bool, *refs):
+                 cin_widths, has_mxu: bool, wcorr_n, canon: bool, *refs):
     """Tile = (L, S, C) [axis-0 pass over r1] or (1, L, C) [axis-1 pass
     over r2]; the kernel views the transform axis first: (L, S, C) or
     (L, C).
@@ -123,7 +123,7 @@ def _pass_kernel(L: int, inverse: bool, has_pre: bool, has_post: bool,
         wc_refs = refs[i], refs[i + 1]
         i += 2
     mxu_refs = None
-    if mxu_sub is not None:
+    if has_mxu:
         mxu_refs = refs[i], refs[i + 1]
         i += 2
     if has_pre:
@@ -198,13 +198,11 @@ def _pass_kernel(L: int, inverse: bool, has_pre: bool, has_post: bool,
         p0, p1 = tload(pre0_ref, pre1_ref)
         x0, x1 = g.mul(x0, x1, p0, p1)
 
-    if mxu_sub is None:
+    if not has_mxu:
         x0, x1 = fsm.dft_axis0(g, x0, x1, L, inverse)
     else:
         w8 = mxu_refs[0]
         corr = mxu_refs[1]
-        slo = jnp.uint32(mxu_sub[0])
-        shi = jnp.uint32(mxu_sub[1])
         if len(w8.shape) == 3 and len(v) == 3:
             # axis-0 pass with per-r2 variant tables, S slices in-tile:
             # one big-N dot per sub-column against its own folded matrix
@@ -212,19 +210,16 @@ def _pass_kernel(L: int, inverse: bool, has_pre: bool, has_post: bool,
             outs0, outs1 = [], []
             for s in range(S):
                 r0, r1 = mxm.mxu_dft_apply(
-                    g, x0[:, s, :], x1[:, s, :], L, w8[s], corr[s],
-                    slo, shi)
+                    g, x0[:, s, :], x1[:, s, :], L, w8[s], corr[s])
                 outs0.append(r0.reshape(L, 1, v[2]))
                 outs1.append(r1.reshape(L, 1, v[2]))
             x0 = jnp.concatenate(outs0, axis=1) if S > 1 else outs0[0]
             x1 = jnp.concatenate(outs1, axis=1) if S > 1 else outs1[0]
         elif len(w8.shape) == 3:
             # axis-1 pass: one grid-streamed variant (leading block 1)
-            x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, w8[0], corr[0],
-                                       slo, shi)
+            x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, w8[0], corr[0])
         else:
-            x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, w8[:], corr[:],
-                                       slo, shi)
+            x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, w8[:], corr[:])
 
     if has_post:
         p0, p1 = tload(post0_ref, post1_ref)
@@ -277,9 +272,8 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
             pl.BlockSpec((L, S, 1), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
             _full(ec_t.shape)]
-    mxu_sub = None
     if mxu is not None:
-        (w8, corr), mxu_sub = mxu
+        w8, corr = mxu
         ins += [w8, corr]
         if len(w8.shape) == 3:           # per-r2 variants: S-slice blocks
             in_specs += [
@@ -300,7 +294,7 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
     kern = functools.partial(_pass_kernel, L, inverse,
                              pre is not None, post is not None,
                              cin_widths if cin is not None else None,
-                             mxu_sub, wcorr_n, canon)
+                             mxu is not None, wcorr_n, canon)
     r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
@@ -333,9 +327,8 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
     xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
     ins = [x0, x1]
     in_specs = [xspec, xspec]
-    mxu_sub = None
     if mxu is not None:
-        (w8, corr), mxu_sub = mxu
+        w8, corr = mxu
         ins += [w8, corr]
         in_specs += [_mxspec(w8.shape), _mxspec(corr.shape)]
     if pre is not None:
@@ -346,7 +339,7 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
         in_specs += [bspec(post[0]), bspec(post[1])]
     kern = functools.partial(_pass_kernel, L, inverse,
                              pre is not None, post is not None, None,
-                             mxu_sub, None, False)
+                             mxu is not None, None, False)
     r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
@@ -369,7 +362,7 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
 # rule for the small outputs).
 # ---------------------------------------------------------------------------
 
-def _p1c_kernel(L: int, k: int, mxu_sub, wcorr_n, *refs):
+def _p1c_kernel(L: int, k: int, wcorr_n, *refs):
     """P1 with vectorized carry injection: every row (r1, r2) receives
     the previous row's boundary carry (pre-rolled outside), spread
     base-2^width into its first k lanes, then the weight-fold wrap halve
@@ -411,12 +404,10 @@ def _p1c_kernel(L: int, k: int, mxu_sub, wcorr_n, *refs):
     x0, x1 = g.halve_where(x0, x1, mask)
 
     S = sh[1]
-    slo = jnp.uint32(mxu_sub[0])
-    shi = jnp.uint32(mxu_sub[1])
     outs0, outs1 = [], []
     for s in range(S):
         r0, r1 = mxm.mxu_dft_apply(g, x0[:, s, :], x1[:, s, :], L,
-                                   w8_ref[s], corr_ref[s], slo, shi)
+                                   w8_ref[s], corr_ref[s])
         outs0.append(r0.reshape(L, 1, sh[2]))
         outs1.append(r1.reshape(L, 1, sh[2]))
     x0 = jnp.concatenate(outs0, axis=1) if S > 1 else outs0[0]
@@ -425,7 +416,7 @@ def _p1c_kernel(L: int, k: int, mxu_sub, wcorr_n, *refs):
     o1_ref[:] = x1.reshape(sh)
 
 
-def _p7c_kernel(L: int, rounds: int, with_a: bool, mxu_sub, wcorr_n,
+def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
                 *refs):
     """P7 (r1-inverse dot + wrap double + canon) with the carry fused in:
     optional small-operand multiply, digit/carry split, a fixed number of
@@ -445,12 +436,10 @@ def _p7c_kernel(L: int, rounds: int, with_a: bool, mxu_sub, wcorr_n,
     x1 = x1_ref[:].reshape(v)
 
     S = sh[1]
-    slo = jnp.uint32(mxu_sub[0])
-    shi = jnp.uint32(mxu_sub[1])
     outs0, outs1 = [], []
     for s in range(S):
         r0, r1 = mxm.mxu_dft_apply(g, x0[:, s, :], x1[:, s, :], L,
-                                   w8_ref[s], corr_ref[s], slo, shi)
+                                   w8_ref[s], corr_ref[s])
         outs0.append(r0.reshape(L, 1, sh[2]))
         outs1.append(r1.reshape(L, 1, sh[2]))
     x0 = jnp.concatenate(outs0, axis=1) if S > 1 else outs0[0]
@@ -560,10 +549,10 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
     kspec = pl.BlockSpec((fp.rs.L1, S, k), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
     if tabs:
-        (w8, corr), sub = (tabs["w8"], tabs["corr"]), _mx(t, "tr_fwd_w")[1]
+        w8, corr = tabs["w8"], tabs["corr"]
         er_t, ec_t = tabs["er"], tabs["ec"]
     else:
-        (w8, corr), sub = _mx(t, "tr_fwd_w")
+        w8, corr = _mx(t, "tr_fwd_w")
         er_t, ec_t = t.wcorr
     vspec = pl.BlockSpec((fp.rs.L1, S, 1), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
@@ -573,7 +562,7 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
     tabspec_c = pl.BlockSpec((S,) + tuple(corr.shape[1:]),
                              lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM)
-    kern = functools.partial(_p1c_kernel, fp.rs.L1, k, sub, fp.n)
+    kern = functools.partial(_p1c_kernel, fp.rs.L1, k, fp.n)
     r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
@@ -606,10 +595,10 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None):
     cspec = pl.BlockSpec((L, S, 128), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
     if tabs:
-        (w8, corr), sub = (tabs["w8"], tabs["corr"]), _mx(t, "iw_inv")[1]
+        w8, corr = tabs["w8"], tabs["corr"]
         er_t, ec_t = tabs["er"], tabs["ec"]
     else:
-        (w8, corr), sub = _mx(t, "iw_inv")
+        w8, corr = _mx(t, "iw_inv")
         er_t, ec_t = t.wcorr
     vspec = pl.BlockSpec((L, S, 1), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM)
@@ -623,7 +612,7 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None):
                           memory_space=pltpu.SMEM)
     with_a = not a_is_one
     kern = functools.partial(_p7c_kernel, L, _carry_rounds(fp), with_a,
-                             sub, fp.n)
+                             fp.n)
     wd, mk0, mk1 = ((tabs["widths"], tabs["masks_lo"], tabs["masks_hi"])
                     if tabs else (t.widths32, t.masks_lo, t.masks_hi))
     ins = ([a[0], a[1]] if with_a else []) + \
@@ -680,9 +669,9 @@ def use_rowcarry(fp: FourStepPlan, t: FourStepTables) -> bool:
 # Fused C-transform kernel (lane-tile DFT + per-slot lane-axis dots)
 # ---------------------------------------------------------------------------
 
-def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
+def _fused_c_kernel(ca_count: int, mode: str, r2cfg,
                     *refs):
-    """r2cfg: None, or (L2, sub2, sub6, has_mx6) — then the r2 forward
+    """r2cfg: None, or (L2, has_mx2, has_mx6) — then the r2 forward
     dot (P2, with the folded mid table) and the r2 inverse dot (P6, with
     mid_inv) run INSIDE this kernel: the tile already holds all of R2,
     so the two passes' HBM round trips fold away."""
@@ -693,8 +682,8 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
         u0_ref, u1_ref = refs[i], refs[i + 1]
         i += 2
     if r2cfg is not None:
-        L2, sub2, sub6, has_mx6 = r2cfg
-        if sub2 is not None:
+        L2, has_mx2, has_mx6 = r2cfg
+        if has_mx2:
             w2_ref, c2_ref = refs[i], refs[i + 1]
             i += 2
         mf0_ref, mf1_ref = refs[i], refs[i + 1]
@@ -733,10 +722,9 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
         outs0, outs1 = [], []
         for rc in range(RC):
             a0, a1 = x0[rc], x1[rc]
-            if sub2 is not None:
+            if has_mx2:
                 a0, a1 = mxm.mxu_dft_apply(
-                    g, a0, a1, L2, w2_ref[:], c2_ref[:],
-                    jnp.uint32(sub2[0]), jnp.uint32(sub2[1]))
+                    g, a0, a1, L2, w2_ref[:], c2_ref[:])
             else:
                 a0, a1 = fsm.dft_axis0(g, a0, a1, L2, False)
             outs0.append(a0.reshape((1,) + a0.shape))
@@ -754,7 +742,7 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
     pack = (mxm._pack_planes_rhs_bytes if mxm.use_bytecast()
             else mxm._pack_planes_rhs)
 
-    def dots(y0, y1, w8_ref, corr_ref, sub):
+    def dots(y0, y1, w8_ref, corr_ref):
         # packs first, then dots, then combines: the independent dots are
         # visible to the scheduler at once, so MXU work overlaps the
         # VPU-heavy combines
@@ -766,15 +754,13 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
               for j in range(ca_count)]
         outs0, outs1 = [], []
         for j in range(ca_count):
-            r0, r1 = mxm._combine_rhs(g, 128, Ds[j] + corr_ref[j],
-                                      jnp.uint32(sub[0]),
-                                      jnp.uint32(sub[1]))
+            r0, r1 = mxm._combine_rhs(g, 128, Ds[j] + corr_ref[j])
             outs0.append(r0)
             outs1.append(r1)
         return (jnp.concatenate(outs0, axis=1),
                 jnp.concatenate(outs1, axis=1))
 
-    x0, x1 = dots(x0, x1, wf8_ref, corrf_ref, sub_f)
+    x0, x1 = dots(x0, x1, wf8_ref, corrf_ref)
     if mode == "sqr":
         x0, x1 = g.sqr(x0, x1)
     elif mode == "mul":
@@ -782,7 +768,7 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
         u1 = u1_ref[:].reshape(v)
         x0, x1 = g.mul(x0, x1, u0, u1)
     if mode != "fwd":
-        x0, x1 = dots(x0, x1, wi8_ref, corri_ref, sub_i)
+        x0, x1 = dots(x0, x1, wi8_ref, corri_ref)
         x0, x1 = fsm.dft_lanes(g, x0, x1, ca_count, 128, True)
         x0, x1 = g.double_where(x0, x1, mask)
         if r2cfg is not None:
@@ -797,8 +783,7 @@ def _fused_c_kernel(ca_count: int, mode: str, sub_f, sub_i, r2cfg,
                 if has_mx6:
                     # per-r1 variant tables (t_r_inv folded as row scales)
                     a0, a1 = mxm.mxu_dft_apply(
-                        g, a0, a1, L2, w6_ref[rc], c6_ref[rc],
-                        jnp.uint32(sub6[0]), jnp.uint32(sub6[1]))
+                        g, a0, a1, L2, w6_ref[rc], c6_ref[rc])
                 else:
                     a0, a1 = fsm.dft_axis0(g, a0, a1, L2, True)
                 outs0.append(a0.reshape((1,) + a0.shape))
@@ -842,18 +827,16 @@ def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
         mx6 = _mx(t, "tr_inv")
         assert (g2 is not None or L2 & (L2 - 1) == 0), \
             "radix-5 r2 factor requires its MXU matrix"
-        sub2 = g2[1] if g2 else None
         has_mx6 = mx6 is not None
-        sub6 = mx6[1] if mx6 else None
-        r2cfg = (L2, sub2, sub6, has_mx6)
+        r2cfg = (L2, g2 is not None, has_mx6)
         if g2 is not None:
-            ins += [g2[0][0], g2[0][1]]
-            in_specs += [_full(g2[0][0].shape), _full(g2[0][1].shape)]
+            ins += [g2[0], g2[1]]
+            in_specs += [_full(g2[0].shape), _full(g2[1].shape)]
         ins += [mf0, mf1]
         in_specs += [xspec, xspec]
         if mode != "fwd":
             if has_mx6:
-                w6, c6 = mx6[0]
+                w6, c6 = mx6
                 ins += [w6, c6]
                 in_specs += [
                     pl.BlockSpec((RC,) + tuple(w6.shape[1:]),
@@ -878,9 +861,7 @@ def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
         in_specs += [_full(wi8.shape), _full(corri.shape)]
     ins += [wrapc]
     in_specs += [_full(wrapc.shape)]
-    kern = functools.partial(_fused_c_kernel, ca_count, mode,
-                             t.mxu_sub("fc_fwd"), t.mxu_sub("fc_inv"),
-                             r2cfg)
+    kern = functools.partial(_fused_c_kernel, ca_count, mode, r2cfg)
     r0, r1 = pl.pallas_call(
         kern,
         grid=grid,
@@ -1035,8 +1016,8 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a,
 # ---------------------------------------------------------------------------
 
 def _mx(t: FourStepTables, key, ln: int = 128):
-    """(tables, sub) for a string key or (L, inverse) pair; None when the
-    tables are absent or MXU is disabled."""
+    """(w8, corr) tables for a string key or (L, inverse) pair; None when
+    the tables are absent or MXU is disabled."""
     import os
     if not t.mxu or os.environ.get("PRMERS_NO_MXU"):
         return None
@@ -1044,7 +1025,7 @@ def _mx(t: FourStepTables, key, ln: int = 128):
         key = fsm.mxu_key(*key)
     if key not in t.mxu:
         return None
-    return t.mxu[key], t.mxu_sub(key)
+    return t.mxu[key]
 
 
 def _cin_widths(fp: FourStepPlan) -> tuple[int, ...]:

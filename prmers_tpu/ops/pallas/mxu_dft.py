@@ -19,11 +19,15 @@ planes D_m, and the combine sum_m D_m 2^(8m) mod P is cheap VPU pair math.
 Two offset tricks keep everything in int8/int32 exactly:
   * x-side: u_l - 128 = byte XOR 0x80 bitcast to int8; the constant
     128 * rowsum(WBIG) is added back to D (corr vector).
-  * W-side: limbs of M_l are balanced digits in [-128, 127] (exact host
-    recode; a ninth digit is folded back via 2^64 ≡ 2^32 - 1).
-  * D-side: D + corr may be negative; adding 2^23 per plane and
-    subtracting the static sum(2^23 * 2^(8m)) mod P afterwards keeps the
-    combine unsigned. |D + corr| <= 8L * 128 * 128 < 2^23 guarantees it.
+  * W-side: limbs of M_l are balanced digits in [-128, 127]. EIGHT limb
+    planes suffice: each entry is encoded as the signed representative
+    v or v - P (whichever the 8-digit balanced range [-128, 127] *
+    (256^8-1)/255 covers — one of them always is, since
+    P < 2^64 - 1), so no ninth plane exists and the matmul and combine
+    are 8/9 the work of the plain unsigned recode.
+  * D-side: D + corr may be negative; adding a per-contraction power-of-
+    two offset per plane and subtracting the static sum(off * 2^(8m))
+    mod P afterwards keeps the combine unsigned.
 
 This file has the host-side table builder and the in-kernel apply; the
 reference's counterpart is the radix kernel set (kernels/marin.cl) — the
@@ -69,14 +73,21 @@ def dft_matrix(L: int, inverse: bool) -> np.ndarray:
     return from_pairs(c0, c1)  # column j = transform of basis vector e_j
 
 
-N_WPLANES = 9
+N_WPLANES = 8
+
+# Largest value an 8-digit balanced base-256 decomposition can reach:
+# 127 * (256^8 - 1) / 255. P - MAXPOS8 <= -(minimum) holds, so every
+# residue mod P is representable as v (v <= MAXPOS8) or v - P.
+_MAXPOS8 = 127 * ((1 << 64) - 1) // 255
 
 
 def _balanced_limbs(v: int) -> list[int]:
-    """Exact signed 9-limb base-256 decomposition (d in [-128, 127]):
-    eight digits only span ±2^63, so a ninth plane covers [0, 2^64)."""
+    """Exact signed 8-limb base-256 decomposition of the representative
+    v or v - P (d in [-128, 127]); v - P is encoded by decomposing
+    v + 2^32 - 1 (< 2^64) and dropping the +2^64 leftover."""
     digits = []
-    x = v
+    x = v if v <= _MAXPOS8 else v + (1 << 32) - 1
+    wrap = v > _MAXPOS8
     for _ in range(N_WPLANES):
         d = x & 255
         x >>= 8
@@ -84,13 +95,16 @@ def _balanced_limbs(v: int) -> list[int]:
             d -= 256
             x += 1
         digits.append(d)
-    assert x == 0, f"value {v} out of 9-limb range"
+    assert x == (1 if wrap else 0), f"value {v} out of 8-limb range"
     return digits
 
 
 def _balanced_limbs_vec(v: np.ndarray) -> np.ndarray:
-    """Vectorized _balanced_limbs: u64 array -> int8 array (9, *v.shape)."""
-    x = v.copy()
+    """Vectorized _balanced_limbs: u64 array -> int8 array (8, *v.shape).
+    Entries above _MAXPOS8 are recoded as v - P: v + (2^32 - 1) never
+    overflows u64 for v < P, and the leftover +2^64 is dropped."""
+    wrap = v > np.uint64(_MAXPOS8)
+    x = v + wrap.astype(np.uint64) * np.uint64((1 << 32) - 1)
     out = np.empty((N_WPLANES,) + v.shape, dtype=np.int8)
     for m in range(N_WPLANES):
         d = (x & np.uint64(255)).astype(np.int64)
@@ -99,7 +113,7 @@ def _balanced_limbs_vec(v: np.ndarray) -> np.ndarray:
         d = np.where(neg, d - 256, d)
         x = x + neg.astype(np.uint64)
         out[m] = d.astype(np.int8)
-    assert not x.any(), "value out of 9-limb range"
+    assert (x == wrap.astype(np.uint64)).all(), "value out of 8-limb range"
     return out
 
 
@@ -111,48 +125,69 @@ def _mulmod_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return from_pairs(r0, r1)
 
 
+def _fold_sub_into_corr(corr: np.ndarray, off: int, plane_axis_stride: int,
+                        plane_axis: int):
+    """Fold the static plane-offset compensation into corr: adding the
+    byte-planes of (P - sum_m off*2^(8m)) mod P makes the assembled value
+    ≡ true + P ≡ true (mod P) directly, so the combine needs NO final
+    subtract (saves a sub64 + fold_borrow per element per dot)."""
+    sub = sum((off << (8 * m)) for m in range(N_WPLANES)) % P
+    sbar = (P - sub) % P
+    L = plane_axis_stride
+    for m in range(N_WPLANES):
+        b = (sbar >> (8 * m)) & 0xFF
+        if not b:
+            continue
+        sl = [slice(None)] * corr.ndim
+        sl[plane_axis] = slice(m * L, (m + 1) * L)
+        corr[tuple(sl)] += np.int32(b)
+    return corr
+
+
 def build_rhs_tables(Ms: np.ndarray):
     """Limb-encode matrices for RIGHT-side dots: out[b, k] = sum_l x[b, l]
     * M[l, k] (the transform axis is the LANE axis; batch rides sublanes).
 
     Ms: (K, L, L) u64 — one matrix per variant (twiddles/weights already
-    multiplied in). Returns (W8 (K, 8L, 9L) int8, corr (K, 1, 9L) int32,
-    sub_lo, sub_hi) where
+    multiplied in). Returns (W8 (K, 8L, 8L) int8, corr (K, 1, 8L) int32)
+    where
       W8[v, q*L + l, m*L + k] = balanced limb m of (Ms[v, l, k] * 256^q),
     so D = X8 @ W8[v] with X8[b, q*L + l] = byte q of x[b, l] (XOR 0x80)
-    yields the nine diagonal planes along the lane axis; corr adds back
-    the 128-offset plus the 2^23 plane offset (per output lane, broadcast
-    over batch rows)."""
+    yields the eight diagonal planes along the lane axis; corr adds back
+    the 128-offset plus the plane offset plus the byte-planes of the
+    offset's mod-P complement (per output lane, broadcast over batch
+    rows) — the combine is then subtraction-free."""
     K, L, L2 = Ms.shape
     assert L == L2
     scales = np.array([pow(256, q, P) for q in range(8)], dtype=np.uint64)
     # (K, L, 8, L): [v, l, q, k] = M[l, k] * 256^q
     Mq = _mulmod_u64(Ms[:, :, None, :], scales[None, None, :, None])
-    limbs = _balanced_limbs_vec(Mq)          # (9, K, L, 8, L) int8
+    limbs = _balanced_limbs_vec(Mq)          # (8, K, L, 8, L) int8
     # rows = (q, l) -> q*L + l; cols = (m, k) -> m*L + k
     W8 = np.ascontiguousarray(
         limbs.transpose(1, 3, 2, 0, 4).reshape(K, 8 * L, N_WPLANES * L))
     off = _plane_offset(8 * L)
     corr = (W8.astype(np.int64).sum(axis=1) * 128 + off
             ).astype(np.int32).reshape(K, 1, N_WPLANES * L)
-    sub = sum((off << (8 * m)) for m in range(N_WPLANES)) % P
-    return (W8, corr, np.uint32(sub & 0xFFFFFFFF), np.uint32(sub >> 32))
+    corr = _fold_sub_into_corr(corr, off, L, 2)
+    return W8, corr
 
 
 def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None,
                      col_scale: np.ndarray = None):
-    """Returns (W8 int8, corr int32, sub_lo, sub_hi).
+    """Returns (W8 int8, corr int32).
 
     W8[m*L + r, l*L + c] = balanced limb m of (M[r, c] * 256^l mod P).
-    corr adds back the x-side 128 offset; (sub_lo, sub_hi) is the u64 pair
-    of sum_m 2^23 * 2^(8m) mod P (the plane-offset compensation).
+    corr adds back the x-side 128 offset, the per-plane offset, and the
+    byte-planes of the offset's mod-P complement — the combine is then
+    subtraction-free.
 
     row_scale: optional (K, L) u64 — per-variant OUTPUT-row scalings (the
     inter-factor twiddles / inverse weights, constant across a kernel
     invocation's lanes): variant k encodes diag(row_scale[k]) @ M.
     col_scale: optional (K, L) u64 — per-variant INPUT-column scalings
     (the forward IBDWT weight r-parts): ... @ M @ diag(col_scale[k]).
-    With either, W8 is (K, 9L, 8L) and corr (K, 9L, 1); otherwise 2D.
+    With either, W8 is (K, 8L, 8L) and corr (K, 8L, 1); otherwise 2D.
     """
     M = dft_matrix(L, inverse)           # (L, L) u64
     if row_scale is None and col_scale is None:
@@ -167,7 +202,7 @@ def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None,
     scales = np.array([pow(256, l, P) for l in range(8)], dtype=np.uint64)
     # (K, L, 8, L): entry [k, r, l, c] = M_k[r, c] * 256^l mod P
     Ml = _mulmod_u64(Mk[:, :, None, :], scales[None, None, :, None])
-    limbs = _balanced_limbs_vec(Ml)      # (9, K, L, 8, L) int8
+    limbs = _balanced_limbs_vec(Ml)      # (8, K, L, 8, L) int8
     W8 = np.ascontiguousarray(
         limbs.transpose(1, 0, 2, 3, 4).reshape(K, N_WPLANES * L, 8 * L))
     # x-side 128-offset compensation, with the plane offset baked in
@@ -176,11 +211,10 @@ def build_mxu_tables(L: int, inverse: bool, row_scale: np.ndarray = None,
     corr = (W8.astype(np.int64).sum(axis=2) * 128 + off
             ).astype(np.int32)
     corr = corr.reshape(K, N_WPLANES * L, 1)
-    sub = sum((off << (8 * m)) for m in range(N_WPLANES)) % P
+    corr = _fold_sub_into_corr(corr, off, L, 1)
     if row_scale is None and col_scale is None:
         W8, corr = W8[0], corr[0]
-    return (W8, corr,
-            np.uint32(sub & 0xFFFFFFFF), np.uint32(sub >> 32))
+    return W8, corr
 
 
 # ---------------------------------------------------------------------------
@@ -207,13 +241,15 @@ def _pack_planes(g: GL, Xl, Xh):
     return xp.concatenate(planes, axis=0)
 
 
-def _merge_planes(g: GL, planes, sub_lo, sub_hi):
-    """Nine non-negative (< 2^27) int-plane arrays at byte positions 8m ->
-    exact lazy (lo, hi) u32 pair mod P, minus the static plane offset.
+def _merge_planes(g: GL, planes):
+    """Eight non-negative (< 2^27) int-plane arrays at byte positions 8m
+    -> exact lazy (lo, hi) u32 pair mod P. The static plane-offset
+    compensation is pre-folded into corr (_fold_sub_into_corr), so there
+    is no final subtract.
 
     Pair-merge scheme: adjacent planes (2j, 2j+1) merge into one value at
     16-bit position j (the odd plane's low byte shifts in; its upper bytes
-    carry to position j+1), then the five 16-bit-aligned values assemble
+    carry to position j+1), then the 16-bit-aligned values assemble
     into a 96-bit triple with addc-protected boundaries. Fewer VPU ops
     than per-plane 16-bit splitting, and safe for the wider plane bound
     of the corrected _plane_offset."""
@@ -230,28 +266,25 @@ def _merge_planes(g: GL, planes, sub_lo, sub_hi):
             t = t + carry_in
         u.append(t)
         carry_in = d_odd >> xp.uint32(8)
-    u.append(planes[8] + carry_in)
+    u.append(planes[8] + carry_in if len(planes) > 8 else carry_in)
     # u[j] < 2^27 + 2^19 at bit position 16j, j = 0..4
     w0, c0 = g.addc(u[0], (u[1] & M16) << xp.uint32(16))
     a = (u[1] >> xp.uint32(16)) + u[2] + c0
     w1, c1 = g.addc(a, (u[3] & M16) << xp.uint32(16))
     w2 = (u[3] >> xp.uint32(16)) + u[4] + c1
-    y0, y1 = g.fold96(w0, w1, w2)
-    d0, d1, br = g.sub64(y0, y1, sub_lo + xp.uint32(0) * y0,
-                         sub_hi + xp.uint32(0) * y0)
-    return g.fold_borrow(d0, d1, br)
+    return g.fold96(w0, w1, w2)
 
 
-def _combine_2d(g: GL, L, D, sub_lo, sub_hi):
-    """(9L, N) int32 diagonal planes -> exact (lo, hi) u32 pair mod P.
+def _combine_2d(g: GL, L, D):
+    """(8L, N) int32 diagonal planes -> exact (lo, hi) u32 pair mod P.
 
     Row-slices D (Mosaic supports sublane slicing; it does NOT support the
-    (9L, N) -> (9, L, N) leading split); the merge itself is the shared
+    (8L, N) -> (8, L, N) leading split); the merge itself is the shared
     pair-merge scheme (_merge_planes)."""
     xp = g.xp
     planes = [D[m * L:(m + 1) * L].astype(xp.uint32)
-              for m in range(N_WPLANES)]
-    return _merge_planes(g, planes, sub_lo, sub_hi)
+              for m in range(D.shape[0] // L)]
+    return _merge_planes(g, planes)
 
 
 def _pack_planes_rhs(g: GL, Xl, Xh):
@@ -271,6 +304,61 @@ def _pack_planes_rhs(g: GL, Xl, Xh):
             planes.append(jax.lax.bitcast_convert_type(
                 byte.astype(jnp.uint8), jnp.int8))
     return xp.concatenate(planes, axis=1)
+
+
+def lhs_bitcast_mode() -> str:
+    """Sublane byte order of Mosaic's width-changing u32 -> int8 bitcast,
+    for the LHS (transform-on-sublanes) pack: "" = off (shift/mask pack),
+    "wordmajor" = byte b of word l lands at sublane 4l + b (what
+    interpret mode does), "planemajor" = sublane b*L + l. Determined on
+    device with tools/probe_bitcast.py and set via PRMERS_LHS_BITCAST."""
+    import os
+    return os.environ.get("PRMERS_LHS_BITCAST", "")
+
+
+def lhs_byte_perm(L: int, mode: str) -> np.ndarray:
+    """Index map new_row -> old_row (old = plane order q*L + l) for the
+    (8L)-row LHS pack under the given bitcast order; X8 is the axis-0
+    concat [bitcast(x0), bitcast(x1)]."""
+    idx = np.empty(8 * L, dtype=np.int64)
+    for q in range(8):
+        half = 0 if q < 4 else 4 * L
+        b = q % 4
+        for ll in range(L):
+            if mode == "wordmajor":
+                new = half + ll * 4 + b
+            elif mode == "planemajor":
+                new = half + b * L + ll
+            else:
+                raise ValueError(mode)
+            idx[new] = q * L + ll
+    return idx
+
+
+def permute_lhs_cols_bytes(W8: np.ndarray, mode: str) -> np.ndarray:
+    """Reorder LHS-table contraction columns ((K,) PL, 8L; col = q*L + c)
+    to the bitcast byte order so X8 can be one XOR + bitcast per word.
+    corr is a row sum over the x-side 128 offset — unchanged."""
+    L = W8.shape[-1] // 8
+    return np.ascontiguousarray(W8[..., lhs_byte_perm(L, mode)])
+
+
+def _pack_planes_bitcast(g: GL, Xl, Xh, mode: str):
+    """(L, N) u32 pair -> (8L, N) int8 in the device bitcast byte order:
+    one XOR + width-changing bitcast per word. Pair only with
+    permute_lhs_cols_bytes'd tables."""
+    xp = g.xp
+    c = xp.uint32(0x80808080)
+    if xp is np:
+        # emulate: row new of X8 = plane-order row perm[new]
+        L = Xl.shape[0]
+        planes = _pack_planes(g, Xl, Xh)          # plane order q*L + l
+        return planes[lhs_byte_perm(L, mode)]
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    b0 = pltpu.bitcast(Xl ^ c, jnp.int8)
+    b1 = pltpu.bitcast(Xh ^ c, jnp.int8)
+    return jnp.concatenate([b0, b1], axis=0)
 
 
 def use_bytecast() -> bool:
@@ -314,18 +402,18 @@ def _pack_planes_rhs_bytes(g: GL, Xl, Xh):
     return jnp.concatenate([b0, b1], axis=1)
 
 
-def _combine_rhs(g: GL, L, D, sub_lo, sub_hi):
-    """(B, 9L) int32 planes (lane-major) -> (lo, hi) u32 pairs (B, L),
+def _combine_rhs(g: GL, L, D):
+    """(B, 8L) int32 planes (lane-major) -> (lo, hi) u32 pairs (B, L),
     via the shared pair-merge scheme slicing planes along LANES."""
     xp = g.xp
     planes = [D[:, m * L:(m + 1) * L].astype(xp.uint32)
-              for m in range(N_WPLANES)]
-    return _merge_planes(g, planes, sub_lo, sub_hi)
+              for m in range(D.shape[1] // L)]
+    return _merge_planes(g, planes)
 
 
-def mxu_rhs_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
+def mxu_rhs_apply(g: GL, x0, x1, L: int, w8, corr,
                   dot=None, bytes_order: bool = False):
-    """Lane-axis DFT of a (B, L) u32-pair batch via one (B, 8L) @ (8L, 9L)
+    """Lane-axis DFT of a (B, L) u32-pair batch via one (B, 8L) @ (8L, 8L)
     int8 matmul; exact mod-P lazy pair out. w8/corr are ONE variant slice
     from build_rhs_tables (rows byte-permuted when bytes_order)."""
     xp = g.xp
@@ -338,10 +426,10 @@ def mxu_rhs_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
         import jax.numpy as jnp
         D = lax.dot_general(X8, w8, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    return _combine_rhs(g, L, D + corr, sub_lo, sub_hi)
+    return _combine_rhs(g, L, D + corr)
 
 
-def mxu_dft_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
+def mxu_dft_apply(g: GL, x0, x1, L: int, w8, corr,
                   grp: int = 8):
     """Transform along axis 0 of (L, ...batch) u32-pair arrays via the MXU.
 
@@ -361,21 +449,27 @@ def mxu_dft_apply(g: GL, x0, x1, L: int, w8, corr, sub_lo, sub_hi,
         B *= d
     LN = rest[-1] if rest else 1
     MID = B // LN
+    lhs_mode = lhs_bitcast_mode()
+
+    def pack(Xl, Xh):
+        if lhs_mode:
+            return _pack_planes_bitcast(g, Xl, Xh, lhs_mode)
+        return _pack_planes(g, Xl, Xh)
 
     if is_np:
-        D = w8.astype(np.int32) @ _pack_planes(
-            g, x0.reshape(L, B), x1.reshape(L, B)).astype(np.int32)
-        y0, y1 = _combine_2d(g, L, D + corr, sub_lo, sub_hi)
+        D = w8.astype(np.int32) @ pack(
+            x0.reshape(L, B), x1.reshape(L, B)).astype(np.int32)
+        y0, y1 = _combine_2d(g, L, D + corr)
         return y0.reshape((L,) + rest), y1.reshape((L,) + rest)
 
     from jax import lax
     import jax.numpy as jnp
 
     def one_dot(Xl, Xh):
-        X8 = _pack_planes(g, Xl, Xh)
+        X8 = pack(Xl, Xh)
         D = lax.dot_general(w8, X8, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-        return _combine_2d(g, L, D + corr, sub_lo, sub_hi)
+        return _combine_2d(g, L, D + corr)
 
     if MID == 1 or len(rest) == 1:
         y0, y1 = one_dot(x0.reshape(L, B), x1.reshape(L, B))

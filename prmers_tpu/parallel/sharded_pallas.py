@@ -91,17 +91,13 @@ class PallasShardedTables:
         add("p1_corr", corrf, r1_3)
         add("p7_w8", w8i, r1_3)
         add("p7_corr", corri, r1_3)
-        self.sub_fwd = t.mxu_sub("tr_fwd_w")
-        self.sub_inv = t.mxu_sub("iw_inv")
-
         g2 = t.mxu.get(fsm.mxu_key(fp.rs.L2, False))
-        self.sub_g2 = t.mxu_sub(fsm.mxu_key(fp.rs.L2, False)) if g2 \
-            else None
+        self.has_g2 = g2 is not None
         if g2:
             add("p2_w8", g2[0], rep(g2[0]))
             add("p2_corr", g2[1], rep(g2[1]))
         g2i = t.mxu.get("tr_inv")
-        self.sub_g2i = t.mxu_sub("tr_inv") if g2i else None
+        self.has_g2i = g2i is not None
         if g2i:
             add("p6_w8", g2i[0], r1_3)   # K = R1 variants, r1-sharded
             add("p6_corr", g2i[1], r1_3)
@@ -122,8 +118,6 @@ class PallasShardedTables:
         for nm, a in zip(("fc_wf8", "fc_corrf", "fc_wi8", "fc_corri",
                           "fc_wrapc"), t.fused[:5]):
             add(nm, a, rep(a))
-        self.sub_fc_f = t.mxu_sub("fc_fwd")
-        self.sub_fc_i = t.mxu_sub("fc_inv")
         k, wtab, cum = kn._cin_plan(fp)
         self.cin_k = k
         add("cin_wt", wtab, P(LIMB, None))           # (R1, k)
@@ -246,25 +240,25 @@ def build_pallas_sharded_step(tb: PallasShardedTables):
         x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
         x0, x1 = kn._axis0_pass(
             x0, x1, fp.rs.L1, False,
-            mxu=((d["p1_w8"], d["p1_corr"]), tb.sub_fwd),
+            mxu=(d["p1_w8"], d["p1_corr"]),
             wcorr=(d["er"], d["ec"], fp.n))
         x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
 
         # ---- P2 / F2 / P6 under r1-sharding -------------------------
-        mx2 = (((d["p2_w8"], d["p2_corr"]), tb.sub_g2)
-               if tb.sub_g2 else None)
+        mx2 = ((d["p2_w8"], d["p2_corr"])
+               if tb.has_g2 else None)
         x0, x1 = kn._axis1_pass(x0, x1, fp.rs.L2, False,
                                 post=(d["mid_f0"], d["mid_f1"]), mxu=mx2)
         x0, x1 = _fused_local(fp, t, x0, x1,
                               (d["fc_wf8"], d["fc_corrf"], d["fc_wi8"],
                                d["fc_corri"], d["fc_wrapc"]))
-        mx6 = (((d["p6_w8"], d["p6_corr"]), tb.sub_g2i)
-               if tb.sub_g2i else None)
+        mx6 = ((d["p6_w8"], d["p6_corr"])
+               if tb.has_g2i else None)
         x0, x1 = kn._axis1_pass(
             x0, x1, fp.rs.L2, True,
             pre=(d["mid_i0"], d["mid_i1"]),
-            post=(None if tb.sub_g2i
+            post=(None if tb.has_g2i
                   else (d["t_r_inv0"], d["t_r_inv1"])),
             mxu=mx6)
 
@@ -273,7 +267,7 @@ def build_pallas_sharded_step(tb: PallasShardedTables):
         x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
         x0, x1 = kn._axis0_pass(
             x0, x1, fp.rs.L1, True,
-            mxu=((d["p7_w8"], d["p7_corr"]), tb.sub_inv),
+            mxu=(d["p7_w8"], d["p7_corr"]),
             wcorr=(d["er"], d["ec"], fp.n), canon=True)
         x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
@@ -336,19 +330,19 @@ def _build_rowcarry_step(tb: PallasShardedTables):
         x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
 
         # ---- P2 / F2 / P6 under r1-sharding -------------------------
-        mx2 = (((d["p2_w8"], d["p2_corr"]), tb.sub_g2)
-               if tb.sub_g2 else None)
+        mx2 = ((d["p2_w8"], d["p2_corr"])
+               if tb.has_g2 else None)
         x0, x1 = kn._axis1_pass(x0, x1, fp.rs.L2, False,
                                 post=(d["mid_f0"], d["mid_f1"]), mxu=mx2)
         x0, x1 = _fused_local(fp, t, x0, x1,
                               (d["fc_wf8"], d["fc_corrf"], d["fc_wi8"],
                                d["fc_corri"], d["fc_wrapc"]))
-        mx6 = (((d["p6_w8"], d["p6_corr"]), tb.sub_g2i)
-               if tb.sub_g2i else None)
+        mx6 = ((d["p6_w8"], d["p6_corr"])
+               if tb.has_g2i else None)
         x0, x1 = kn._axis1_pass(
             x0, x1, fp.rs.L2, True,
             pre=(d["mid_i0"], d["mid_i1"]),
-            post=(None if tb.sub_g2i
+            post=(None if tb.has_g2i
                   else (d["t_r_inv0"], d["t_r_inv1"])),
             mxu=mx6)
 

@@ -9,7 +9,8 @@ import pytest
 from prmers_tpu.ops.pallas.gl64 import GL, to_pairs, from_pairs
 from prmers_tpu.ops.pallas import fourstep as fsm
 from prmers_tpu.ops.pallas.mxu_dft import (
-    N_WPLANES, build_mxu_tables, dft_matrix, mxu_dft_apply, _balanced_limbs)
+    N_WPLANES, build_mxu_tables, dft_matrix, mxu_dft_apply,
+    _balanced_limbs, lhs_bitcast_mode, permute_lhs_cols_bytes)
 from prmers_tpu.core.field import P
 
 
@@ -18,10 +19,13 @@ from prmers_tpu.core.field import P
 def test_mxu_dft_matches_dft_axis0(L, inverse):
     g = GL(np)
     rng = np.random.default_rng(11 + L + inverse)
-    w8, corr, sub_lo, sub_hi = build_mxu_tables(L, inverse)
+    w8, corr = build_mxu_tables(L, inverse)
+    if lhs_bitcast_mode():
+        # mirror attach_mxu_tables: contraction cols in bitcast order
+        w8 = permute_lhs_cols_bytes(w8, lhs_bitcast_mode())
     x = rng.integers(0, 1 << 64, size=(L, 2, 128), dtype=np.uint64)
     x0, x1 = to_pairs(x)
-    y0, y1 = mxu_dft_apply(g, x0, x1, L, w8, corr, sub_lo, sub_hi)
+    y0, y1 = mxu_dft_apply(g, x0, x1, L, w8, corr)
     c0, c1 = g.canon(y0, y1)
     r0, r1 = fsm.dft_axis0(g, x0, x1, L, inverse)
     rc0, rc1 = g.canon(r0, r1)
@@ -29,13 +33,16 @@ def test_mxu_dft_matches_dft_axis0(L, inverse):
 
 
 def test_balanced_limbs_exact():
+    """8-plane signed decomposition: reconstruction == v or v - P
+    (both ≡ v mod P); inputs are canonical residues [0, P)."""
     rng = np.random.default_rng(5)
-    for v in [0, 1, P - 1, (1 << 64) - 1,
-              *rng.integers(0, 1 << 64, size=50, dtype=np.uint64)]:
+    for v in [0, 1, P - 1, P // 2, P // 2 + 1,
+              *(rng.integers(0, 1 << 64, size=50, dtype=np.uint64) % P)]:
         d = _balanced_limbs(int(v))
         assert len(d) == N_WPLANES
         assert all(-128 <= x <= 127 for x in d)
-        assert sum(x << (8 * i) for i, x in enumerate(d)) == int(v)
+        got = sum(x << (8 * i) for i, x in enumerate(d))
+        assert got in (int(v), int(v) - P)
 
 
 def test_dft_matrix_is_linear_map():

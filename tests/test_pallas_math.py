@@ -102,12 +102,11 @@ class TestFusedC:
         L, B = 128, 32
         r = np.random.default_rng(5)
         Ms = r.integers(0, 1 << 64, (2, L, L), dtype=np.uint64)
-        w8, corr, sub_lo, sub_hi = build_rhs_tables(Ms)
+        w8, corr = build_rhs_tables(Ms)
         x = r.integers(0, 1 << 64, (B, L), dtype=np.uint64)
         x0, x1 = to_pairs(x)
         for v in range(2):
-            y0, y1 = mxu_rhs_apply(g, x0, x1, L, w8[v], corr[v],
-                                   sub_lo, sub_hi)
+            y0, y1 = mxu_rhs_apply(g, x0, x1, L, w8[v], corr[v])
             got = from_pairs(y0, y1).astype(object)
             # out[b, k] = sum_l x[b, l] * M[l, k] -> x @ M
             want = (x.astype(object) @ Ms[v].astype(object)) % P

@@ -84,6 +84,28 @@ def serial(fn2):
 stages = []
 
 if kn._fused_ok(fp, tbl):
+    kn.attach_cinrow(tbl, device_put=jax.device_put)
+rowcarry = kn.use_rowcarry(fp, tbl)
+if rowcarry:
+    rc0 = jnp.zeros((R1, R2, 128), jnp.uint32)
+    rc1 = jnp.zeros((R1, R2, 128), jnp.uint32)
+    stages.append(("P1c inject+dot", serial(
+        lambda tb, a, b: kn.p1_carry_pass(fp, tb, a, b, rc0, rc1)),
+        (x0, x1)))
+    stages.append(("F2BIG r2+C+sqr+mirrors", serial(
+        lambda tb, a, b: kn.fused_c_pass(fp, tb, a, b, "sqr",
+                                         r2fold=True)), (x0, x1)))
+    stages.append(("P7c dot+carry", serial(
+        lambda tb, a, b: kn.p7_carry_pass(fp, tb, a, b, None, True)[:2]),
+        (x0, x1)))
+
+    @jax.jit
+    def full_rc(tb, a, b):
+        d0, d1, c0, c1 = kn.square_step(fp, tb, a, b, rc0, rc1, a_pair,
+                                        a_is_one=True)
+        return d0, d1
+
+if kn._fused_ok(fp, tbl):
     wf = kn._wfold_ok(fp, tbl)
     stages.append(("P1+P2 fwd_r (fused mid)", serial(
         lambda tb, a, b: kn._forward_r(fp, tb, a, b, cin=(z11, z11),
@@ -132,6 +154,10 @@ for name, fn, args in stages:
     total += dt
     print(f"{name:28s} {dt*1e3:8.3f} ms", flush=True)
 print(f"{'SUM':28s} {total*1e3:8.3f} ms", flush=True)
+if rowcarry:
+    dt_rc = timeit(full_rc, tbl, x0, x1)
+    print(f"{'square_step (rowcarry)':28s} {dt_rc*1e3:8.3f} ms "
+          f"-> {1.0/dt_rc:7.1f} iter/s", flush=True)
 dt_full = timeit(full, tbl, x0, x1)
 print(f"{'square_step (jit whole)':28s} {dt_full*1e3:8.3f} ms "
       f"-> {1.0/dt_full:7.1f} iter/s")
