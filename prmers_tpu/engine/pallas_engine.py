@@ -93,6 +93,14 @@ def op_square_seq_ones(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+def op_square_chain(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
+                    a_vec0):
+    """Whole chain in ONE kernel (small/mid n): data, carries, and every
+    table stay VMEM-resident across the K iterations."""
+    return kn.square_chain(fp, t, x0, x1, c0, c1, a_vec0)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
 def op_square_one(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1, a):
     ap = (a.reshape(1, 1), jnp.zeros((1, 1), jnp.uint32))
     return kn.square_step(fp, t, x0, x1, c0, c1, ap)
@@ -178,6 +186,10 @@ class PallasEngine(Engine):
         self._rc = kn.use_rowcarry(self.fp, self.t)
         self._csh = ((self._r1, self.fp.rs.L2, 128) if self._rc
                      else (self._r1, 1))
+        # whole-chain VMEM kernel for shapes whose working set fits on
+        # core: one dispatch per _SEQ_CHUNK squarings, zero HBM round
+        # trips between iterations
+        self._chain = kn.chain_ok(self.fp, self.t)
         # per-register state: [x0, x1, c0, c1, is_spectral]
         self.regs = [[z5(), z5(), self._zc(), self._zc(), False]
                      for _ in range(reg_count)]
@@ -224,6 +236,26 @@ class PallasEngine(Engine):
         off = 0
         st = self.regs[src]
         state = (st[0], st[1], st[2], st[3])
+        if self._chain:
+            # full chunks through the whole-chain kernel (ONE Mosaic
+            # compile at length k); odd-length tails go through the
+            # already-compiled per-step pipeline instead of forcing a
+            # fresh multi-minute kernel compile per distinct length
+            while len(a) - off >= k:
+                state = op_square_chain(self.fp, self.t, *state,
+                                        jnp.asarray(a[off:off + k]))
+                off += k
+            rest = a[off:]
+            if len(rest):
+                if (rest == 1).all():
+                    state = op_square_seq_ones(self.fp, self.t, *state,
+                                               jnp.int32(len(rest)))
+                else:
+                    state = op_square_seq(self.fp, self.t, *state,
+                                          jnp.asarray(rest))
+            self.regs[src] = [state[0], state[1], state[2], state[3],
+                              False]
+            return
         if (a == 1).all():
             # PRP hot chain: statically multiplier-free carry kernel
             while off < len(a):

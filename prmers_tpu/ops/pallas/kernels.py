@@ -362,22 +362,10 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
 # rule for the small outputs).
 # ---------------------------------------------------------------------------
 
-def _p1c_kernel(L: int, k: int, wcorr_n, *refs):
-    """P1 with vectorized carry injection: every row (r1, r2) receives
-    the previous row's boundary carry (pre-rolled outside), spread
-    base-2^width into its first k lanes, then the weight-fold wrap halve
-    and the per-r2-variant MXU dot."""
-    (cin0_ref, cin1_ref, wt_ref, cum_ref, x0_ref, x1_ref,
-     er_ref, ec_ref, w8_ref, corr_ref, o0_ref, o1_ref) = refs
-    sh = x0_ref.shape                   # (L, S, C)
-    v = (L, sh[1], sh[2])
-    x0 = x0_ref[:].reshape(v)
-    x1 = x1_ref[:].reshape(v)
-
-    c0 = cin0_ref[:, :, 0:1]            # (L, S, 1)
-    c1 = cin1_ref[:, :, 0:1]
-    wt = wt_ref[:]                      # (L, S, k)
-    cum = cum_ref[:]
+def _inject_rows_math(x0, x1, c0, c1, wt, cum, k: int, v):
+    """Spread each row's incoming boundary carry (value in lane 0 of
+    c0/c1, already rolled) base-2^width into the row's first k lanes and
+    add to x0 (parts < 2^(w+1): cannot wrap the low word)."""
     lane = lax.broadcasted_iota(jnp.int32, v, 2)
     add = jnp.zeros(v, jnp.uint32)
     for j in range(k):
@@ -396,7 +384,25 @@ def _p1c_kernel(L: int, k: int, wcorr_n, *refs):
         else:
             part = jnp.where(cm >= jnp.uint32(64), jnp.uint32(0), part)
         add = jnp.where(lane == j, jnp.broadcast_to(part, v), add)
-    x0 = x0 + add   # parts < 2^(w+1): cannot wrap the low word
+    return x0 + add, x1
+
+
+def _p1c_kernel(L: int, k: int, wcorr_n, *refs):
+    """P1 with vectorized carry injection: every row (r1, r2) receives
+    the previous row's boundary carry (pre-rolled outside), spread
+    base-2^width into its first k lanes, then the weight-fold wrap halve
+    and the per-r2-variant MXU dot."""
+    (cin0_ref, cin1_ref, wt_ref, cum_ref, x0_ref, x1_ref,
+     er_ref, ec_ref, w8_ref, corr_ref, o0_ref, o1_ref) = refs
+    sh = x0_ref.shape                   # (L, S, C)
+    v = (L, sh[1], sh[2])
+    x0 = x0_ref[:].reshape(v)
+    x1 = x1_ref[:].reshape(v)
+
+    c0 = cin0_ref[:, :, 0:1]            # (L, S, 1)
+    c1 = cin1_ref[:, :, 0:1]
+    x0, x1 = _inject_rows_math(x0, x1, c0, c1, wt_ref[:], cum_ref[:],
+                               k, v)
 
     er = er_ref[:].reshape(L, sh[1], 1)
     ec = ec_ref[:].reshape(1, 1, sh[2])
@@ -414,6 +420,49 @@ def _p1c_kernel(L: int, k: int, wcorr_n, *refs):
     x1 = jnp.concatenate(outs1, axis=1) if S > 1 else outs1[0]
     o0_ref[:] = x0.reshape(sh)
     o1_ref[:] = x1.reshape(sh)
+
+
+def _carry_phase_math(x0, x1, wd, mk0, mk1, rounds: int, v):
+    """Digit/carry split + fixed lane-ripple rounds + residual tail; the
+    per-row boundary carry accumulates into (.., .., 1) acc pairs (the
+    flat digit order within a row IS the lane order)."""
+    L, S = v[0], v[1]
+    rem = jnp.uint32(31) - wd
+
+    def split(y0, y1):
+        d0 = y0 & mk0
+        d1 = y1 & mk1
+        c0 = (y0 >> wd) | ((y1 << jnp.uint32(1)) << rem)
+        c1 = y1 >> wd
+        return d0, d1, c0, c1
+
+    d0, d1, c0, c1 = split(x0, x1)
+    lane = lax.broadcasted_iota(jnp.int32, v, 2)
+
+    def shift_lane(c0, c1):
+        out0 = c0[:, :, -1:]            # (L, S, 1): leaves the row
+        out1 = c1[:, :, -1:]
+        A0 = pltpu.roll(c0, jnp.int32(1), axis=2)
+        A1 = pltpu.roll(c1, jnp.int32(1), axis=2)
+        z = jnp.uint32(0)
+        return (jnp.where(lane > 0, A0, z), jnp.where(lane > 0, A1, z),
+                out0, out1)
+
+    acc0 = jnp.zeros((L, S, 1), jnp.uint32)
+    acc1 = jnp.zeros((L, S, 1), jnp.uint32)
+    for _ in range(rounds):
+        c0, c1, o0c, o1c = shift_lane(c0, c1)
+        s0, cc = g.addc(acc0, o0c)
+        acc0, acc1 = s0, acc1 + o1c + cc
+        y0, yc = g.addc(d0, c0)
+        y1 = d1 + c1 + yc
+        d0, d1, c0, c1 = split(y0, y1)
+    # residual <= 2^(wmin-1): add unsplit (digit slack covers it)
+    c0, c1, o0c, o1c = shift_lane(c0, c1)
+    s0, cc = g.addc(acc0, o0c)
+    acc0, acc1 = s0, acc1 + o1c + cc
+    d0 = d0 + c0
+    return d0, d1, acc0, acc1
 
 
 def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
@@ -456,44 +505,10 @@ def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
         x0, x1 = g.mul_small(x0, x1, a)
         x0, x1 = g.canon(x0, x1)
 
-    wd = wd_ref[:].reshape(v)
-    mk0 = mk0_ref[:].reshape(v)
-    mk1 = mk1_ref[:].reshape(v)
-    rem = jnp.uint32(31) - wd
-
-    def split(y0, y1):
-        d0 = y0 & mk0
-        d1 = y1 & mk1
-        c0 = (y0 >> wd) | ((y1 << jnp.uint32(1)) << rem)
-        c1 = y1 >> wd
-        return d0, d1, c0, c1
-
-    d0, d1, c0, c1 = split(x0, x1)
-    lane = lax.broadcasted_iota(jnp.int32, v, 2)
-
-    def shift_lane(c0, c1):
-        out0 = c0[:, :, -1:]            # (L, S, 1): leaves the row
-        out1 = c1[:, :, -1:]
-        A0 = pltpu.roll(c0, jnp.int32(1), axis=2)
-        A1 = pltpu.roll(c1, jnp.int32(1), axis=2)
-        z = jnp.uint32(0)
-        return (jnp.where(lane > 0, A0, z), jnp.where(lane > 0, A1, z),
-                out0, out1)
-
-    acc0 = jnp.zeros((L, sh[1], 1), jnp.uint32)
-    acc1 = jnp.zeros((L, sh[1], 1), jnp.uint32)
-    for _ in range(rounds):
-        c0, c1, o0c, o1c = shift_lane(c0, c1)
-        s0, cc = g.addc(acc0, o0c)
-        acc0, acc1 = s0, acc1 + o1c + cc
-        y0, yc = g.addc(d0, c0)
-        y1 = d1 + c1 + yc
-        d0, d1, c0, c1 = split(y0, y1)
-    # residual <= 2^(wmin-1): add unsplit (digit slack covers it)
-    c0, c1, o0c, o1c = shift_lane(c0, c1)
-    s0, cc = g.addc(acc0, o0c)
-    acc0, acc1 = s0, acc1 + o1c + cc
-    d0 = d0 + c0
+    d0, d1, acc0, acc1 = _carry_phase_math(x0, x1, wd_ref[:].reshape(v),
+                                           mk0_ref[:].reshape(v),
+                                           mk1_ref[:].reshape(v),
+                                           rounds, v)
 
     o0_ref[:] = d0.reshape(sh)
     o1_ref[:] = d1.reshape(sh)
@@ -1217,3 +1232,220 @@ def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
     s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
     return fused_c_pass(fp, t, s0, s1, "fwd", r2fold=True)
+
+
+# ---------------------------------------------------------------------------
+# Whole-chain VMEM kernel (small/mid n): K squarings inside ONE kernel.
+# Everything — data, carry rows, every table — stays VMEM-resident across
+# iterations, so the per-iteration kernel dispatches and HBM round trips
+# that dominate small transforms vanish. The reference's analog is the
+# fused sqrK tail kernel looped from the host (kernels/marin.cl:1267);
+# here the loop itself moves on-core because VMEM holds the whole state.
+# ---------------------------------------------------------------------------
+
+def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
+                  ca_count: int, *refs):
+    (a_ref, x0_ref, x1_ref, ci0_ref, ci1_ref,
+     wt_ref, cum_ref, er_ref, ec_ref,
+     w1_ref, c1p_ref, mf0_ref, mf1_ref, mi0_ref, mi1_ref,
+     tri0_ref, tri1_ref,
+     wf8_ref, corrf_ref, wi8_ref, corri_ref, wrapc_ref,
+     w7_ref, c7p_ref, wd_ref, mk0_ref, mk1_ref,
+     o0_ref, o1_ref, co0_ref, co1_ref) = refs
+    L1, L2 = fp.rs.L1, fp.rs.L2
+    sh = x0_ref.shape                    # (R1, R2, C)
+    R1, R2, C = sh
+    v = sh
+    rows = R1 * R2
+
+    wt = wt_ref[:]
+    cum = cum_ref[:]
+    er = er_ref[:].reshape(R1, R2, 1)
+    ec = ec_ref[:].reshape(1, 1, C)
+    wmask = jnp.broadcast_to((er + ec) >= jnp.uint32(fp.n), v)
+    cmask2 = jnp.broadcast_to(wrapc_ref[:] != jnp.uint32(0), (rows, C))
+    wd = wd_ref[:]
+    mk0 = mk0_ref[:]
+    mk1 = mk1_ref[:]
+    tri0 = tri0_ref[:]
+    tri1 = tri1_ref[:]
+
+    pack = (mxm._pack_planes_rhs_bytes if mxm.use_bytecast()
+            else mxm._pack_planes_rhs)
+
+    def dots(y0, y1, w8_ref, corr_ref):
+        X8s = [pack(g, y0[:, j * 128:(j + 1) * 128],
+                    y1[:, j * 128:(j + 1) * 128])
+               for j in range(ca_count)]
+        Ds = [lax.dot_general(X8s[j], w8_ref[j], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+              for j in range(ca_count)]
+        outs0, outs1 = [], []
+        for j in range(ca_count):
+            r0, r1 = mxm._combine_rhs(g, 128, Ds[j] + corr_ref[j])
+            outs0.append(r0)
+            outs1.append(r1)
+        return (jnp.concatenate(outs0, axis=1),
+                jnp.concatenate(outs1, axis=1))
+
+    def sdots(y0, y1, w8_ref, corr_ref):
+        # per-r2-variant axis-0 dots (P1/P7 folded tables)
+        outs0, outs1 = [], []
+        for s in range(R2):
+            r0, r1 = mxm.mxu_dft_apply(g, y0[:, s, :], y1[:, s, :], L1,
+                                       w8_ref[s], corr_ref[s])
+            outs0.append(r0.reshape(L1, 1, C))
+            outs1.append(r1.reshape(L1, 1, C))
+        y0 = jnp.concatenate(outs0, axis=1) if R2 > 1 else outs0[0]
+        y1 = jnp.concatenate(outs1, axis=1) if R2 > 1 else outs1[0]
+        return y0, y1
+
+    def dft_mid(x0, x1, inverse):
+        # length-L2 DIF/DIT along axis 1 via rank-2 slices; identical
+        # orderings to fsm.dft_axis0 (same structure as fsm.dft_lanes)
+        levels = fsm.shift_exponents(L2)
+        if inverse:
+            levels = levels[::-1]
+        for m, exps in levels:
+            Bf = L2 // (2 * m)
+            outs0 = [None] * L2
+            outs1 = [None] * L2
+            for blk in range(Bf):
+                for jj in range(m):
+                    pa = blk * 2 * m + jj
+                    pb = pa + m
+                    a0, a1 = x0[:, pa, :], x1[:, pa, :]
+                    b0, b1 = x0[:, pb, :], x1[:, pb, :]
+                    e = exps[jj]
+                    if not inverse:
+                        s0, s1 = g.add(a0, a1, b0, b1)
+                        d0, d1 = g.sub(a0, a1, b0, b1)
+                        if e:
+                            d0, d1 = g.shiftmul(d0, d1, e)
+                        outs0[pa], outs1[pa] = s0, s1
+                        outs0[pb], outs1[pb] = d0, d1
+                    else:
+                        t0, t1 = (g.shiftmul(b0, b1, 96 - e) if e
+                                  else (b0, b1))
+                        s0, s1 = g.add(a0, a1, t0, t1)
+                        d0, d1 = g.sub(a0, a1, t0, t1)
+                        if e:
+                            outs0[pa], outs1[pa] = d0, d1
+                            outs0[pb], outs1[pb] = s0, s1
+                        else:
+                            outs0[pa], outs1[pa] = s0, s1
+                            outs0[pb], outs1[pb] = d0, d1
+            x0 = jnp.stack(outs0, axis=1)
+            x1 = jnp.stack(outs1, axis=1)
+        return x0, x1
+
+    def one(it, state):
+        x0, x1, a0c, a1c = state
+        # roll the row carries by one flat row (wrap = the mod-M_p fold)
+        f0 = a0c.reshape(rows, 1)
+        f1 = a1c.reshape(rows, 1)
+        c0 = jnp.concatenate([f0[rows - 1:], f0[:rows - 1]], axis=0)
+        c1 = jnp.concatenate([f1[rows - 1:], f1[:rows - 1]], axis=0)
+        c0 = c0.reshape(R1, R2, 1)
+        c1 = c1.reshape(R1, R2, 1)
+        # P1: inject + weight-fold wrap halve + per-r2-variant dot
+        x0, x1 = _inject_rows_math(x0, x1, c0, c1, wt, cum, k, v)
+        x0, x1 = g.halve_where(x0, x1, wmask)
+        x0, x1 = sdots(x0, x1, w1_ref, c1p_ref)
+        # P2 (VPU shift butterflies) + folded mid table
+        x0, x1 = dft_mid(x0, x1, False)
+        x0, x1 = g.mul(x0, x1, mf0_ref[:], mf1_ref[:])
+        # C transform + dyadic square + mirror
+        y0 = x0.reshape(rows, C)
+        y1 = x1.reshape(rows, C)
+        y0, y1 = g.halve_where(y0, y1, cmask2)
+        y0, y1 = fsm.dft_lanes(g, y0, y1, ca_count, 128, False)
+        y0, y1 = dots(y0, y1, wf8_ref, corrf_ref)
+        y0, y1 = g.sqr(y0, y1)
+        y0, y1 = dots(y0, y1, wi8_ref, corri_ref)
+        y0, y1 = fsm.dft_lanes(g, y0, y1, ca_count, 128, True)
+        y0, y1 = g.double_where(y0, y1, cmask2)
+        x0 = y0.reshape(v)
+        x1 = y1.reshape(v)
+        # P6: mid_inv + r2-inverse butterflies + t_r_inv
+        x0, x1 = g.mul(x0, x1, mi0_ref[:], mi1_ref[:])
+        x0, x1 = dft_mid(x0, x1, True)
+        x0, x1 = g.mul(x0, x1, tri0, tri1)
+        # P7: per-r2-variant inverse dot + wrap double + canon + a
+        x0, x1 = sdots(x0, x1, w7_ref, c7p_ref)
+        x0, x1 = g.double_where(x0, x1, wmask)
+        x0, x1 = g.canon(x0, x1)
+        x0, x1 = g.mul_small(x0, x1, a_ref[it, 0])
+        x0, x1 = g.canon(x0, x1)
+        # carry phase
+        return _carry_phase_math(x0, x1, wd, mk0, mk1, rounds, v)
+
+    st0 = (x0_ref[:], x1_ref[:],
+           ci0_ref[:, :, 0:1], ci1_ref[:, :, 0:1])
+    d0, d1, a0c, a1c = lax.fori_loop(0, K, one, st0)
+    o0_ref[:] = d0
+    o1_ref[:] = d1
+    cv = (R1, R2, 128)
+    cl = lax.broadcasted_iota(jnp.int32, cv, 2)
+    co0_ref[:] = jnp.where(cl == 0, jnp.broadcast_to(a0c, cv),
+                           jnp.uint32(0))
+    co1_ref[:] = jnp.where(cl == 0, jnp.broadcast_to(a1c, cv),
+                           jnp.uint32(0))
+
+
+def chain_ok(fp: FourStepPlan, t: FourStepTables) -> bool:
+    """Whole-chain kernel eligibility: row-carry tables live, power-of-two
+    r2 factor small enough to unroll, C a lane-tile multiple, and the
+    whole working set within the VMEM budget."""
+    import os
+    if os.environ.get("PRMERS_NO_CHAIN") or not use_rowcarry(fp, t):
+        return False
+    L2 = fp.rs.L2
+    if L2 & (L2 - 1) or L2 > 8:
+        return False
+    ca = fp.C // 128
+    if fp.C % 128 or ca & (ca - 1) or ca > 8:
+        return False
+    # data (~10 live n-sized u32 temps) + mids/widths/masks + fused W8s
+    est = 10 * 4 * fp.n + 7 * 4 * fp.n + 2 * ca * (8 * 128) * (8 * 128)
+    return est < 80 * 1024 * 1024
+
+
+def square_chain(fp: FourStepPlan, t: FourStepTables, x0, x1,
+                 cin0, cin1, a_vec):
+    """K = len(a_vec) squarings (x^2 * a_k per step) in ONE kernel; carry
+    state in/out is the row-carry (R1, R2, 128) block."""
+    K = int(a_vec.shape[0])
+    sh = x0.shape
+    R1, R2, C = sh
+    wt, cum = t.cinrow
+    k = int(wt.shape[-1])
+    w1, c1p = t.mxu["tr_fwd_w"]
+    w7, c7p = t.mxu["iw_inv"]
+    er_t, ec_t = t.wcorr
+    (wf8, corrf, wi8, corri, wrapc, mf0, mf1, mi0, mi1) = t.fused
+    kern = functools.partial(_chain_kernel, fp, K, k, _carry_rounds(fp),
+                             int(wf8.shape[0]))
+    full = _full
+    ins = [a_vec.reshape(K, 1), x0, x1, cin0, cin1,
+           wt, cum, er_t, ec_t, w1, c1p, mf0, mf1, mi0, mi1,
+           t.t_r_inv[0], t.t_r_inv[1],
+           wf8, corrf, wi8, corri, wrapc,
+           w7, c7p, t.widths32, t.masks_lo, t.masks_hi]
+    in_specs = [pl.BlockSpec((K, 1), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.SMEM)] + \
+        [full(a.shape) for a in ins[1:]]
+    d0, d1, co0, co1 = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=(full(sh), full(sh),
+                   full((R1, R2, 128)), full((R1, R2, 128))),
+        out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct(sh, jnp.uint32),
+                   jax.ShapeDtypeStruct((R1, R2, 128), jnp.uint32),
+                   jax.ShapeDtypeStruct((R1, R2, 128), jnp.uint32)),
+        compiler_params=_cparams(),
+        interpret=_interpret(),
+    )(*ins)
+    return d0, d1, co0, co1

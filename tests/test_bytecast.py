@@ -22,13 +22,13 @@ def test_rhs_bytes_pack_matches_plane_pack():
     rng = np.random.default_rng(2)
     L = 128
     Ms = rng.integers(0, (1 << 63), (2, L, L), dtype=np.uint64)
-    w8, corr, sl, sh = mxm.build_rhs_tables(Ms)
+    w8, corr = mxm.build_rhs_tables(Ms)
     w8b = mxm.permute_rhs_rows_bytes(w8)
     x0 = rng.integers(0, 1 << 32, (16, L), dtype=np.uint32)
     x1 = rng.integers(0, 1 << 32, (16, L), dtype=np.uint32)
     for v in range(2):
-        a = mxm.mxu_rhs_apply(g, x0, x1, L, w8[v], corr[v], sl, sh)
-        b = mxm.mxu_rhs_apply(g, x0, x1, L, w8b[v], corr[v], sl, sh,
+        a = mxm.mxu_rhs_apply(g, x0, x1, L, w8[v], corr[v])
+        b = mxm.mxu_rhs_apply(g, x0, x1, L, w8b[v], corr[v],
                               bytes_order=True)
         assert (g.canon(*a)[0] == g.canon(*b)[0]).all()
         assert (g.canon(*a)[1] == g.canon(*b)[1]).all()

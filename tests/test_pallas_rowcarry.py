@@ -127,3 +127,32 @@ def test_mul_and_fwd(setup):
     s0, s1 = kn.fwd_step(fp, tbl, y0, y1, zrc, zrc)
     d0, d1, co0, co1 = kn.mul_step(fp, tbl, x0, x1, s0, s1, zrc, zrc, one)
     assert _value(fp, plan, d0, d1, co0, co1) == gmp.mod(gmp.mul(v, u), mp)
+
+
+def test_whole_chain_kernel(setup):
+    """square_chain (K squarings in ONE kernel, VMEM-resident) must
+    match big-int x^(2^K) * prod(a) and leave the same carry state the
+    per-step pipeline would."""
+    plan, fp, tbl, kn = setup
+    import jax.numpy as jnp
+    assert kn.chain_ok(fp, tbl), "chain kernel must be eligible at 2^15"
+    mp = (1 << P_EXP) - 1
+    rng = np.random.default_rng(17)
+    v = int.from_bytes(rng.bytes(P_EXP // 8), "little") % mp
+    x0, x1 = _to_state(fp, plan, v)
+    zrc = jnp.zeros((fp.rs.L1, fp.rs.L2, 128), jnp.uint32)
+    a_np = np.array([3, 1, 3], dtype=np.uint32)
+
+    d0, d1, co0, co1 = kn.square_chain(fp, tbl, x0, x1, zrc, zrc,
+                                       jnp.asarray(a_np))
+    want = v
+    for a in a_np:
+        want = want * want * int(a) % mp
+    assert _value(fp, plan, d0, d1, co0, co1) == want
+
+    # a follow-up chain consumes the pending row carries
+    d0, d1, co0, co1 = kn.square_chain(fp, tbl, d0, d1, co0, co1,
+                                       jnp.asarray(a_np[:2]))
+    for a in a_np[:2]:
+        want = want * want * int(a) % mp
+    assert _value(fp, plan, d0, d1, co0, co1) == want

@@ -127,6 +127,27 @@ if kn.use_rowcarry(fp, tbl):
              + co_value_rows(ko0b, ko1b)) % mp
     print("rowcarry second step (carry chain) correct:", vale2 == want2)
     assert vale2 == want2
+
+    if kn.chain_ok(fp, tbl):
+        # whole-chain VMEM kernel: K squarings in ONE kernel
+        K = 3
+        a_vec = jnp.full((K,), np.uint32(A))
+        chain = jax.jit(lambda t, x0, x1, c0, c1, av: kn.square_chain(
+            fp, t, x0, x1, c0, c1, av))
+        t0 = time.time()
+        f0, f1, qo0, qo1 = chain(tbl, x0, x1, zrc, zrc, a_vec)
+        outf = from_pairs(np.asarray(f0).reshape(n),
+                          np.asarray(f1).reshape(n))
+        valf = (dg.digits_to_int(outf, plan.widths)
+                + co_value_rows(qo0, qo1)) % mp
+        wantf = v
+        for _ in range(K):
+            wantf = wantf * wantf * A % mp
+        print(f"chain kernel (K={K}) {time.time()-t0:.1f}s "
+              f"correct: {valf == wantf}")
+        assert valf == wantf
+    else:
+        print("chain kernel: not eligible at this shape, skipped")
 else:
     print("rowcarry: not eligible at this shape, skipped")
 print("ALL OK")
