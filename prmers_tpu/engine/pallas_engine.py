@@ -94,10 +94,12 @@ def op_square_seq_ones(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
 def op_square_chain(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
-                    a_vec0):
+                    a_pad, count):
     """Whole chain in ONE kernel (small/mid n): data, carries, and every
-    table stay VMEM-resident across the K iterations."""
-    return kn.square_chain(fp, t, x0, x1, c0, c1, a_vec0)
+    table stay VMEM-resident across the iterations. a_pad is the fixed
+    CHAIN_K-long multiplier buffer; count is the dynamic trip count, so
+    one compile serves every chain length."""
+    return kn.square_chain(fp, t, x0, x1, c0, c1, a_pad, count)
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
@@ -224,8 +226,15 @@ class PallasEngine(Engine):
 
     def square_mul(self, src: Reg, a: int = 1) -> None:
         st = self.regs[src]
-        out = op_square_one(self.fp, self.t, st[0], st[1], st[2], st[3],
-                            jnp.full((1,), np.uint32(a)))
+        if self._chain:
+            # same compiled whole-chain kernel, trip count 1
+            pad = np.ones(kn.CHAIN_K, dtype=np.uint32)
+            pad[0] = a
+            out = op_square_chain(self.fp, self.t, st[0], st[1], st[2],
+                                  st[3], jnp.asarray(pad), jnp.int32(1))
+        else:
+            out = op_square_one(self.fp, self.t, st[0], st[1], st[2],
+                                st[3], jnp.full((1,), np.uint32(a)))
         self.regs[src] = [out[0], out[1], out[2], out[3], False]
 
     _SEQ_CHUNK = 512
@@ -237,22 +246,17 @@ class PallasEngine(Engine):
         st = self.regs[src]
         state = (st[0], st[1], st[2], st[3])
         if self._chain:
-            # full chunks through the whole-chain kernel (ONE Mosaic
-            # compile at length k); odd-length tails go through the
-            # already-compiled per-step pipeline instead of forcing a
-            # fresh multi-minute kernel compile per distinct length
-            while len(a) - off >= k:
+            # whole-chain kernel, one compile for every length: the a
+            # buffer is fixed CHAIN_K long, the trip count is dynamic
+            kc = kn.CHAIN_K
+            while off < len(a):
+                step = min(kc, len(a) - off)
+                pad = np.ones(kc, dtype=np.uint32)
+                pad[:step] = a[off:off + step]
                 state = op_square_chain(self.fp, self.t, *state,
-                                        jnp.asarray(a[off:off + k]))
-                off += k
-            rest = a[off:]
-            if len(rest):
-                if (rest == 1).all():
-                    state = op_square_seq_ones(self.fp, self.t, *state,
-                                               jnp.int32(len(rest)))
-                else:
-                    state = op_square_seq(self.fp, self.t, *state,
-                                          jnp.asarray(rest))
+                                        jnp.asarray(pad),
+                                        jnp.int32(step))
+                off += step
             self.regs[src] = [state[0], state[1], state[2], state[3],
                               False]
             return

@@ -1245,7 +1245,7 @@ def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
 
 def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
                   ca_count: int, *refs):
-    (a_ref, x0_ref, x1_ref, ci0_ref, ci1_ref,
+    (kcnt_ref, a_ref, x0_ref, x1_ref, ci0_ref, ci1_ref,
      wt_ref, cum_ref, er_ref, ec_ref,
      w1_ref, c1p_ref, mf0_ref, mf1_ref, mi0_ref, mi1_ref,
      tri0_ref, tri1_ref,
@@ -1382,7 +1382,9 @@ def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
 
     st0 = (x0_ref[:], x1_ref[:],
            ci0_ref[:, :, 0:1], ci1_ref[:, :, 0:1])
-    d0, d1, a0c, a1c = lax.fori_loop(0, K, one, st0)
+    # dynamic trip count (<= K, the a-buffer extent): ONE Mosaic compile
+    # serves every chain length
+    d0, d1, a0c, a1c = lax.fori_loop(0, kcnt_ref[0, 0], one, st0)
     o0_ref[:] = d0
     o1_ref[:] = d1
     cv = (R1, R2, 128)
@@ -1411,11 +1413,22 @@ def chain_ok(fp: FourStepPlan, t: FourStepTables) -> bool:
     return est < 80 * 1024 * 1024
 
 
+CHAIN_K = 512          # a-buffer extent; the trip count is dynamic
+
+
 def square_chain(fp: FourStepPlan, t: FourStepTables, x0, x1,
-                 cin0, cin1, a_vec):
-    """K = len(a_vec) squarings (x^2 * a_k per step) in ONE kernel; carry
-    state in/out is the row-carry (R1, R2, 128) block."""
+                 cin0, cin1, a_vec, count=None):
+    """len(a_vec) squarings (x^2 * a_k per step) in ONE kernel; carry
+    state in/out is the row-carry (R1, R2, 128) block. The a buffer is
+    padded to CHAIN_K and the trip count rides SMEM, so one compile
+    serves every chain length <= CHAIN_K."""
     K = int(a_vec.shape[0])
+    assert K <= CHAIN_K
+    if count is None:
+        count = jnp.int32(K)
+    if K < CHAIN_K:
+        a_vec = jnp.concatenate(
+            [a_vec, jnp.ones((CHAIN_K - K,), a_vec.dtype)])
     sh = x0.shape
     R1, R2, C = sh
     wt, cum = t.cinrow
@@ -1424,17 +1437,20 @@ def square_chain(fp: FourStepPlan, t: FourStepTables, x0, x1,
     w7, c7p = t.mxu["iw_inv"]
     er_t, ec_t = t.wcorr
     (wf8, corrf, wi8, corri, wrapc, mf0, mf1, mi0, mi1) = t.fused
-    kern = functools.partial(_chain_kernel, fp, K, k, _carry_rounds(fp),
-                             int(wf8.shape[0]))
+    kern = functools.partial(_chain_kernel, fp, CHAIN_K, k,
+                             _carry_rounds(fp), int(wf8.shape[0]))
     full = _full
-    ins = [a_vec.reshape(K, 1), x0, x1, cin0, cin1,
+    ins = [count.reshape(1, 1), a_vec.reshape(CHAIN_K, 1),
+           x0, x1, cin0, cin1,
            wt, cum, er_t, ec_t, w1, c1p, mf0, mf1, mi0, mi1,
            t.t_r_inv[0], t.t_r_inv[1],
            wf8, corrf, wi8, corri, wrapc,
            w7, c7p, t.widths32, t.masks_lo, t.masks_hi]
-    in_specs = [pl.BlockSpec((K, 1), lambda i: (i * 0, i * 0),
+    in_specs = [pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((CHAIN_K, 1), lambda i: (i * 0, i * 0),
                              memory_space=pltpu.SMEM)] + \
-        [full(a.shape) for a in ins[1:]]
+        [full(a.shape) for a in ins[2:]]
     d0, d1, co0, co1 = pl.pallas_call(
         kern,
         grid=(1,),
