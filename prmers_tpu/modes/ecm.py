@@ -292,7 +292,14 @@ def _stage2_D(opts: Options) -> int:
 
 
 def _stage2(eng: Engine, m: MontOps, opts: Options, n: int, log) -> int:
-    """Returns the accumulated cross-product (int) for the final gcd.
+    """Classic-path wrapper: run stage 2 and fetch the accumulator."""
+    _stage2_run(eng, m, opts, n, log)
+    return eng.get_int(RACC)
+
+
+def _stage2_run(eng, m: MontOps, opts: Options, n: int, log) -> None:
+    """Accumulates the stage-2 cross-product into RACC (all lanes when
+    eng is batched — the schedule is curve-independent).
 
     Babies [j]S for j <= D/2, gcd(j, D) = 1; prime q is covered with
     m = round(q/D), j = |q - mD| since x([mD]S) == x([±j]S) when [q]S
@@ -343,7 +350,6 @@ def _stage2(eng: Engine, m: MontOps, opts: Options, n: int, log) -> int:
             m.mul_into(RACC, RACC, T3)
             count += 1
     log(f"ECM stage 2: {count} primes in ({b1}, {b2}]")
-    return eng.get_int(RACC)
 
 
 def _ladder_from(eng: Engine, m: MontOps, xo: int, zo: int,
@@ -374,6 +380,183 @@ def _ladder_from(eng: Engine, m: MontOps, xo: int, zo: int,
             m.xdbl(AX2, AZ2, AX2, AZ2)
 
 
+def _make_curve(family: str, seed0: int, c: int, opts: Options,
+                n: int) -> tuple[int, int, int]:
+    """(sigma_or_param, x0, a24) for curve index c; raises _FactorFound
+    on a lucky non-invertible construction denominator."""
+    sigma = 6 + splitmix64(seed0 + c) % ((1 << 60) - 6)
+    if opts.sigma and c == 0:
+        sigma = int(opts.sigma)
+    if family == "torsion16":
+        x0, a24, sigma = torsion16_mont_curve(seed0 + c, n)
+    elif family == "torsion8":
+        x0, a24, sigma = torsion8_curve(seed0 + c, n)
+    else:
+        x0, a24 = suyama_curve(sigma, n)
+    return sigma, x0, a24
+
+
+def _backtrack_single(opts: Options, x0: int, a24: int, n: int,
+                      log) -> int:
+    """Stage-1 backtrack for one batched lane whose gcd hit N: replay the
+    curve on a fresh single-lane engine (rare path)."""
+    eng = create_engine(opts.exponent, ECM_BASE_REGS,
+                        backend=opts.backend, arith=opts.arith,
+                        workload="ecm")
+    m = MontOps(eng)
+    eng.set_int(RA24, a24)
+    eng.set_int(RX0, x0)
+    return _stage1_backtrack(eng, m, n, opts.b1, log)
+
+
+def _run_ecm_batch(opts: Options, log, n: int, K: int, family: str,
+                   seed0: int, result: EcmResult, record) -> bool:
+    """SPMD curve batching: the whole stage-1 ladder and stage-2 BSGS
+    schedule is curve-independent, so K curves run as lanes of ONE
+    batched register file (TPU-first redesign of the reference's
+    sequential per-curve loop, src/modes/RunEcm.cpp:185). Host-divergent
+    events (gcd hits, backtracks, resume export, Prime95 handoff) are
+    resolved per lane. Returns False when batching is not worthwhile
+    (the caller falls back to the classic loop)."""
+    if os.environ.get("PRMERS_ECM_NO_BATCH"):
+        return False
+    if opts.backend not in ("auto", "jax"):
+        return False
+    if getattr(opts, "arith", "auto") not in ("auto", "gl64"):
+        return False
+    p = opts.exponent
+    D = _stage2_D(opts)
+    n_babies = len([j for j in range(1, D // 2 + 1)
+                    if math.gcd(j, D) == 1])
+    regs = ECM_BASE_REGS + 2 * n_babies + 2
+    from ..core.plan import cached_plan
+    n_words = cached_plan(p).n
+    budget = int(os.environ.get("PRMERS_ECM_BATCH_MEM", str(1 << 28)))
+    lanes = min(K, max(1, budget // max(regs * n_words * 8, 1)),
+                int(os.environ.get("PRMERS_ECM_BATCH_LANES", "64")))
+    if lanes < 2:
+        return False
+    from ..engine.batch import BatchJaxEngine
+    eng = BatchJaxEngine(p, regs, lanes)
+    m = MontOps(eng)
+    k1 = pr.build_e(opts.b1)
+    log(f"ECM batched: {lanes} curves per dispatch x "
+        f"{(K + lanes - 1) // lanes} batches")
+    c0 = 0
+    while c0 < K:
+        B = min(lanes, K - c0)
+        # (curve_idx, sigma, x0, a24) per live lane; construction
+        # factors are recorded immediately and the lane reused for a
+        # harmless duplicate of lane 0
+        lane_info: list = []
+        for li in range(lanes):
+            c = c0 + min(li, B - 1)
+            alive = li < B
+            try:
+                sigma, x0, a24 = _make_curve(family, seed0, c, opts, n)
+            except _FactorFound as f:
+                if alive and f.f and record(f.f, 0, 0, c):
+                    return True
+                sigma, x0, a24 = 0, 2, 3          # placeholder curve
+                alive = False
+            lane_info.append([c, sigma, x0, a24, alive])
+            eng.set_int(RA24, a24, li)
+            eng.set_int(RX0, x0, li)
+        m.ladder(k1)
+        want_s2 = False
+        for li, (c, sigma, x0, a24, alive) in enumerate(lane_info):
+            if not alive:
+                continue
+            g = gmp.gcd(eng.get_int(ZA, li) % n, n)
+            if g == n:
+                log(f"ECM curve {c}: gcd == N, backtracking stage 1")
+                g = _backtrack_single(opts, x0, a24, n, log)
+            if 1 < g < n:
+                log(f"ECM curve {c} (sigma={sigma}) stage 1 factor {g}")
+                lane_info[li][4] = False
+                if record(g, 1, sigma, c):
+                    return True
+                continue
+            if g != 1:
+                lane_info[li][4] = False
+                continue
+            if opts.resume_save:
+                try:
+                    from ..io import interop
+                    za = eng.get_int(ZA, li) % n
+                    x_aff = gmp.mulmod(eng.get_int(XA, li) % n,
+                                       _inv_or_factor(za, n), n)
+                    if family == "suyama":
+                        interop.write_ecm_resume_ecm(
+                            opts.resume_save, opts.b1, p, x_aff,
+                            sigma=sigma)
+                    else:
+                        interop.write_ecm_resume_ecm(
+                            opts.resume_save, opts.b1, p, x_aff,
+                            a=(4 * a24 - 2) % n)
+                except _FactorFound:
+                    pass
+            want_s2 = True
+        if want_s2 and opts.b2 > opts.b1 and not (
+                getattr(opts, "p95_path", "")
+                and getattr(opts, "p95_stage2", True)):
+            _stage2_run(eng, m, opts, n, log)
+            for li, (c, sigma, x0, a24, alive) in enumerate(lane_info):
+                if not alive:
+                    continue
+                g = gmp.gcd(eng.get_int(RACC, li) % n, n)
+                if 1 < g < n:
+                    log(f"ECM curve {c} (sigma={sigma}) stage 2 "
+                        f"factor {g}")
+                    if record(g, 2, sigma, c):
+                        return True
+                else:
+                    log(f"ECM curve {c} (sigma={sigma}): no factor")
+        elif want_s2 and opts.b2 > opts.b1:
+            # external Prime95 stage 2, one handoff per live lane
+            from ..io import interop, p95
+            import tempfile
+            for li, (c, sigma, x0, a24, alive) in enumerate(lane_info):
+                if not alive:
+                    continue
+                try:
+                    za = eng.get_int(ZA, li) % n
+                    x_aff = gmp.mulmod(eng.get_int(XA, li) % n,
+                                       _inv_or_factor(za, n), n)
+                except _FactorFound as f:
+                    if f.f and record(f.f, 1, sigma, c):
+                        return True
+                    continue
+                with tempfile.TemporaryDirectory() as td:
+                    src = os.path.join(td, f"resume_p{p}_c{c}.save")
+                    if family == "suyama":
+                        interop.write_ecm_resume_ecm(src, opts.b1, p,
+                                                     x_aff, sigma=sigma)
+                    else:
+                        interop.write_ecm_resume_ecm(
+                            src, opts.b1, p, x_aff, a=(4 * a24 - 2) % n)
+                    rr = p95.run_ecm_stage2(
+                        opts.p95_path, p, opts.b2, src, curve_idx=c,
+                        known_factors=tuple(
+                            int(f) for f in opts.known_factors),
+                        log=log)
+                if rr.success:
+                    g = 0 if rr.known_factor else rr.factor
+                    if 1 < g < n:
+                        log(f"ECM curve {c} (sigma={sigma}) stage 2 "
+                            f"factor {g} (Prime95)")
+                        if record(g, 2, sigma, c):
+                            return True
+                else:
+                    log(f"[ECM] Prime95 Stage2 error: {rr.error}")
+        else:
+            for c, sigma, _x, _a, alive in lane_info:
+                if alive:
+                    log(f"ECM curve {c} (sigma={sigma}): no factor")
+        c0 += B
+    return True
+
+
 def run_ecm(opts: Options, log=print) -> EcmResult:
     """K curves of Montgomery ECM on M_p with deterministic sigma seeds."""
     p = opts.exponent
@@ -383,9 +566,6 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
     D = _stage2_D(opts)
     n_babies = len([j for j in range(1, D // 2 + 1) if math.gcd(j, D) == 1])
     regs = ECM_BASE_REGS + 2 * n_babies + 2
-    eng = create_engine(p, regs, backend=opts.backend,
-                        arith=opts.arith, workload="ecm")
-    m = MontOps(eng)
     seed0 = opts.curve_seed or 0x5EED
     result = EcmResult(p=p, b1=opts.b1, b2=opts.b2, curves=K)
     keep_going = getattr(opts, "continue_after_factor", False)
@@ -404,6 +584,13 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
               "torsion8" if torsion == 8 else "suyama")
     if opts.sigma:
         family = "suyama"          # forced sigma implies the Suyama map
+    if K > 1 and _run_ecm_batch(opts, log, n, K, family, seed0,
+                                result, record):
+        result.elapsed = time.monotonic() - t0
+        return result
+    eng = create_engine(p, regs, backend=opts.backend,
+                        arith=opts.arith, workload="ecm")
+    m = MontOps(eng)
     for c in range(K):
         sigma = 6 + splitmix64(seed0 + c) % ((1 << 60) - 6)
         if opts.sigma and c == 0:

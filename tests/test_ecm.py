@@ -59,6 +59,20 @@ class TestEcmFactors:
         assert r.factor == 193707721
         assert r.stage == 2
 
+    def test_batched_matches_classic(self, monkeypatch):
+        """SPMD curve batching (lanes of one register file) must report
+        the same factor/curve/stage as the sequential loop."""
+        o = Options(exponent=37, mode="ecm", b1=20, b2=400, curves=4,
+                    curve_seed=3, backend="jax")
+        logs = []
+        r_b = run_ecm(o, log=lambda *a: logs.append(" ".join(map(str, a))))
+        assert any("ECM batched" in ln for ln in logs), logs[:3]
+        monkeypatch.setenv("PRMERS_ECM_NO_BATCH", "1")
+        r_c = run_ecm(o, log=_silent)
+        assert (r_b.factor, r_b.stage, r_b.factor_curve) == \
+            (r_c.factor, r_c.stage, r_c.factor_curve)
+        assert r_b.factor > 1 and ((1 << 37) - 1) % r_b.factor == 0
+
 
 class TestTorsionFamilies:
     """Montgomery torsion-8 / torsion-16 parametrizations (reference:
