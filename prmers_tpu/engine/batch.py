@@ -87,6 +87,15 @@ def bop_sub_reg(regs, t, dst, src):
 
 
 @functools.partial(jax.jit, donate_argnums=0)
+def bop_addsub(regs, t, sum_out, diff_out, a, b):
+    s = _vm(lambda u, v: je._carry(t, u + v, 1))(regs[a], regs[b])
+    d = _vm(lambda u, v: je._carry(t, u + (t.masks - v), 1))(
+        regs[a], regs[b])
+    regs = regs.at[sum_out].set(s)
+    return regs.at[diff_out].set(d)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
 def bop_add_vec(regs, t, dst, vec):
     y = _vm(lambda u: je._carry(t, u + vec, 1))(regs[dst])
     return regs.at[dst].set(y)
@@ -164,6 +173,9 @@ class BatchJaxEngine:
 
     def sub_reg(self, dst: int, src: int) -> None:
         self.regs = bop_sub_reg(self.regs, self.t, dst, src)
+
+    def addsub(self, sum_out: int, diff_out: int, a: int, b: int) -> None:
+        self.regs = bop_addsub(self.regs, self.t, sum_out, diff_out, a, b)
 
     def sync(self) -> None:
         jax.block_until_ready(self.regs)

@@ -516,7 +516,14 @@ def _stage1_backtrack(ops: EdOps, n: int, x0: int, y0: int, b1: int) -> int:
 
 
 def _stage2(ops: EdOps, opts: Options, n: int, log) -> int:
-    """BSGS with y-coordinate cross-products; returns the accumulator."""
+    """Classic-path wrapper: run stage 2 and fetch the accumulator."""
+    _stage2_run(ops, opts, n, log)
+    return ops.e.get_int(RACC)
+
+
+def _stage2_run(ops: EdOps, opts: Options, n: int, log) -> None:
+    """BSGS with y-coordinate cross-products; accumulates into RACC (all
+    lanes when ops.e is batched — the schedule is curve-independent)."""
     e = ops.e
     b1, b2 = opts.b1, opts.b2
     from .ecm import _stage2_D
@@ -598,7 +605,219 @@ def _stage2(ops: EdOps, opts: Options, n: int, log) -> int:
             e.mul(RACC, M_E)
             count += 1
     log(f"ECM-Edwards stage 2: {count} primes in ({b1}, {b2}]")
-    return e.get_int(RACC)
+
+
+class BatchEdOps(EdOps):
+    """EdOps over a curve-batched register file: the group ops are
+    inherited verbatim (their schedule is curve-independent); only the
+    host-constant loads differ — per-lane values fill the scratch
+    register lane by lane before one batched set_multiplicand."""
+
+    def __init__(self, eng, n: int, ds: list[int], a_sign: int = -1):
+        self.e = eng
+        self.n = n
+        self.d = ds[0]
+        self.ds = ds
+        self.a_sign = a_sign
+        for li, d in enumerate(ds):
+            eng.set_int(TA, (2 * d) % n, li)
+        eng.set_multiplicand(R2D, TA)
+        for li, d in enumerate(ds):
+            eng.set_int(TA, d % n, li)
+        eng.set_multiplicand(RDM, TA)
+
+    def set_affine_lanes(self, pts: list[tuple[int, int]]):
+        e = self.e
+        n = self.n
+        for li, (x0, y0) in enumerate(pts):
+            e.set_int(EX, x0 % n, li)
+            e.set_int(EY, y0 % n, li)
+            e.set_int(ET, x0 * y0 % n, li)
+        e.set(EZ, 1)
+
+    def prep_quad_host_lanes(self, q0: int, pts: list[tuple[int, int]]):
+        e = self.e
+        n = self.n
+
+        def fill(vals_fn):
+            for li, (x0, y0) in enumerate(pts):
+                e.set_int(TA, vals_fn(x0, y0, self.ds[li]) % n, li)
+
+        if self.a_sign == -1:
+            fill(lambda x, y, d: y - x)
+            e.set_multiplicand(q0, TA)
+            fill(lambda x, y, d: y + x)
+            e.set_multiplicand(q0 + 1, TA)
+            fill(lambda x, y, d: 2 * d % n * (x * y % n))
+            e.set_multiplicand(q0 + 2, TA)
+            e.set(TA, 2)
+            e.set_multiplicand(q0 + 3, TA)
+            return
+        fill(lambda x, y, d: x)
+        e.set_multiplicand(q0, TA)
+        fill(lambda x, y, d: y)
+        e.set_multiplicand(q0 + 1, TA)
+        fill(lambda x, y, d: d * (x * y % n))
+        e.set_multiplicand(q0 + 2, TA)
+        e.set(TA, 1)
+        e.set_multiplicand(q0 + 3, TA)
+        fill(lambda x, y, d: x + y)
+        e.set_multiplicand(self._q5(q0), TA)
+
+    def invariant_ok_lanes(self, live) -> bool:
+        """Batched curve-equation check: compute both sides for every
+        lane at once, compare only the live lanes on host."""
+        e = self.e
+        e.copy(TA, EY)
+        e.square_mul(TA)
+        e.copy(TB, EX)
+        e.square_mul(TB)
+        if self.a_sign == -1:
+            e.sub_reg(TA, TB)
+        else:
+            e.add(TA, TB)
+        e.copy(TB, EZ)
+        e.square_mul(TB)
+        e.copy(TC, ET)
+        e.square_mul(TC)
+        e.mul(TC, RDM)
+        e.add(TB, TC)
+        return all(e.get_int(TA, li) == e.get_int(TB, li)
+                   for li in range(len(live)) if live[li])
+
+
+def _run_edwards_batch(opts: Options, log, n: int, K: int,
+                       result: EcmResult) -> bool:
+    """SPMD curve batching for the twisted-Edwards driver (same design
+    as ecm._run_ecm_batch): one batched register file runs every curve's
+    identical dbl/add schedule; divergent host events resolve per lane.
+    An invariant failure anywhere aborts batching (the classic loop's
+    per-curve replay machinery takes over). Returns False when batching
+    is not applicable."""
+    import os
+    if os.environ.get("PRMERS_ECM_NO_BATCH"):
+        return False
+    if opts.backend not in ("auto", "jax"):
+        return False
+    if getattr(opts, "arith", "auto") not in ("auto", "gl64"):
+        return False
+    if getattr(opts, "invariant_error_iter", 0):
+        return False                # injection exercises the classic path
+    p = opts.exponent
+    from .ecm import _stage2_D
+    D = _stage2_D(opts)
+    n_babies = len([j for j in range(1, D // 2 + 1)
+                    if math.gcd(j, D) == 1])
+    regs = ED_BASE_REGS + 2 * n_babies + 2
+    from ..core.plan import cached_plan
+    n_words = cached_plan(p).n
+    budget = int(os.environ.get("PRMERS_ECM_BATCH_MEM", str(1 << 28)))
+    lanes = min(K, max(1, budget // max(regs * n_words * 8, 1)),
+                int(os.environ.get("PRMERS_ECM_BATCH_LANES", "64")))
+    if lanes < 2:
+        return False
+    from ..engine.batch import BatchJaxEngine
+    eng = BatchJaxEngine(p, regs, lanes)
+    seed0 = opts.curve_seed or 0x5EED
+    check_every = getattr(opts, "ecm_check_interval", 0) or 0
+    torsion = getattr(opts, "torsion", 0)
+    use_t16 = torsion == 16
+    use_iv163 = torsion == 163
+    k1 = pr.build_e(opts.b1)
+    log(f"ECM-Edwards batched: {lanes} curves per dispatch x "
+        f"{(K + lanes - 1) // lanes} batches")
+    c0 = 0
+    while c0 < K:
+        B = min(lanes, K - c0)
+        lane_info = []
+        for li in range(lanes):
+            c = c0 + min(li, B - 1)
+            seed = splitmix64(seed0 + c)
+            alive = li < B
+            try:
+                if use_t16:
+                    x0, y0, d = torsion16_curve(seed, n)
+                elif use_iv163:
+                    x0, y0, d = family_iv163_curve(seed, n)
+                else:
+                    x0, y0, d = edwards_curve(seed, n)
+            except _FactorFound as f:
+                if alive and f.f:
+                    result.factor, result.stage = f.f, 0
+                    result.factor_sigma, result.factor_curve = seed, c
+                    return True
+                x0, y0, d = 0, 1, 1           # neutral placeholder
+                alive = False
+            lane_info.append([c, seed, x0, y0, d, alive])
+        ops = BatchEdOps(eng, n, [i[4] for i in lane_info],
+                         a_sign=1 if use_t16 else -1)
+        pts = [(i[2], i[3]) for i in lane_info]
+        ops.set_affine_lanes(pts)
+        ops.prep_quad_host_lanes(BQ0, pts)
+        live = [i[5] for i in lane_info]
+        since = 0
+        for i in range(k1.bit_length() - 2, -1, -1):
+            ops.dbl()
+            if (k1 >> i) & 1:
+                ops.add_quad(BQ0)
+            since += 1
+            if check_every and since >= check_every:
+                if not ops.invariant_ok_lanes(live):
+                    log("ECM-Edwards batched: invariant check FAILED — "
+                        "falling back to the per-curve loop")
+                    return False
+                since = 0
+        if check_every and not ops.invariant_ok_lanes(live):
+            log("ECM-Edwards batched: final invariant check FAILED — "
+                "falling back to the per-curve loop")
+            return False
+        want_s2 = False
+        for li, (c, seed, x0, y0, d, alive) in enumerate(lane_info):
+            if not alive:
+                continue
+            g = gmp.gcd(eng.get_int(EX, li) % n, n)
+            if g == n:
+                log(f"ECM-Edwards curve {c}: gcd == N, backtracking "
+                    "stage 1")
+                g = _backtrack_single_ed(opts, n, x0, y0, d,
+                                         1 if use_t16 else -1)
+                lane_info[li][5] = False
+            if 1 < g < n:
+                result.factor, result.stage = g, 1
+                result.factor_sigma, result.factor_curve = seed, c
+                log(f"ECM-Edwards curve {c} stage 1 factor {g}")
+                return True
+            if lane_info[li][5]:
+                want_s2 = True
+        if want_s2 and opts.b2 > opts.b1:
+            _stage2_run(ops, opts, n, log)
+            for li, (c, seed, x0, y0, d, alive) in enumerate(lane_info):
+                if not alive:
+                    continue
+                g = gmp.gcd(eng.get_int(RACC, li) % n, n)
+                if 1 < g < n:
+                    result.factor, result.stage = g, 2
+                    result.factor_sigma, result.factor_curve = seed, c
+                    log(f"ECM-Edwards curve {c} stage 2 factor {g}")
+                    return True
+                log(f"ECM-Edwards curve {c}: no factor")
+        else:
+            for c, seed, _x, _y, _d, alive in lane_info:
+                if alive:
+                    log(f"ECM-Edwards curve {c}: no factor")
+        c0 += B
+    return True
+
+
+def _backtrack_single_ed(opts: Options, n: int, x0: int, y0: int,
+                         d: int, a_sign: int) -> int:
+    """Stage-1 backtrack for one batched lane on a fresh single-lane
+    engine (rare path)."""
+    eng = create_engine(opts.exponent, ED_BASE_REGS,
+                        backend=opts.backend, arith=opts.arith,
+                        workload="ecm")
+    ops = EdOps(eng, n, d, a_sign=a_sign)
+    return _stage1_backtrack(ops, n, x0, y0, opts.b1)
 
 
 def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
@@ -611,11 +830,14 @@ def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
     D = _stage2_D(opts)
     n_babies = len([j for j in range(1, D // 2 + 1) if math.gcd(j, D) == 1])
     regs = ED_BASE_REGS + 2 * n_babies + 2
-    eng = create_engine(p, regs, backend=opts.backend,
-                        arith=opts.arith, workload="ecm")
     seed0 = opts.curve_seed or 0x5EED
     check_every = getattr(opts, "ecm_check_interval", 0) or 0
     result = EcmResult(p=p, b1=opts.b1, b2=opts.b2, curves=K)
+    if K > 1 and _run_edwards_batch(opts, log, n, K, result):
+        result.elapsed = time.monotonic() - t0
+        return result
+    eng = create_engine(p, regs, backend=opts.backend,
+                        arith=opts.arith, workload="ecm")
     torsion = getattr(opts, "torsion", 0)
     use_t16 = torsion == 16
     use_iv163 = torsion == 163

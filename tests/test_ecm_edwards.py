@@ -109,6 +109,24 @@ class TestEcmEdwardsFactors:
         r = run_ecm_edwards(o, log=_silent)
         assert r.factor == 193707721
 
+    def test_batched_matches_classic(self, monkeypatch):
+        """SPMD curve batching must report the same factor/curve/stage
+        as the sequential loop (default Edwards family)."""
+        o = Options(exponent=37, mode="ecm", b1=20, b2=400, curves=6,
+                    curve_seed=3, backend="jax")
+        logs = []
+        r_b = run_ecm_edwards(
+            o, log=lambda *a: logs.append(" ".join(map(str, a))))
+        assert any("batched" in ln for ln in logs), logs[:3]
+        monkeypatch.setenv("PRMERS_ECM_NO_BATCH", "1")
+        r_c = run_ecm_edwards(o, log=_silent)
+        # the batch runs every stage 1 before any stage 2, so the
+        # reporting curve/stage may differ from the sequential loop;
+        # the factor itself must match (same deterministic curves)
+        assert r_b.factor == r_c.factor
+        assert r_b.stage in (1, 2)
+        assert r_b.factor > 1 and ((1 << 37) - 1) % r_b.factor == 0
+
 
 class TestTorsion16:
     """a = +1 torsion-16 family (reference's opt-in -torsion 16)."""
