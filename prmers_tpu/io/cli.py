@@ -40,6 +40,13 @@ _ALIASES: dict[str, list[str]] = {
     "-pm1-ultralowmem": ["-ultralowmem"],
     "-pm1ultralowmem": ["-ultralowmem"],
     "--pm1-ultralowmem": ["-ultralowmem"],
+    "-pm1-1reg": ["-ultralowmem"],
+    # 2-register stage-2-only resume (reference: CliParser.cpp:613-621 —
+    # implies ultralowmem and auto-locates resume_p<p>_B1_<b1>.p95/.save)
+    "-pm1-s2-resume2reg": ["-ultralowmem", "-s2resume"],
+    "--pm1-s2-resume2reg": ["-ultralowmem", "-s2resume"],
+    "-pm1s2resume2reg": ["-ultralowmem", "-s2resume"],
+    "-pm1-stage2-2reg": ["-ultralowmem", "-s2resume"],
     "-pm1-stage2-classic": ["-s2variant", "classic"],
     "-pm1-stage2-vtrace": ["-s2variant", "vtrace"],
     "-pm1-vtrace": ["-s2variant", "vtrace"],
@@ -67,6 +74,23 @@ _ALIASES: dict[str, list[str]] = {
     "-ecm-continue-after-factor": ["-continue-after-factor"],
     "--ecm-continue-after-factor": ["-continue-after-factor"],
     "-ecm-continue-curves-after-factor": ["-continue-after-factor"],
+    # Aevum PFA plan forcing -> the second arithmetic path (this
+    # framework's analog of the Aevum 3/9-smooth PFA plans is the
+    # GF(M31^2)xGF(M61^2) NTT whose shape family is 3*2^k/9*2^k;
+    # reference: CliParser.cpp:277-330, README.md:901-948)
+    "-pfa3": ["-arith", "fft3161"],
+    "-pfa9": ["-arith", "fft3161"],
+    "-pfa=3": ["-arith", "fft3161"],
+    "-pfa=9": ["-arith", "fft3161"],
+    "-pfa=auto": ["-arith", "auto"],
+    "-pfa": ["-arith", "auto"],
+    "-pfa-auto": ["-arith", "auto"],
+    "-pfa-off": ["-arith", "gl64"],
+    "-no-pfa": ["-arith", "gl64"],
+    "-pfa9-type4": ["-arith", "fft3161"],
+    "-pfa9-type4-fast": ["-arith", "fft3161"],
+    "-pfa9-type4-full": ["-arith", "fft3161"],
+    "-pfa9-fft323161": ["-arith", "fft3161"],
     # modes
     "-llunsafe": ["-ll"],
     "-llsafecpu": ["-llsafe"],
@@ -123,12 +147,11 @@ _NOOP_FLAGS: dict[str, bool] = {
     # OpenCL / device knobs with no TPU meaning
     "-kernelpath": True, "-enqueue_max": True, "-chunk256": False,
     "-l1": True, "-l2": True, "-l3": True, "-l5": True,
-    "-no-pfa": False, "-tbits": True, "-throttle_low": True,
+    "-tbits": True, "-throttle_low": True,
     "-iterforce": True, "-iterforce2": True, "-ecm_progress_ms": True,
     "-filemers": True, "-c": True, "-f": True,
     "-marin": False, "-engine-marin": False, "-backend-marin": False,
     "-backend-auto": False, "-aevum": False, "-aevum-auto": False,
-    "-aevum-fft": True,
     # network submission (no egress in this environment; the PrimeNet
     # payload is still written to the results file)
     "-http": False, "-submit": False, "-host": True, "-ipv4": False,
@@ -148,6 +171,14 @@ def _rewrite_aliases(argv: list[str]) -> tuple[list[str], list[str]]:
         if tok in _ALIASES:
             out.extend(_ALIASES[tok])
             i += 1
+        elif tok == "-aevum-fft":
+            # a forced Aevum plan spec: the analog here is forcing the
+            # second arithmetic path; the spec string itself is
+            # Aevum-kernel-specific and ignored
+            out.extend(["-arith", "fft3161"])
+            notes.append("-aevum-fft: plan spec ignored; forcing the "
+                         "fft3161 arithmetic path")
+            i += 2 if i + 1 < len(argv) else 1
         elif tok in _NOOP_FLAGS:
             takes = _NOOP_FLAGS[tok]
             notes.append(f"{tok}: accepted for reference compatibility "
@@ -196,6 +227,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a Prime95 stage-1 save after stage 1")
     ap.add_argument("-resume_load", default="",
                     help="import a stage-1 X from a GMP-ECM or Prime95 file")
+    ap.add_argument("-s2resume", dest="s2_resume", action="store_true",
+                    help="stage-2-only run from an auto-located "
+                         "resume_p<p>_B1_<b1>.p95/.save stage-1 file "
+                         "(the -pm1-s2-resume2reg behavior)")
     ap.add_argument("-p95path", dest="p95_path", default="",
                     help="Prime95/mprime directory: run stage 2 there "
                          "(reference: -p95path, RunPM1.cpp:5947)")
@@ -270,6 +305,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-worktodo", dest="worktodo_path", default="worktodo.txt")
     ap.add_argument("-results", dest="results_path", default="results.txt")
     ap.add_argument("-user", default="")
+    ap.add_argument("-password", default="",
+                    help="PrimeNet password (kept for the submission "
+                         "payload; never logged)")
     ap.add_argument("-computer", default="")
     ap.add_argument("-aid", default="")
 
@@ -321,7 +359,8 @@ def parse_args(argv: list[str] | None = None) -> Options:
         stage2_regs_cap=ns.stage2_regs_cap,
         nmax=ns.nmax, k_nk=ns.curves,
         resume_save=ns.resume_save, p95_save=ns.p95_save,
-        resume_load=ns.resume_load,
+        resume_load=ns.resume_load, s2_resume=ns.s2_resume,
+        password=ns.password,
         p95_path=ns.p95_path, p95_stage2=ns.p95_stage2,
         res64_display_interval=ns.res64_display_interval,
         profile=ns.profile, verbose=not ns.quiet, gui=ns.gui,

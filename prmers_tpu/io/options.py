@@ -64,6 +64,9 @@ class Options:
     resume_save: str = ""        # export GMP-ECM P-1 resume line after S1
     p95_save: str = ""           # export Prime95 stage-1 save after S1
     resume_load: str = ""        # import a stage-1 X (either format)
+    s2_resume: bool = False      # -pm1-s2-resume2reg: stage 2 only, from
+                                 # an auto-located resume_p<p>_B1_<b1>
+                                 # .p95/.save file (2-register H^Q)
     p95_path: str = ""           # Prime95 dir for external stage 2
     p95_stage2: bool = True      # -nop95stage2 disables the handoff
     arith: str = "auto"          # auto | gl64 | fft3161 (second NTT path)
@@ -77,6 +80,9 @@ class Options:
     results_path: str = "results.txt"
     aid: str = ""
     user: str = ""
+    password: str = ""           # PrimeNet password (-password; kept for
+                                 # the manual-submission payload, never
+                                 # logged — no egress in this runtime)
     computer: str = ""
 
     # observability

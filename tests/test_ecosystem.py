@@ -51,6 +51,26 @@ class TestCli:
         o = parse_args(["127", "-llunsafe"])
         assert o.mode == "ll"
 
+    def test_pfa_and_resume2reg_aliases(self):
+        """PFA plan flags force the second arithmetic path; the
+        resume2reg spellings imply ultralowmem + stage-2-only resume
+        (reference: CliParser.cpp:277-330, :613-621)."""
+        for flag in ("-pfa3", "-pfa9", "-pfa9-type4", "-pfa9-type4-full",
+                     "-pfa9-fft323161", "-pfa=9"):
+            assert parse_args(["9941", flag]).arith == "fft3161", flag
+        assert parse_args(["9941", "-pfa-off"]).arith == "gl64"
+        assert parse_args(["9941", "-no-pfa"]).arith == "gl64"
+        assert parse_args(["9941", "-pfa"]).arith == "auto"
+        o = parse_args(["9941", "-aevum-fft", "pfa9:4:512:9:512:202"])
+        assert o.arith == "fft3161"
+        o = parse_args(["367", "-pm1", "-b1", "100", "-b2", "2000",
+                        "-pm1-s2-resume2reg"])
+        assert o.pm1_variant == "ultralowmem" and o.s2_resume
+        o = parse_args(["367", "-pm1", "-b1", "100", "-pm1-1reg"])
+        assert o.pm1_variant == "ultralowmem" and not o.s2_resume
+        o = parse_args(["9941", "-user", "u", "-password", "pw"])
+        assert o.password == "pw"
+
     def test_noop_reference_flags_accepted(self, capsys):
         """Flags with no TPU meaning parse without error and note the
         no-op (kernelpath/local sizes/network submission etc.)."""

@@ -206,6 +206,34 @@ class TestLowMem:
         assert r.factor % 50500996776315830904406967 == 0 or \
             r.factor == 50500996776315830904406967
 
+    def test_s2_resume2reg_auto_locate(self, tmp_path):
+        """-pm1-s2-resume2reg: stage 1 writes resume_p<p>_B1_<b1>.p95,
+        then a stage-2-only run auto-locates it and factors through the
+        2-register H^Q stage 2 (reference: RunPM1.cpp resume2reg)."""
+        import os
+        from prmers_tpu.modes.pm1 import run_pm1
+        stem = os.path.join(str(tmp_path), "resume_p367_B1_11981.p95")
+        o1 = Options(exponent=367, mode="pm1", b1=11981, b2=0,
+                     backend="numpy", save_dir=str(tmp_path),
+                     p95_save=stem)
+        run_pm1(o1, log=_silent)
+        assert os.path.exists(stem)
+        o2 = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                     backend="numpy", save_dir=str(tmp_path),
+                     pm1_variant="ultralowmem", s2_resume=True)
+        r = run_pm1(o2, log=_silent)
+        assert r.factor % 50500996776315830904406967 == 0 or \
+            r.factor == 50500996776315830904406967
+
+    def test_s2_resume2reg_missing_file(self, tmp_path):
+        o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                    backend="numpy", save_dir=str(tmp_path),
+                    pm1_variant="ultralowmem", s2_resume=True)
+        from prmers_tpu.modes.pm1 import run_pm1
+        import pytest as _pt
+        with _pt.raises(FileNotFoundError):
+            run_pm1(o, log=_silent)
+
     def test_ultralowmem_stage1_m541(self, tmp_path):
         o = Options(exponent=541, mode="pm1", b1=1000, b2=0,
                     backend="numpy", pm1_variant="ultralowmem",
