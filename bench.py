@@ -29,8 +29,28 @@ def _build_warm(K):
     return eng
 
 
+def _device_reachable(timeout_s: int = 300) -> bool:
+    """Probe jax device init in a child process: the axon tunnel, when
+    down, HANGS jax.devices() indefinitely — a bounded child probe turns
+    that into a fast, diagnosable failure instead of a silent stall."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("PRMERS_BENCH_NO_PROBE") != "1" and \
+            not _device_reachable():
+        print("bench: jax device init unreachable (axon tunnel down?); "
+              "aborting instead of hanging", file=sys.stderr)
+        sys.exit(2)
     import jax
     jax.config.update("jax_enable_x64", True)
 
