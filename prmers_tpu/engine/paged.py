@@ -11,6 +11,13 @@ Every primitive op pins its operands resident (evicting the
 least-recently-used non-pinned slot) and delegates with slot indices; the
 base-class derived ops (pow, addsub, square_mul_seq, checkpoints) then
 work unchanged on logical indices.
+
+Eviction is write-back with DIRTY TRACKING: a page-in keeps the host
+copy, and ops mark only the registers they WRITE. Evicting a clean
+register is free (the host copy is still current) — so read-mostly
+access patterns (the stage-2 baby table scanned by every giant step,
+prepared ECM quads) pay one host->device transfer per residency instead
+of a full round trip per eviction.
 """
 
 from __future__ import annotations
@@ -33,15 +40,21 @@ class PagedEngine(Engine):
         # evicted logical -> (raw dump, is_spectral): the tag must travel
         # with the page so a paged-out multiplicand survives the round trip
         self._host: dict[int, tuple[np.ndarray, bool]] = {}
+        self._dirty = [False] * self.slots
         self.page_ins = 0
         self.page_outs = 0
+        self.clean_evictions = 0
 
     # -- paging core -------------------------------------------------------
     def _touch(self, slot: int):
         self._clock += 1
         self._lru[slot] = self._clock
 
-    def _ensure(self, *logical: int) -> list[int]:
+    def _ensure(self, *logical: int, write: tuple[int, ...] = ()
+                ) -> list[int]:
+        """Pin the logical registers resident; `write` lists the POSITIONS
+        in `logical` the caller will mutate (marks those slots dirty and
+        invalidates their kept host copies)."""
         pinned = set()
         out = []
         for lg in logical:
@@ -51,11 +64,14 @@ class PagedEngine(Engine):
                 s = self._evict_one(pinned)
                 old = self._logical_at[s]
                 if old is not None:
-                    self._host[old] = self.inner.get_raw_tagged(s)
+                    if self._dirty[s] or old not in self._host:
+                        self._host[old] = self.inner.get_raw_tagged(s)
+                        self.page_outs += 1
+                    else:
+                        self.clean_evictions += 1  # host copy is current
                     del self._slot_of[old]
-                    self.page_outs += 1
                 if lg in self._host:
-                    data, spec = self._host.pop(lg)
+                    data, spec = self._host[lg]
                     self.inner.set_raw_tagged(s, data, spec)
                     self.page_ins += 1
                 else:
@@ -63,9 +79,15 @@ class PagedEngine(Engine):
                         s, np.zeros(self.inner.get_size(), dtype=np.uint64))
                 self._slot_of[lg] = s
                 self._logical_at[s] = lg
+                self._dirty[s] = False
             self._touch(s)
             pinned.add(s)
             out.append(s)
+        for pos in write:
+            s = out[pos]
+            self._dirty[s] = True
+            # the kept host copy is stale the moment the device writes
+            self._host.pop(self._logical_at[s], None)
         return out
 
     def _evict_one(self, pinned: set[int]) -> int:
@@ -89,39 +111,39 @@ class PagedEngine(Engine):
 
     # -- primitive ops (delegate with slot mapping) -------------------------
     def set(self, dst: Reg, a: int) -> None:
-        (s,) = self._ensure(dst)
+        (s,) = self._ensure(dst, write=(0,))
         self.inner.set(s, a)
 
     def copy(self, dst: Reg, src: Reg) -> None:
-        sd, ss = self._ensure(dst, src)
+        sd, ss = self._ensure(dst, src, write=(0,))
         self.inner.copy(sd, ss)
 
     def square_mul(self, src: Reg, a: int = 1) -> None:
-        (s,) = self._ensure(src)
+        (s,) = self._ensure(src, write=(0,))
         self.inner.square_mul(s, a)
 
     def set_multiplicand(self, dst: Reg, src: Reg) -> None:
-        sd, ss = self._ensure(dst, src)
+        sd, ss = self._ensure(dst, src, write=(0,))
         self.inner.set_multiplicand(sd, ss)
 
     def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
-        sd, ss = self._ensure(dst, src)
+        sd, ss = self._ensure(dst, src, write=(0,))
         self.inner.mul(sd, ss, a)
 
     def sub(self, src: Reg, a: int) -> None:
-        (s,) = self._ensure(src)
+        (s,) = self._ensure(src, write=(0,))
         self.inner.sub(s, a)
 
     def add_small(self, src: Reg, a: int) -> None:
-        (s,) = self._ensure(src)
+        (s,) = self._ensure(src, write=(0,))
         self.inner.add_small(s, a)
 
     def add(self, dst: Reg, src: Reg) -> None:
-        sd, ss = self._ensure(dst, src)
+        sd, ss = self._ensure(dst, src, write=(0,))
         self.inner.add(sd, ss)
 
     def sub_reg(self, dst: Reg, src: Reg) -> None:
-        sd, ss = self._ensure(dst, src)
+        sd, ss = self._ensure(dst, src, write=(0,))
         self.inner.sub_reg(sd, ss)
 
     # -- host exchange -----------------------------------------------------
@@ -130,29 +152,31 @@ class PagedEngine(Engine):
         return self.inner.get_digits(s)
 
     def set_digits(self, dst: Reg, digits: np.ndarray) -> None:
-        (s,) = self._ensure(dst)
+        (s,) = self._ensure(dst, write=(0,))
         self.inner.set_digits(s, digits)
 
     def get_raw(self, src: Reg) -> np.ndarray:
-        if src in self._host:
+        # a resident slot is authoritative (a kept host copy may only
+        # exist for CLEAN residents, where both are identical)
+        if src not in self._slot_of and src in self._host:
             return self._host[src][0].copy()
         (s,) = self._ensure(src)
         return self.inner.get_raw(s)
 
     def get_raw_tagged(self, src: Reg) -> tuple[np.ndarray, bool]:
-        if src in self._host:
+        if src not in self._slot_of and src in self._host:
             data, spec = self._host[src]
             return data.copy(), spec
         (s,) = self._ensure(src)
         return self.inner.get_raw_tagged(s)
 
     def set_raw(self, dst: Reg, data: np.ndarray) -> None:
-        (s,) = self._ensure(dst)
+        (s,) = self._ensure(dst, write=(0,))
         self.inner.set_raw(s, data)
 
     def set_raw_tagged(self, dst: Reg, data: np.ndarray,
                        spectral: bool = False) -> None:
-        (s,) = self._ensure(dst)
+        (s,) = self._ensure(dst, write=(0,))
         self.inner.set_raw_tagged(s, data, spectral)
 
 

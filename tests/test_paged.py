@@ -35,6 +35,26 @@ class TestPaged:
         assert paged.page_outs > 0
         assert paged.page_ins > 0
 
+    def test_clean_eviction_skips_writeback(self):
+        """Read-only residents (the stage-2 baby-table pattern) evict
+        without a device->host dump: the kept host copy is current."""
+        paged, _ = self._pair(12, 4)
+        for i in range(12):
+            paged.set_int(i, 500 + i)          # all dirty, get paged out
+        outs0 = paged.page_outs
+        # read-only sweep over all 12: every eviction is of a clean page
+        for _ in range(3):
+            for i in range(12):
+                assert paged.get_int(i) == 500 + i
+        # after the writes flushed once, pure reads add no write-backs
+        assert paged.page_outs <= outs0 + 4   # <= one flush per slot
+        assert paged.clean_evictions > 0
+        # a write re-dirties and the new value survives eviction
+        paged.square_mul(2, 1)
+        for i in range(12):
+            paged.get_int(i)
+        assert paged.get_int(2) == pow(502, 2, (1 << self.P) - 1)
+
     def test_checkpoint_roundtrip(self):
         paged, _ = self._pair(10, 4)
         for i in range(10):
