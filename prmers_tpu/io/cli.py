@@ -110,7 +110,6 @@ _NOOP_FLAGS: dict[str, bool] = {
     "-ced": False,
     "-brent": False,
     "-bsgs": False,               # stage 2 is BSGS already
-    "-b1old": True,               # B1 extension derives it from the file
     "-pm1-continue-after-factor": False,     # default behavior: stage 2
     "--pm1-continue-after-factor": False,    # runs after a S1 factor
     "-pm1-continue-stage2-after-factor": False,
@@ -259,6 +258,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-v", action="version",
                     version="prmers_tpu (PrMers-compatible TPU framework)")
     ap.add_argument("-b1", type=int, default=0)
+    ap.add_argument("-b1old", dest="b1_old", type=int, default=0,
+                    help="extend P-1 stage 1 from the previous run's "
+                         "resume_p<p>_B1_<b1old>.save/.p95 file up to "
+                         "the new -b1 bound")
     ap.add_argument("-b2", type=int, default=0)
     ap.add_argument("-b2start", dest="b2_start", type=int, default=0,
                     help="stage-2 start bound: primes in "
@@ -344,7 +347,7 @@ def parse_args(argv: list[str] | None = None) -> Options:
         erroriter=ns.erroriter, backup_interval=ns.backup_interval,
         save_dir=ns.save_dir, proof=not ns.noproof,
         proof_power=ns.proof_power, proof_verify=ns.proofverify,
-        b1=ns.b1, b2=ns.b2, b2_start=ns.b2_start,
+        b1=ns.b1, b1_old=ns.b1_old, b2=ns.b2, b2_start=ns.b2_start,
         no_gcd_stage1=ns.no_gcd_stage1,
         continue_after_factor=ns.continue_after_factor,
         max_e_bits=ns.max_e_bits,

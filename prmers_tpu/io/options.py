@@ -38,6 +38,8 @@ class Options:
 
     # P-1
     b1: int = 0
+    b1_old: int = 0              # -b1old: extend stage 1 from the
+                                 # resume_p<p>_B1_<b1old>.save/.p95 file
     b2: int = 0
     b2_start: int = 0            # stage-2 start bound (-b2start/-s2from):
                                  # primes in (max(B1, b2start), B2]

@@ -68,6 +68,20 @@ class TestB1Extension:
         r2 = run_pm1(o2, log=_silent)
         assert r2.factor == 4312790327
 
+    def test_b1old_auto_locate_extends(self, tmp_path):
+        """-b1old <old>: the resume_p<p>_B1_<old>.save file is located in
+        save_dir automatically and stage 1 extends to the new -b1
+        (reference: CliParser.cpp -b1old)."""
+        path = str(tmp_path / "resume_p541_B1_300.save")
+        o1 = Options(exponent=541, mode="pm1", b1=300, backend="numpy",
+                     resume_save=path, save_dir=str(tmp_path))
+        r1 = run_pm1(o1, log=_silent)
+        assert r1.factor == 0
+        o2 = Options(exponent=541, mode="pm1", b1=899, b1_old=300,
+                     backend="numpy", save_dir=str(tmp_path))
+        r2 = run_pm1(o2, log=_silent)
+        assert r2.factor == 4312790327
+
     def test_pm1_resume_p95_stage2(self, tmp_path):
         # export .p95 after stage 1, then run stage 2 from the import only
         path = str(tmp_path / "m367.p95")
