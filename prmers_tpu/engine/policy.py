@@ -101,7 +101,15 @@ def decide_arith(p: int, workload: str = "generic",
     n_2 = transform_size_3161(p)
     ratio = n_2 / n_gl
     thr = THRESHOLDS.get(workload, 1.0)
-    env = os.environ.get(f"PRMERS_AUTO_{workload.upper()}_MAX_RATIO")
+    # reference spellings (AEVUM_AUTO_*) accepted alongside PRMERS_AUTO_*
+    # so a reference user's environment keeps working (reference:
+    # CliParser.cpp help "Auto policy env": AEVUM_AUTO_MAX_RATIO or
+    # AEVUM_AUTO_{PM1_STAGE1, PM1_STAGE2, ECM}_MAX_RATIO)
+    ref_name = {"pm1_s1": "PM1_STAGE1", "pm1_s2": "PM1_STAGE2",
+                "pm1": "PM1_STAGE2"}.get(workload, workload.upper())
+    env = (os.environ.get(f"PRMERS_AUTO_{workload.upper()}_MAX_RATIO")
+           or os.environ.get(f"AEVUM_AUTO_{ref_name}_MAX_RATIO")
+           or os.environ.get("AEVUM_AUTO_MAX_RATIO"))
     if env:
         thr = float(env)
 

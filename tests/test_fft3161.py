@@ -181,6 +181,27 @@ class TestPolicy:
                          gl64_has_pallas=False)
         assert d.arith == "fft3161", d
 
+    def test_reference_aevum_env_spellings(self, tmp_path, monkeypatch):
+        """The reference's AEVUM_AUTO_* env names steer the same policy
+        (reference: CliParser.cpp help 'Auto policy env')."""
+        from prmers_tpu.core import tune
+        p = 756839
+        d0 = decide_arith(p, "pm1_s1", str(tmp_path),
+                          gl64_has_pallas=False)
+        tune.record(d0.n_gl64, "JaxEngine", 100.0, str(tmp_path))
+        tune.record(d0.n_3161 * 2, "Engine3161", 80.0, str(tmp_path))
+        r = d0.ratio
+        monkeypatch.setenv("AEVUM_AUTO_PM1_STAGE1_MAX_RATIO",
+                           str(r + 0.001))
+        d = decide_arith(p, "pm1_s1", str(tmp_path),
+                         gl64_has_pallas=False)
+        assert d.arith == "fft3161", d
+        monkeypatch.delenv("AEVUM_AUTO_PM1_STAGE1_MAX_RATIO")
+        monkeypatch.setenv("AEVUM_AUTO_MAX_RATIO", str(r - 0.001))
+        d = decide_arith(p, "pm1_s1", str(tmp_path),
+                         gl64_has_pallas=False)
+        assert d.arith == "gl64"
+
     def test_extrapolated_rates(self, tmp_path):
         """With tune data at OTHER sizes, rates extrapolate (n*log n) and
         decide instead of the bare ratio rule — a slow measured fft3161
