@@ -1,0 +1,31 @@
+#!/bin/bash
+# One-shot on-device validation + bench ladder. Run when the TPU tunnel
+# is healthy (first compiles of new shapes take 5-10 min each; the
+# persistent cache makes repeats fast).
+#
+#   bash tools/device_run.sh            # full: validate, tune, bench
+#   bash tools/device_run.sh quick      # just validate + headline bench
+set -u
+cd "$(dirname "$0")/.."
+MODE="${1:-full}"
+
+echo "== tunnel probe =="
+timeout 300 python -c "import jax; print(jax.devices())" || {
+  echo "TUNNEL DOWN — aborting"; exit 2; }
+
+echo "== bit-exact squaring chains (n=2^17; row-carry + block-carry) =="
+timeout 3000 python tools/test_pallas_step.py 17 || exit 1
+
+echo "== PRP fast-3 chain at the smallest fused shape (n=2^15, a=3) =="
+timeout 3000 python tools/test_pallas_step.py 15 3 || exit 1
+
+if [ "$MODE" = full ]; then
+  echo "== tune ladder (persists prmers_tune.json) =="
+  timeout 6000 python -m prmers_tpu -tune || echo "(tune failed; continuing)"
+fi
+
+echo "== headline bench =="
+timeout 3000 python bench.py
+
+echo "== bench fallback sanity (no-rowcarry pipeline still correct) =="
+PRMERS_NO_ROWCARRY=1 PRMERS_BENCH_ITERS=64 timeout 3000 python bench.py
