@@ -57,8 +57,19 @@ def _log_arith_decision(opts: Options, log, gui=None) -> None:
         pass
 
 
+# Largest exponent any plan family carries: the 5*2^26 Goldilocks shape
+# at 16 bits/word (reference analog: the ~5.65e9 cap, unit_tests.sh:91-107)
+MAX_EXPONENT = 17 * (5 << 26) - 1
+
+
 def run_once(opts: Options, log=print, gui=None) -> tuple[object, str]:
     """Run one workload; returns (result, json_line)."""
+    if opts.exponent > MAX_EXPONENT and opts.arith != "fft3161":
+        # forced fft3161 may exceed this (its 3-smooth capacity table
+        # extends further); the default gl64 families cannot
+        raise SystemExit(
+            f"Exponent {opts.exponent} out of range: the largest "
+            f"supported transform (5*2^26) caps at {MAX_EXPONENT}")
     configure_backend(opts.backend if opts.backend != "auto" else "auto",
                       opts.mode)
     from .profile import report_all, set_profiling

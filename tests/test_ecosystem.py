@@ -93,6 +93,20 @@ class TestCli:
         assert 2 <= small < big
 
 
+class TestExponentRange:
+    def test_out_of_range_rejected(self):
+        """Exponents beyond the largest transform are rejected cleanly
+        (reference: unit_tests.sh:91-107 out-of-range rejection)."""
+        import pytest
+        from prmers_tpu.core.app import run_once, MAX_EXPONENT
+        from prmers_tpu.io.options import Options
+        from prmers_tpu.core.plan import transform_size
+        assert transform_size(MAX_EXPONENT) > 0   # boundary is exact
+        with pytest.raises(SystemExit):
+            run_once(Options(exponent=MAX_EXPONENT + 1, mode="prp"),
+                     log=lambda *a, **k: None)
+
+
 class TestWorktodo:
     def test_parse_prp_with_aid(self):
         e = parse_line("PRP=ABCDEF0123456789ABCDEF0123456789,1,2,9941,-1")
