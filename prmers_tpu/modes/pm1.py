@@ -56,6 +56,18 @@ class _GlFailure(RuntimeError):
     pass
 
 
+def _reduce_gcd(g: int, mp: int, opts: Options) -> int:
+    """Clamp a raw gcd to a reportable factor, dividing out `-factors`
+    known primes first (reference: the -factors P-1 regression flow,
+    README.md:497-505 — the raw gcd may contain already-known factors;
+    the NEW factor is the quotient)."""
+    for f in getattr(opts, "known_factors", ()) or ():
+        f = int(f)
+        while f > 1 and g % f == 0:
+            g //= f
+    return g if 1 < g < mp else 0
+
+
 def _exp_by_reg(eng: Engine, dst: int, base_mult: int, e: int):
     """dst = base^e (base given as multiplicand register), L2R."""
     eng.set(dst, 1)
@@ -319,7 +331,7 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
         log("P-1 stage 1: gcd skipped (-nogcd-stage1)")
     else:
         g = gmp.gcd((x - 1) % mp, mp)
-        factor = g if 1 < g < mp else 0
+        factor = _reduce_gcd(g, mp, opts)
         if factor:
             log(f"P-1 stage 1 found factor {factor}")
     r = Pm1Result(p=p, b1=b1, b2=opts.b2, factor=factor,
@@ -396,7 +408,7 @@ def run_pm1_stage2(opts: Options, x1: int, eng: Engine | None = None,
 
     acc = eng.get_int(RACC) % mp
     g = gmp.gcd(acc, mp)
-    factor = g if 1 < g < mp else 0
+    factor = _reduce_gcd(g, mp, opts)
     if factor:
         log(f"P-1 stage 2 found factor {factor}")
     return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
@@ -494,7 +506,7 @@ def run_pm1_stage2_lowmem(opts: Options, x1: int, eng: Engine | None = None,
         f"{n_bits} exponent bits")
     hq = eng.get_int(rs) % mp
     g = gmp.gcd((hq - 1) % mp, mp)
-    factor = g if 1 < g < mp else 0
+    factor = _reduce_gcd(g, mp, opts)
     if factor:
         log(f"P-1 stage 2 found factor {factor}")
     return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
@@ -558,7 +570,7 @@ def run_pm1_stage2_nk(opts: Options, x1: int, eng: Engine | None = None,
     log(f"P-1 stage 2 (n^K): {pairs} pairwise differences accumulated")
     acc = eng.get_int(RACC) % mp
     g = gmp.gcd(acc, mp)
-    factor = g if 1 < g < mp else 0
+    factor = _reduce_gcd(g, mp, opts)
     if factor:
         log(f"P-1 stage 2 (n^K) found factor {factor}")
     return Pm1Result(p=p, b1=opts.b1, b2=opts.b2, factor=factor,
@@ -612,7 +624,7 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
         mp = res.mersenne(opts.exponent)
         b1_eff, x = _load_stage1_x(opts, log)
         g = gmp.gcd((x - 1) % mp, mp)
-        factor = g if 1 < g < mp else 0
+        factor = _reduce_gcd(g, mp, opts)
         if factor:
             log(f"P-1 stage 1 found factor {factor}")
         r1 = Pm1Result(p=opts.exponent, b1=b1_eff, b2=opts.b2,
@@ -968,7 +980,7 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
 
     acc = eng.get_int(V_ACC) % mp
     g = gmp.gcd(acc, mp)
-    factor = g if 1 < g < mp else 0
+    factor = _reduce_gcd(g, mp, opts)
     if factor:
         log(f"P-1 stage 2 found factor {factor}")
     return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,

@@ -143,6 +143,29 @@ class TestVTrace:
         assert r.factor == 50500996776315830904406967
         assert r.stage == 2
 
+    def test_known_factors_divided_out(self):
+        """-factors with P-1: the raw stage-2 gcd contains the known
+        factor; the NEW cofactor is reported (reference regression flow:
+        README.md:497-505, -nogcd-stage1 -factors ...)."""
+        o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                    backend="numpy", no_gcd_stage1=True,
+                    known_factors=("646300400639",))
+        from prmers_tpu.modes.pm1 import run_pm1
+        r = run_pm1(o, log=_silent)
+        assert r.factor == 78138581882953
+
+    @pytest.mark.slow
+    def test_m1362763_vtrace_regression(self):
+        """The reference's V-trace stage-2 regression: M1362763 with
+        B1=29, B2=6910159, known factors divided out, expected NEW
+        factor 28401397572100073 (reference: README.md:497-505)."""
+        o = Options(exponent=1362763, mode="pm1", b1=29, b2=6910159,
+                    backend="jax", no_gcd_stage1=True,
+                    known_factors=("46333943", "282345414919"))
+        from prmers_tpu.modes.pm1 import run_pm1
+        r = run_pm1(o, log=_silent)
+        assert r.factor == 28401397572100073
+
     def test_classic_variant_still_selectable(self):
         o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
                     backend="numpy", stage2_variant="classic")
