@@ -88,6 +88,17 @@ class TestGroupLaw:
 
 
 class TestEcmEdwardsFactors:
+    @pytest.mark.slow
+    def test_m701_reference_example(self):
+        """The reference's README ECM example (README.md:650-651):
+        M701 -b1 6000 -b2 33333 -K 8. With seed 1 the run lands a
+        20-digit factor in stage 1."""
+        o = Options(exponent=701, mode="ecm", b1=6000, b2=33333,
+                    curves=8, curve_seed=1, backend="numpy")
+        r = run_ecm_edwards(o, log=_silent)
+        assert r.factor == 68453816366333403527
+        assert ((1 << 701) - 1) % r.factor == 0
+
     def test_m29_small_factors(self):
         o = Options(exponent=29, mode="ecm", b1=300, b2=0, curves=3,
                     curve_seed=7, backend="numpy")
