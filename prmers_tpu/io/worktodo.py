@@ -6,6 +6,7 @@ src/io/WorktodoParser.cpp:103-330):
   Test=exponent[,how_far_factored[,has_been_pminus1ed]]  (LL)
   DoubleCheck=[AID,]exponent,...
   Pminus1=[AID,]k,b,n,c,B1,B2[,how_far_factored][,B2_start][,"factors"]
+  PFactor=[AID,]k,b,n,c,B1,B2[,"factors"]   (same P-1 entry)
   ECM2=[AID,]k,b,n,c,B1,B2,curves[,"factors"]
 Only k=1, b=2, c=-1 (Mersenne) entries are accepted.
 Processed entries are appended to worktodo_save.txt and removed
@@ -89,7 +90,9 @@ def parse_line(line: str) -> WorktodoEntry | None:
                                  aid=aid, raw_line=line,
                                  known_factors=factors)
         return None
-    if key_up == "PMINUS1":
+    if key_up in ("PMINUS1", "PFACTOR"):
+        # PFactor=k,b,n,c,B1,B2[,"factors"] parses to the same P-1 entry
+        # (reference: WorktodoParser.cpp:164-203)
         if len(fields) < 6:
             return None
         k, b, n, c = (as_int(fields[0]), as_int(fields[1]),

@@ -117,6 +117,15 @@ class TestWorktodo:
         e = parse_line("Pminus1=1,2,367,-1,11981,38971")
         assert e.mode == "pm1" and e.b1 == 11981 and e.b2 == 38971
 
+    def test_parse_pfactor(self):
+        """PFactor= lines are P-1 entries (WorktodoParser.cpp:164-203)."""
+        from prmers_tpu.io.worktodo import parse_line
+        e = parse_line('PFactor=1,2,1362763,-1,29,6910159,'
+                       '"46333943,282345414919"')
+        assert e.mode == "pm1" and e.exponent == 1362763
+        assert e.b1 == 29 and e.b2 == 6910159
+        assert e.known_factors == ("46333943", "282345414919")
+
     def test_parse_known_factors(self):
         e = parse_line('PRP=1,2,2699,-1,99,0,"5399,307687"')
         assert e.known_factors == ("5399", "307687")
