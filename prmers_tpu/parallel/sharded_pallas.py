@@ -178,8 +178,9 @@ def _fused_local(fp, t, x0, x1, fc_tabs):
         t.fused = saved
 
 
-def _k4_local(fp, y0, y1, wd, mk0, mk1):
-    """k4 with local-shard table operands."""
+def _k4_local(fp, y0, y1, wd, mk0, mk1, a=None):
+    """k4 with local-shard table operands; a = optional (a0, a1) small
+    carry-operand pair ((1, 1) u32 each, the PRP x3 multiplier)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -190,15 +191,19 @@ def _k4_local(fp, y0, y1, wd, mk0, mk1):
     bound = fp.max_word * 4
     while bound >> (rounds * wmin) > 1:
         rounds += 1
-    kern = functools.partial(kn._k4_kernel, fp, max(rounds, 2), False)
+    with_a = a is not None
+    kern = functools.partial(kn._k4_kernel, fp, max(rounds, 2), with_a)
     bs = pl.BlockSpec((1,) + sh[1:], lambda i: (i, i * 0, i * 0),
                       memory_space=pltpu.VMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
+                          memory_space=pltpu.SMEM)
     co_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, i * 0, i * 0),
                            memory_space=pltpu.SMEM)
+    ins = ([a[0], a[1]] if with_a else []) + [y0, y1, wd, mk0, mk1]
     d0, d1, co0, co1 = pl.pallas_call(
         kern,
         grid=(R1s,),
-        in_specs=[bs] * 5,
+        in_specs=([smem11, smem11] if with_a else []) + [bs] * 5,
         out_specs=(bs, bs, co_spec, co_spec),
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct(sh, jnp.uint32),
@@ -206,13 +211,15 @@ def _k4_local(fp, y0, y1, wd, mk0, mk1):
                    jax.ShapeDtypeStruct((R1s, 1, 1), jnp.uint32)),
         compiler_params=kn._cparams(),
         interpret=kn._interpret(),
-    )(y0, y1, wd, mk0, mk1)
+    )(*ins)
     return d0, d1, co0.reshape(R1s, 1), co1.reshape(R1s, 1)
 
 
-def build_pallas_sharded_step(tb: PallasShardedTables):
-    """jitted (x0, x1, co0, co1, tabs) -> same: one full sharded
-    squaring (a = 1, the PRP hot iteration).
+def build_pallas_sharded_step(tb: PallasShardedTables,
+                              with_a: bool = False):
+    """jitted (x0, x1, co0, co1[, a0, a1], tabs) -> same: one full
+    sharded squaring; with_a compiles the (x^2 * a) PRP iteration (the
+    fast-3 multiplier arrives replicated as a (1, 1) u32 pair).
 
     With tb.rowcarry the carry state is the per-row (R1, R2, 128) block
     (r1-sharded at rest) and the squaring is the 3-kernel row-carry
@@ -222,13 +229,18 @@ def build_pallas_sharded_step(tb: PallasShardedTables):
     row-aligned, P1-with-injection, fused C, P7-with-carry, and the
     all-to-alls back. Otherwise the per-block carry pipeline below."""
     if tb.rowcarry:
-        return _build_rowcarry_step(tb)
+        return _build_rowcarry_step(tb, with_a=with_a)
     fp, s = tb.fp, tb.s
     mesh = tb.mesh
     k = tb.cin_k
     names = tb.names()
 
-    def local_step(x0, x1, co0, co1, *tabs):
+    def local_step(x0, x1, co0, co1, *rest):
+        if with_a:
+            a0, a1, *tabs = rest
+        else:
+            a0 = a1 = None
+            tabs = rest
         d = dict(zip(names, tabs))
         t = tb.t
 
@@ -274,31 +286,45 @@ def build_pallas_sharded_step(tb: PallasShardedTables):
 
         # ---- K4 carry over local r1 blocks --------------------------
         return _k4_local(fp, x0, x1, d["widths"], d["masks_lo"],
-                         d["masks_hi"])
+                         d["masks_hi"],
+                         a=((a0, a1) if with_a else None))
 
     vec3 = P(LIMB, None, None)
     co_s = P(LIMB, None)
+    rep2 = P(None, None)
+    a_specs = (rep2, rep2) if with_a else ()
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(vec3, vec3, co_s, co_s) + tb.specs(),
+        in_specs=(vec3, vec3, co_s, co_s) + a_specs + tb.specs(),
         out_specs=(vec3, vec3, co_s, co_s),
         check_rep=False)
 
-    @jax.jit
-    def step(x0, x1, co0, co1, tabs):
-        return fn(x0, x1, co0, co1, *tabs)
+    if with_a:
+        @jax.jit
+        def step(x0, x1, co0, co1, a0, a1, tabs):
+            return fn(x0, x1, co0, co1, a0, a1, *tabs)
+    else:
+        @jax.jit
+        def step(x0, x1, co0, co1, tabs):
+            return fn(x0, x1, co0, co1, *tabs)
 
     return step
 
 
-def _build_rowcarry_step(tb: PallasShardedTables):
+def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False):
     """Row-carry mesh step: same kernels as the single-chip fast path,
-    carry state (R1, R2, 128) r1-sharded at rest."""
+    carry state (R1, R2, 128) r1-sharded at rest. with_a compiles the
+    (x^2 * a) variant (P7 consumes the replicated small operand)."""
     fp, s = tb.fp, tb.s
     mesh = tb.mesh
     names = tb.names()
 
-    def local_step(x0, x1, rc0, rc1, *tabs):
+    def local_step(x0, x1, rc0, rc1, *rest):
+        if with_a:
+            a0, a1, *tabs = rest
+        else:
+            a0 = a1 = None
+            tabs = rest
         d = dict(zip(names, tabs))
         t = tb.t
 
@@ -350,7 +376,7 @@ def _build_rowcarry_step(tb: PallasShardedTables):
         x0 = lax.all_to_all(x0, LIMB, 1, 0, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
         x0, x1, co0, co1 = kn.p7_carry_pass(
-            fp, t, x0, x1, None, True,
+            fp, t, x0, x1, (a0, a1) if with_a else None, not with_a,
             tabs={"w8": d["p7_w8"], "corr": d["p7_corr"],
                   "er": d["er"], "ec": d["ec"],
                   "widths": d["widths_r2"], "masks_lo": d["masks_lo_r2"],
@@ -362,15 +388,22 @@ def _build_rowcarry_step(tb: PallasShardedTables):
         return x0, x1, co0, co1
 
     vec3 = P(LIMB, None, None)
+    rep2 = P(None, None)
+    a_specs = (rep2, rep2) if with_a else ()
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(vec3, vec3, vec3, vec3) + tb.specs(),
+        in_specs=(vec3, vec3, vec3, vec3) + a_specs + tb.specs(),
         out_specs=(vec3, vec3, vec3, vec3),
         check_rep=False)
 
-    @jax.jit
-    def step(x0, x1, co0, co1, tabs):
-        return fn(x0, x1, co0, co1, *tabs)
+    if with_a:
+        @jax.jit
+        def step(x0, x1, co0, co1, a0, a1, tabs):
+            return fn(x0, x1, co0, co1, a0, a1, *tabs)
+    else:
+        @jax.jit
+        def step(x0, x1, co0, co1, tabs):
+            return fn(x0, x1, co0, co1, *tabs)
 
     return step
 
@@ -384,6 +417,7 @@ class PallasShardedStep:
         self.fp = self.tables.fp
         self.mesh = mesh
         self._step = build_pallas_sharded_step(self.tables)
+        self._step_a = None     # (x^2 * a) variant, built on first use
         fp = self.fp
         sh = (fp.rs.L1, fp.rs.L2, fp.C)
         self.sh = sh
@@ -441,9 +475,22 @@ class PallasShardedStep:
             v += int(cin[b]) << int(offs[b * bs])
         return v % ((1 << fp.p) - 1)
 
-    def step(self, count: int = 1):
+    def step(self, count: int = 1, a: int = 1):
+        """count iterations of x <- x^2 * a (a = 3 is the PRP fast-3
+        block operand; a = 1 uses the multiply-free compiled chain)."""
+        if a == 1:
+            for _ in range(count):
+                self.x0, self.x1, self.co0, self.co1 = self._step(
+                    self.x0, self.x1, self.co0, self.co1,
+                    self.tables.args())
+            return self.x0
+        if self._step_a is None:
+            self._step_a = build_pallas_sharded_step(self.tables,
+                                                     with_a=True)
+        a0 = jnp.full((1, 1), np.uint32(a & 0xFFFFFFFF))
+        a1 = jnp.full((1, 1), np.uint32(a >> 32))
         for _ in range(count):
-            self.x0, self.x1, self.co0, self.co1 = self._step(
-                self.x0, self.x1, self.co0, self.co1,
+            self.x0, self.x1, self.co0, self.co1 = self._step_a(
+                self.x0, self.x1, self.co0, self.co1, a0, a1,
                 self.tables.args())
         return self.x0

@@ -155,3 +155,23 @@ class TestPallasSharded:
         st.step(3)
         got = st.get_int()
         assert got == pow(3, 8, mp)
+
+    def test_pallas_sharded_fast3_chain(self, mesh8, monkeypatch):
+        """The (x^2 * a) PRP iteration over the mesh: a=3 rides the P7
+        carry kernel as the replicated small operand."""
+        monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        from prmers_tpu.parallel.sharded_pallas import PallasShardedStep
+        from prmers_tpu.utils import digits as dg
+
+        n = 1 << 19
+        p = int(n * 16.2) | 1
+        from prmers_tpu.core.plan import cached_plan
+        plan = cached_plan(p, n)
+        mp = (1 << p) - 1
+        st = PallasShardedStep(p, mesh8, n=n)
+        st.set_digits(dg.int_to_digits(3, plan.widths))
+        want = 3
+        for a in (3, 1, 3):
+            st.step(1, a=a)
+            want = want * want * a % mp
+        assert st.get_int() == want
