@@ -167,13 +167,13 @@ def _inject_local(s, k, x0, x1, co0, co1, wt, cum):
     return x0, x1
 
 
-def _fused_local(fp, t, x0, x1, fc_tabs):
+def _fused_local(fp, t, x0, x1, fc_tabs, mode="sqr", u=None):
     """fused_c_pass against shard-local table operands (t.fused is
     swapped to the operand arrays for the trace; metadata is static)."""
     saved = t.fused
     t.fused = tuple(fc_tabs) + (None, None, None, None)
     try:
-        return kn.fused_c_pass(fp, t, x0, x1, "sqr")
+        return kn.fused_c_pass(fp, t, x0, x1, mode, u=u)
     finally:
         t.fused = saved
 
@@ -216,10 +216,12 @@ def _k4_local(fp, y0, y1, wd, mk0, mk1, a=None):
 
 
 def build_pallas_sharded_step(tb: PallasShardedTables,
-                              with_a: bool = False):
-    """jitted (x0, x1, co0, co1[, a0, a1], tabs) -> same: one full
-    sharded squaring; with_a compiles the (x^2 * a) PRP iteration (the
-    fast-3 multiplier arrives replicated as a (1, 1) u32 pair).
+                              with_a: bool = False, mode: str = "sqr"):
+    """jitted (x0, x1, co0, co1[, u0, u1][, a0, a1], tabs) -> same: one
+    full sharded squaring; with_a compiles the (x^2 * a) PRP iteration
+    (the fast-3 multiplier arrives replicated as a (1, 1) u32 pair);
+    mode "fwd"/"mul" are the multiplicand-prepare / multiply variants
+    (row-carry pipeline only).
 
     With tb.rowcarry the carry state is the per-row (R1, R2, 128) block
     (r1-sharded at rest) and the squaring is the 3-kernel row-carry
@@ -229,7 +231,8 @@ def build_pallas_sharded_step(tb: PallasShardedTables,
     row-aligned, P1-with-injection, fused C, P7-with-carry, and the
     all-to-alls back. Otherwise the per-block carry pipeline below."""
     if tb.rowcarry:
-        return _build_rowcarry_step(tb, with_a=with_a)
+        return _build_rowcarry_step(tb, with_a=with_a, mode=mode)
+    assert mode == "sqr", "fwd/mul mesh ops need the row-carry pipeline"
     fp, s = tb.fp, tb.s
     mesh = tb.mesh
     k = tb.cin_k
@@ -311,7 +314,8 @@ def build_pallas_sharded_step(tb: PallasShardedTables,
     return step
 
 
-def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False):
+def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
+                         mode: str = "sqr"):
     """Row-carry mesh step: same kernels as the single-chip fast path,
     carry state (R1, R2, 128) r1-sharded at rest. with_a compiles the
     (x^2 * a) variant (P7 consumes the replicated small operand)."""
@@ -320,11 +324,15 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False):
     names = tb.names()
 
     def local_step(x0, x1, rc0, rc1, *rest):
+        rest = list(rest)
+        u0 = u1 = None
+        if mode == "mul":
+            u0, u1 = rest.pop(0), rest.pop(0)
         if with_a:
-            a0, a1, *tabs = rest
+            a0, a1 = rest.pop(0), rest.pop(0)
         else:
             a0 = a1 = None
-            tabs = rest
+        tabs = rest
         d = dict(zip(names, tabs))
         t = tb.t
 
@@ -362,7 +370,12 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False):
                                 post=(d["mid_f0"], d["mid_f1"]), mxu=mx2)
         x0, x1 = _fused_local(fp, t, x0, x1,
                               (d["fc_wf8"], d["fc_corrf"], d["fc_wi8"],
-                               d["fc_corri"], d["fc_wrapc"]))
+                               d["fc_corri"], d["fc_wrapc"]),
+                              mode=mode,
+                              u=(u0, u1) if mode == "mul" else None)
+        if mode == "fwd":
+            # spectral multiplicand: stays r1-sharded in the fused shell
+            return x0, x1
         mx6 = ((d["p6_w8"], d["p6_corr"])
                if tb.has_g2i else None)
         x0, x1 = kn._axis1_pass(
@@ -389,21 +402,20 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False):
 
     vec3 = P(LIMB, None, None)
     rep2 = P(None, None)
+    u_specs = (vec3, vec3) if mode == "mul" else ()
     a_specs = (rep2, rep2) if with_a else ()
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(vec3, vec3, vec3, vec3) + a_specs + tb.specs(),
-        out_specs=(vec3, vec3, vec3, vec3),
+        in_specs=(vec3, vec3, vec3, vec3) + u_specs + a_specs
+        + tb.specs(),
+        out_specs=(vec3, vec3) if mode == "fwd"
+        else (vec3, vec3, vec3, vec3),
         check_rep=False)
 
-    if with_a:
-        @jax.jit
-        def step(x0, x1, co0, co1, a0, a1, tabs):
-            return fn(x0, x1, co0, co1, a0, a1, *tabs)
-    else:
-        @jax.jit
-        def step(x0, x1, co0, co1, tabs):
-            return fn(x0, x1, co0, co1, *tabs)
+    @jax.jit
+    def step(x0, x1, co0, co1, *ops_and_tabs):
+        *ops, tabs = ops_and_tabs
+        return fn(x0, x1, co0, co1, *ops, *tabs)
 
     return step
 
@@ -418,6 +430,9 @@ class PallasShardedStep:
         self.mesh = mesh
         self._step = build_pallas_sharded_step(self.tables)
         self._step_a = None     # (x^2 * a) variant, built on first use
+        self._fwd = None        # multiplicand prepare, built on first use
+        self._mul = None        # multiplicand multiply variant
+        self.u = None           # prepared spectral multiplicand pair
         fp = self.fp
         sh = (fp.rs.L1, fp.rs.L2, fp.C)
         self.sh = sh
@@ -493,4 +508,35 @@ class PallasShardedStep:
             self.x0, self.x1, self.co0, self.co1 = self._step_a(
                 self.x0, self.x1, self.co0, self.co1, a0, a1,
                 self.tables.args())
+        return self.x0
+
+    def prepare_multiplicand(self, digits: np.ndarray) -> None:
+        """Forward-transform a digit vector into the sharded spectral
+        multiplicand (the mesh analog of Engine.set_multiplicand)."""
+        assert self.tables.rowcarry, \
+            "mesh multiplicand ops need the row-carry pipeline"
+        if self._fwd is None:
+            self._fwd = build_pallas_sharded_step(self.tables,
+                                                  mode="fwd")
+        lo = (digits & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (digits >> np.uint64(32)).astype(np.uint32)
+        spec = P(LIMB, None, None)
+        v0 = dist.put_global(lo.reshape(self.sh), self.mesh, spec)
+        v1 = dist.put_global(hi.reshape(self.sh), self.mesh, spec)
+        z0, z1 = self._zero_carry()
+        self.u = self._fwd(v0, v1, z0, z1, self.tables.args())
+
+    def mul(self, a: int = 1):
+        """x <- x * multiplicand * a over the mesh (prepared spectral
+        operand; Engine.mul parity on the kernel pipeline)."""
+        assert self.u is not None, "prepare_multiplicand first"
+        if self._mul is None:
+            self._mul = build_pallas_sharded_step(self.tables,
+                                                  mode="mul",
+                                                  with_a=True)
+        a0 = jnp.full((1, 1), np.uint32(a & 0xFFFFFFFF))
+        a1 = jnp.full((1, 1), np.uint32(a >> 32))
+        self.x0, self.x1, self.co0, self.co1 = self._mul(
+            self.x0, self.x1, self.co0, self.co1,
+            self.u[0], self.u[1], a0, a1, self.tables.args())
         return self.x0

@@ -175,3 +175,25 @@ class TestPallasSharded:
             st.step(1, a=a)
             want = want * want * a % mp
         assert st.get_int() == want
+
+    def test_pallas_sharded_multiplicand_mul(self, mesh8, monkeypatch):
+        """Engine mul parity on the mesh kernels: prepare a spectral
+        multiplicand with the sharded forward transform, then
+        x <- x * u * a, checked against big-int."""
+        monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        from prmers_tpu.parallel.sharded_pallas import PallasShardedStep
+        from prmers_tpu.utils import digits as dg
+
+        n = 1 << 19
+        p = int(n * 16.2) | 1
+        from prmers_tpu.core.plan import cached_plan
+        plan = cached_plan(p, n)
+        mp = (1 << p) - 1
+        st = PallasShardedStep(p, mesh8, n=n)
+        st.set_digits(dg.int_to_digits(3, plan.widths))
+        st.step(2)                      # x = 3^4
+        u_val = 0x1234567DEADBEEF
+        st.prepare_multiplicand(dg.int_to_digits(u_val, plan.widths))
+        st.mul(a=3)
+        want = pow(3, 4, mp) * u_val * 3 % mp
+        assert st.get_int() == want
