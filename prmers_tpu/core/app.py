@@ -28,6 +28,8 @@ def _merge_worktodo(opts: Options, entry) -> Options:
         opts.b1 = entry.b1
     if entry.b2:
         opts.b2 = entry.b2
+    if entry.b2_start:
+        opts.b2_start = entry.b2_start
     if entry.curves:
         opts.curves = entry.curves
     return opts
