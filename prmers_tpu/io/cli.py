@@ -103,7 +103,6 @@ _ALIASES: dict[str, list[str]] = {
 _NOOP_FLAGS: dict[str, bool] = {
     "-gerbiczli": False,          # default on (disable: -nogerbiczli)
     "-proof": False,              # default on (disable: -noproof)
-    "-resume": False,             # checkpoints auto-resume
     "-noverify": False,           # proof verify is opt-in already
     "-debug": False,
     "-edwards": False,            # default curve family
@@ -220,6 +219,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "2; base-3 recompute variant with one)")
     ap.add_argument("-s2regs", dest="stage2_regs_cap", type=int, default=0,
                     help="V-trace register budget (memory cap)")
+    ap.add_argument("-resume", dest="auto_resume_export",
+                    action="store_true",
+                    help="write resume_p<p>_B1_<b1>.save (GMP-ECM) and "
+                         ".p95 (Prime95) files after P-1 stage 1 "
+                         "(reference -resume)")
     ap.add_argument("-resume_save", default="",
                     help="write a GMP-ECM P-1 resume file after stage 1")
     ap.add_argument("-p95_save", default="",
@@ -363,7 +367,7 @@ def parse_args(argv: list[str] | None = None) -> Options:
         nmax=ns.nmax, k_nk=ns.curves,
         resume_save=ns.resume_save, p95_save=ns.p95_save,
         resume_load=ns.resume_load, s2_resume=ns.s2_resume,
-        password=ns.password,
+        password=ns.password, auto_resume_export=ns.auto_resume_export,
         p95_path=ns.p95_path, p95_stage2=ns.p95_stage2,
         res64_display_interval=ns.res64_display_interval,
         profile=ns.profile, verbose=not ns.quiet, gui=ns.gui,

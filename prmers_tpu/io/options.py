@@ -64,6 +64,8 @@ class Options:
     stage2_variant: str = "vtrace"  # vtrace (default) | classic
     stage2_regs_cap: int = 0     # V-trace register budget (0 = default)
     resume_save: str = ""        # export GMP-ECM P-1 resume line after S1
+    auto_resume_export: bool = False  # -resume: write both resume formats
+                                 # with the canonical names after stage 1
     p95_save: str = ""           # export Prime95 stage-1 save after S1
     resume_load: str = ""        # import a stage-1 X (either format)
     s2_resume: bool = False      # -pm1-s2-resume2reg: stage 2 only, from

@@ -634,6 +634,16 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
         opts = dataclasses.replace(opts, b1=b1_eff)
     else:
         r1 = run_pm1_stage1(opts, log=log)
+    if getattr(opts, "auto_resume_export", False):
+        # -resume: write both formats under the canonical names the
+        # reference's chaining flow expects (chainpm1.sh / -b1old)
+        import os
+        stem = os.path.join(opts.save_dir,
+                            f"resume_p{opts.exponent}_B1_{opts.b1}")
+        opts = dataclasses.replace(
+            opts,
+            resume_save=opts.resume_save or stem + ".save",
+            p95_save=opts.p95_save or stem + ".p95")
     if opts.resume_save:
         from ..io import interop
         interop.write_ecm_resume(opts.resume_save, opts.b1, opts.exponent,

@@ -68,6 +68,17 @@ class TestB1Extension:
         r2 = run_pm1(o2, log=_silent)
         assert r2.factor == 4312790327
 
+    def test_auto_resume_export_writes_both(self, tmp_path):
+        """-resume: canonical-named .save + .p95 appear after stage 1
+        (reference -resume / chainpm1.sh flow)."""
+        import os
+        o = Options(exponent=541, mode="pm1", b1=300, backend="numpy",
+                    save_dir=str(tmp_path), auto_resume_export=True)
+        run_pm1(o, log=_silent)
+        stem = os.path.join(str(tmp_path), "resume_p541_B1_300")
+        assert os.path.exists(stem + ".save")
+        assert os.path.exists(stem + ".p95")
+
     def test_b1old_auto_locate_extends(self, tmp_path):
         """-b1old <old>: the resume_p<p>_B1_<old>.save file is located in
         save_dir automatically and stage 1 extends to the new -b1
