@@ -176,6 +176,28 @@ class TestPallasSharded:
             want = want * want * a % mp
         assert st.get_int() == want
 
+    @pytest.mark.slow
+    def test_pallas_sharded_radix5_chain(self, mesh8, monkeypatch):
+        """A 5-smooth shape (n=5*2^19: R2=40 divides the mesh) through
+        the mesh fast-3 pipeline — the radix-5 MXU stage under
+        shard_map."""
+        monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        from prmers_tpu.parallel.sharded_pallas import PallasShardedStep
+        from prmers_tpu.utils import digits as dg
+
+        n = 5 << 19
+        p = int(n * 16.2) | 1
+        from prmers_tpu.core.plan import cached_plan
+        plan = cached_plan(p, n)
+        mp = (1 << p) - 1
+        st = PallasShardedStep(p, mesh8, n=n)
+        st.set_digits(dg.int_to_digits(3, plan.widths))
+        st.step(2, a=3)
+        want = 3
+        for _ in range(2):
+            want = want * want * 3 % mp
+        assert st.get_int() == want
+
     def test_pallas_sharded_multiplicand_mul(self, mesh8, monkeypatch):
         """Engine mul parity on the mesh kernels: prepare a spectral
         multiplicand with the sharded forward transform, then
