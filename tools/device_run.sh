@@ -22,6 +22,9 @@ timeout 3000 python tools/test_pallas_step.py 15 3 || exit 1
 if [ "$MODE" = full ]; then
   echo "== tune ladder (persists prmers_tune.json) =="
   timeout 6000 python -m prmers_tpu -tune || echo "(tune failed; continuing)"
+
+  echo "== GL-window smoke across the ladder =="
+  timeout 6000 python tools/gl_smoke.py || echo "(gl_smoke failures above)"
 fi
 
 if [ "$MODE" = full ]; then
