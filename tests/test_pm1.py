@@ -158,8 +158,12 @@ class TestVTrace:
     def test_m1362763_vtrace_regression(self):
         """The reference's V-trace stage-2 regression: M1362763 with
         B1=29, B2=6910159, known factors divided out, expected NEW
-        factor 28401397572100073 (reference: README.md:497-505)."""
+        factor 28401397572100073 (reference: README.md:497-505).
+        q-1 = 2^3*13*29*p*6910159 — the stage-2 prime is B2 itself, so
+        the split-range form (-b2start, reference flag) tests the same
+        factor hit in minutes instead of scanning 470k primes on CPU."""
         o = Options(exponent=1362763, mode="pm1", b1=29, b2=6910159,
+                    b2_start=6900000,
                     backend="jax", no_gcd_stage1=True,
                     known_factors=("46333943", "282345414919"))
         from prmers_tpu.modes.pm1 import run_pm1
