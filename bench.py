@@ -32,13 +32,17 @@ def _build_warm(K):
 def _device_reachable(timeout_s: int = 300) -> bool:
     """Probe jax device init in a child process: the axon tunnel, when
     down, HANGS jax.devices() indefinitely — a bounded child probe turns
-    that into a fast, diagnosable failure instead of a silent stall."""
+    that into a fast, diagnosable failure instead of a silent stall.
+    The child imports prmers_tpu.jaxconf first so the PRMERS_PLATFORM
+    pin applies and the probe tests the backend the run will use."""
     import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c",
+             "from prmers_tpu import jaxconf; "
              "import jax; jax.devices(); print('ok')"],
-            timeout=timeout_s, capture_output=True, text=True)
+            timeout=timeout_s, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         return r.returncode == 0 and "ok" in r.stdout
     except subprocess.TimeoutExpired:
         return False

@@ -92,9 +92,26 @@ def parse_line(line: str) -> WorktodoEntry | None:
         return None
     if key_up in ("PMINUS1", "PFACTOR"):
         # PFactor=k,b,n,c,B1,B2[,"factors"] parses to the same P-1 entry
-        # (reference: WorktodoParser.cpp:164-203)
+        # (reference: WorktodoParser.cpp:164-203). Canonical PrimeNet
+        # PFactor lines instead carry (sieve_depth, has_been_pminus1ed)
+        # in those positions — the reference misreads them as bounds and
+        # burns the assignment on a trivial B1; detect that shape
+        # (tiny second field) and derive wavefront-scale auto bounds.
         if len(fields) < 6:
             return None
+        if key_up == "PFACTOR":
+            k, b, n, c = (as_int(fields[0]), as_int(fields[1]),
+                          as_int(fields[2]), as_int(fields[3]))
+            if k != 1 or b != 2 or c != -1:
+                return None
+            v4, v5 = as_int(fields[4]), as_int(fields[5])
+            if v5 <= 1 and v4 < 100:       # (sieve_depth, pminus1ed)
+                b1 = max(50000, (n // 300) // 1000 * 1000)
+                e = WorktodoEntry(mode="pm1", exponent=n, aid=aid,
+                                  raw_line=line, known_factors=factors,
+                                  b1=b1, b2=30 * b1)
+                e.sieve_depth = float(v4)
+                return e
         k, b, n, c = (as_int(fields[0]), as_int(fields[1]),
                       as_int(fields[2]), as_int(fields[3]))
         if k != 1 or b != 2 or c != -1:

@@ -585,41 +585,31 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
     Stage 2 runs even when stage 1 already found a factor (reference
     behavior: each stage reports its own factor, unit_tests.sh:54-71); a
     stage-2 gcd that merely repeats the stage-1 factor is reduced."""
+    def _locate_resume(flag: str, b1: int, exts: tuple[str, str]) -> str:
+        """resume_p<p>_B1_<b1> file in save_dir or cwd, preferred
+        extension first; raises with the triggering flag's name."""
+        import os
+        stem = f"resume_p{opts.exponent}_B1_{b1}"
+        for d in (opts.save_dir, "."):
+            for ext in exts:
+                cand = os.path.join(d, stem + ext)
+                if os.path.exists(cand):
+                    return cand
+        raise FileNotFoundError(
+            f"{flag}: no {stem}{exts[0]}/{exts[1]} found in "
+            f"{opts.save_dir!r} or the working directory")
+
     if getattr(opts, "b1_old", 0) and not opts.resume_load:
         # -b1old: stage-1 B1 extension from the previous run's resume
         # file, .save preferred over .p95 (reference: CliParser.cpp -b1old
         # help — "loads resume_p[p]_B1_[oldB1].save, or .p95 if absent")
-        import os
-        stem = f"resume_p{opts.exponent}_B1_{opts.b1_old}"
-        for d in (opts.save_dir, "."):
-            for ext in (".save", ".p95"):
-                cand = os.path.join(d, stem + ext)
-                if os.path.exists(cand):
-                    opts = dataclasses.replace(opts, resume_load=cand)
-                    break
-            if opts.resume_load:
-                break
-        if not opts.resume_load:
-            raise FileNotFoundError(
-                f"-b1old: no {stem}.save/.p95 found in "
-                f"{opts.save_dir!r} or the working directory")
+        opts = dataclasses.replace(opts, resume_load=_locate_resume(
+            "-b1old", opts.b1_old, (".save", ".p95")))
     if getattr(opts, "s2_resume", False) and not opts.resume_load:
         # -pm1-s2-resume2reg: auto-locate the stage-1 file the reference
         # names resume_p<p>_B1_<b1>.p95/.save (RunPM1.cpp resume2reg path)
-        import os
-        stem = f"resume_p{opts.exponent}_B1_{opts.b1}"
-        for d in (opts.save_dir, "."):
-            for ext in (".p95", ".save"):
-                cand = os.path.join(d, stem + ext)
-                if os.path.exists(cand):
-                    opts = dataclasses.replace(opts, resume_load=cand)
-                    break
-            if opts.resume_load:
-                break
-        if not opts.resume_load:
-            raise FileNotFoundError(
-                f"-pm1-s2-resume2reg: no {stem}.p95/.save found in "
-                f"{opts.save_dir!r} or the working directory")
+        opts = dataclasses.replace(opts, resume_load=_locate_resume(
+            "-pm1-s2-resume2reg", opts.b1, (".p95", ".save")))
     if opts.resume_load:
         mp = res.mersenne(opts.exponent)
         b1_eff, x = _load_stage1_x(opts, log)

@@ -126,6 +126,16 @@ class TestWorktodo:
         assert e.b1 == 29 and e.b2 == 6910159
         assert e.known_factors == ("46333943", "282345414919")
 
+    def test_parse_pfactor_primenet_shape(self):
+        """Canonical PrimeNet PFactor lines carry (sieve_depth,
+        has_been_pminus1ed), not bounds — they must get wavefront-scale
+        auto bounds, not a trivially useless B1=76 run."""
+        from prmers_tpu.io.worktodo import parse_line
+        e = parse_line('PFactor=N/A,1,2,104729,-1,76,1')
+        assert e.mode == "pm1" and e.exponent == 104729
+        assert e.b1 >= 50000 and e.b2 == 30 * e.b1
+        assert e.sieve_depth == 76.0
+
     def test_parse_known_factors(self):
         e = parse_line('PRP=1,2,2699,-1,99,0,"5399,307687"')
         assert e.known_factors == ("5399", "307687")

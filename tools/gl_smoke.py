@@ -44,6 +44,12 @@ def smoke_one(p: int) -> tuple[bool, float, str]:
             run_prp_or_ll(o, log=log)
         except KeyboardInterrupt:
             pass
+        except Exception as e:   # noqa: BLE001 — a broken shape must
+            # record FAIL and let the rest of the ladder run (repeated
+            # GL failure raises RuntimeError; that is the very signal
+            # this tool exists to catch)
+            return False, time.perf_counter() - t0, \
+                f"{type(e).__name__}: {e}"
     dt = time.perf_counter() - t0
     if "fail" in seen:
         return False, dt, seen["fail"]
