@@ -152,7 +152,7 @@ _NOOP_FLAGS: dict[str, bool] = {
     "-backend-auto": False, "-aevum": False, "-aevum-auto": False,
     # network submission (no egress in this environment; the PrimeNet
     # payload is still written to the results file)
-    "-http": False, "-submit": False, "-host": True, "-ipv4": False,
+    "-submit": False,
     "-p95": False,
     # experimental reference modes not carried over (SLn torus, s3/s4)
     "-torus": False, "-s3": False, "-s4": False, "-b3": True, "-b4": True,
@@ -319,7 +319,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-aid", default="")
 
     ap.add_argument("-gui", action="store_true", help="start the web GUI")
-    ap.add_argument("-gui-port", dest="gui_port", type=int, default=3131)
+    ap.add_argument("-gui-port", "-http", dest="gui_port", type=int,
+                    default=3131,
+                    help="GUI HTTP port (reference -http <port>)")
+    ap.add_argument("-host", dest="gui_host", default="127.0.0.1",
+                    help="GUI bind host (reference -host; 0.0.0.0 "
+                         "exposes all interfaces)")
+    ap.add_argument("-ipv4", dest="gui_all_ifaces", action="store_true",
+                    help="bind the GUI on all IPv4 interfaces")
     ap.add_argument("-res64_display_interval", type=int, default=0)
     ap.add_argument("-profile", action="store_true")
     ap.add_argument("-q", "-quiet", dest="quiet", action="store_true")
@@ -372,4 +379,5 @@ def parse_args(argv: list[str] | None = None) -> Options:
         res64_display_interval=ns.res64_display_interval,
         profile=ns.profile, verbose=not ns.quiet, gui=ns.gui,
         gui_port=ns.gui_port, bench_iters=ns.bench_iters,
+        gui_host=("0.0.0.0" if ns.gui_all_ifaces else ns.gui_host),
     )

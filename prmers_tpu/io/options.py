@@ -97,6 +97,7 @@ class Options:
     # web gui
     gui: bool = False
     gui_port: int = 3131
+    gui_host: str = "127.0.0.1"  # -host (0.0.0.0 exposes all interfaces)
 
     # bench
     bench_iters: int = 0

@@ -123,7 +123,8 @@ class WebGui:
                 else:
                     self._send("not found", "text/plain", 404)
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", self.opts.gui_port),
+        host = getattr(self.opts, "gui_host", "") or "127.0.0.1"
+        self._server = ThreadingHTTPServer((host, self.opts.gui_port),
                                            Handler)
         self._thread = threading.Thread(target=self._server.serve_forever,
                                         daemon=True)

@@ -76,11 +76,21 @@ class TestCli:
         no-op (kernelpath/local sizes/network submission etc.)."""
         o = parse_args(["9941", "-backend", "numpy", "-gerbiczli",
                         "-proof", "-kernelpath", "/tmp/k", "-l1", "64",
-                        "-http", "-submit", "-vtrace-pair95",
+                        "-submit", "-vtrace-pair95",
                         "-pm1-vtrace-product-tree-width", "8"])
         assert o.exponent == 9941 and o.gerbiczli and o.proof
         err = capsys.readouterr().err
         assert "-kernelpath" in err and "no-op" in err
+
+    def test_gui_host_flags(self):
+        """-http <port> / -host / -ipv4 (reference GUI options)."""
+        o = parse_args(["9941", "-gui", "-http", "8080"])
+        assert o.gui and o.gui_port == 8080
+        assert o.gui_host == "127.0.0.1"      # safe default bind
+        o = parse_args(["9941", "-gui", "-host", "10.0.0.5"])
+        assert o.gui_host == "10.0.0.5"
+        o = parse_args(["9941", "-gui", "-ipv4"])
+        assert o.gui_host == "0.0.0.0"
 
     def test_memlim_budget(self, monkeypatch):
         import os
