@@ -40,3 +40,8 @@ timeout 3000 python bench.py
 
 echo "== bench fallback sanity (no-rowcarry pipeline still correct) =="
 PRMERS_NO_ROWCARRY=1 PRMERS_BENCH_ITERS=64 timeout 3000 python bench.py
+
+if [ "$MODE" = full ]; then
+  echo "== A/B variant ladder at the flagship exponent =="
+  timeout 9000 python tools/ab_ladder.py || echo "(ab_ladder failed)"
+fi
