@@ -34,7 +34,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map as _shard_map_new  # jax >= 0.8
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        # adapter: the new API renamed check_rep -> check_vma
+        return _shard_map_new(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
 except ImportError:          # pragma: no cover — older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

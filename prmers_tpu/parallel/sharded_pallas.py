@@ -38,10 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-try:
-    from jax import shard_map  # jax >= 0.8
-except ImportError:          # pragma: no cover — older jax
-    from jax.experimental.shard_map import shard_map
+from .sharded import shard_map  # check_rep adapter
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.plan import cached_plan
