@@ -1,0 +1,31 @@
+# Operator convenience targets (the package itself needs no build step).
+
+PY ?= python
+
+.PHONY: test test-all test-matrix bench tune device smoke clean
+
+test:            ## fast guard-rail suite (CPU, 8-virtual-device mesh)
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	  $(PY) -m pytest tests/ -q
+
+test-all:        ## includes the slow golden runs
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	  $(PY) -m pytest tests/ -q --run-slow
+
+test-matrix:     ## backend x arithmetic x mode residue/factor cross-check
+	PRMERS_PLATFORM=cpu $(PY) tools/validation_matrix.py standard matrix.tsv
+
+bench:           ## headline PRP iter/s JSON line (device)
+	$(PY) bench.py
+
+tune:            ## measure + persist per-size rates (device)
+	$(PY) -m prmers_tpu -tune
+
+device:          ## full on-device validation + bench ladder
+	bash tools/device_run.sh full
+
+smoke:           ## first-GL-window ladder (device or CPU with a cap)
+	$(PY) tools/gl_smoke.py
+
+clean:
+	rm -rf __pycache__ prmers_tpu/**/__pycache__ .pytest_cache matrix.tsv
