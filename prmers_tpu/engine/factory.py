@@ -13,6 +13,7 @@ Backends:
 from __future__ import annotations
 
 import os
+import sys
 
 from .api import Engine
 
@@ -104,6 +105,15 @@ def _create_engine(p: int, reg_count: int, backend: str | None = None,
         from ..core.plan import cached_plan
         from .paged import PagedEngine, device_reg_budget
         budget = device_reg_budget(cached_plan(p).n)
+        if os.environ.get("PRMERS_GPU_ALLOC_DIAG") == "1":
+            # reference diagnostics spelling (README.md:580-590):
+            # report the logical slab vs the device register budget
+            n = cached_plan(p).n
+            gib = reg_count * n * 8 / (1 << 30)
+            print(f"[ALLOC] logical regs={reg_count} slab={gib:.2f} GiB "
+                  f"device budget={budget} regs"
+                  f"{' -> host-paged LRU' if reg_count > budget else ''}",
+                  file=sys.stderr)
         if reg_count > budget:
             inner = _create_engine(p, budget, backend=b, device=device,
                                    arith="gl64")

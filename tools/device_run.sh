@@ -29,8 +29,10 @@ fi
 
 if [ "$MODE" = full ]; then
   echo "== MM31 P-1 golden (n=5*2^25 radix-5 shape; expect 295257526626031) =="
+  # the reference's exact validation form (README.md:628-636):
+  # ultralowmem keeps the register footprint at 1-2 slabs of 1.34 GiB
   timeout 6000 python -m prmers_tpu 2147483647 -pm1 -b1 100 -b2 5000 \
-      -noproof 2>&1 | tee /tmp/mm31.log | tail -5
+      -pm1-ultralowmem -nogcd-stage1 2>&1 | tee /tmp/mm31.log | tail -5
   grep -q 295257526626031 /tmp/mm31.log \
     && echo "MM31 GOLDEN OK" || echo "MM31 GOLDEN MISSING (check /tmp/mm31.log)"
 fi
