@@ -516,6 +516,53 @@ def run_pm1_stage2_lowmem(opts: Options, x1: int, eng: Engine | None = None,
                      transform_size=eng.get_size())
 
 
+def run_pm1_stage2_ultralow(opts: Options, eng: Engine | None = None,
+                            log=print) -> Pm1Result:
+    """Ultra-low-memory stage 2: ONE register. Recomputes from scratch
+    x = 3^(E(B1) * 2p * prod primes(B1, B2]) as a single fast-3 chain
+    (every multiply folds into the carry operand), then gcd(x-1, M_p)
+    (reference: the -pm1-ultralowmem product-exponent stage 2,
+    README.md:608-636 — designed for huge transforms where even a
+    2-register stage 2 does not fit). The exponent is streamed in
+    bit-chunks; only the MSB-first first chunk exists, so one register
+    slab is the whole device footprint."""
+    p, b1, b2 = opts.exponent, opts.b1, opts.b2
+    b1s2 = max(b1, getattr(opts, "b2_start", 0))  # -b2start/-s2from
+    assert b2 > b1s2
+    mp = res.mersenne(p)
+    t0 = time.monotonic()
+    if eng is None:
+        eng = create_engine(p, 1, backend=opts.backend,
+                            arith=opts.arith, workload="pm1_s2")
+    rs = 0
+    # full exponent: E(B1) * 2p * Q — host big-int product trees keep
+    # this linear-time; bits ~ 1.44*(B1 + (B2 - B1)) + log2(2p)
+    e = pr.build_e(b1) * 2 * p
+    qs = [e]
+    for block in pr.segmented_primes(b1s2 + 1, b2 + 1):
+        qs.extend(int(q) for q in block.tolist())
+    e = pr.product_tree(qs)
+    bits = e.bit_length()
+    log(f"P-1 stage 2 (ultralowmem, 1 register): 3^E with "
+        f"{bits} exponent bits")
+    eng.set(rs, 3)   # consumes the MSB
+    CH = 1 << 14
+    for lo in range(1, bits, CH):
+        hi = min(lo + CH, bits)
+        eng.square_mul_seq(rs, [3 if (e >> (bits - 1 - i)) & 1 else 1
+                                for i in range(lo, hi)])
+    x = eng.get_int(rs) % mp
+    g = gmp.gcd((x - 1) % mp, mp)
+    factor = _reduce_gcd(g, mp, opts)
+    if factor:
+        log(f"P-1 stage 2 found factor {factor}")
+    return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
+                     stage=2 if factor else 0,
+                     res64=res.res64_hex(x),
+                     elapsed=time.monotonic() - t0,
+                     transform_size=eng.get_size())
+
+
 def run_pm1_stage2_nk(opts: Options, x1: int, eng: Engine | None = None,
                       log=print) -> Pm1Result:
     """n^K stage-2 variant: build H^(m^K) for m = 1..nmax by finite
@@ -680,7 +727,11 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
             return r2
         log(f"[PM1] Prime95 Stage2 error: {rr.error}; falling back to "
             "the internal stage 2")
-    if opts.pm1_variant in ("lowmem", "ultralowmem"):
+    if opts.pm1_variant == "ultralowmem" and not opts.resume_load:
+        # fresh ultralowmem run: the 1-register product-exponent stage 2
+        # (with a resume X the 2-register H^Q path below starts from it)
+        r2 = run_pm1_stage2_ultralow(opts, log=log)
+    elif opts.pm1_variant in ("lowmem", "ultralowmem"):
         r2 = run_pm1_stage2_lowmem(opts, r1._stage1_x, log=log)
     elif getattr(opts, "stage2_variant", "vtrace") == "classic":
         r2 = run_pm1_stage2(opts, r1._stage1_x, log=log)

@@ -261,6 +261,18 @@ class TestLowMem:
         with _pt.raises(FileNotFoundError):
             run_pm1(o, log=_silent)
 
+    def test_ultralowmem_1reg_product_exponent_m367(self, tmp_path):
+        """Fresh -pm1-ultralowmem: stage 2 is the 1-register
+        3^(E*2p*Q) product-exponent recompute (reference:
+        README.md:608-636); the gcd covers both stages."""
+        o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
+                    backend="numpy", pm1_variant="ultralowmem",
+                    no_gcd_stage1=True, save_dir=str(tmp_path))
+        from prmers_tpu.modes.pm1 import run_pm1
+        r = run_pm1(o, log=_silent)
+        assert r.factor % 50500996776315830904406967 == 0 or \
+            r.factor == 50500996776315830904406967
+
     def test_ultralowmem_stage1_m541(self, tmp_path):
         o = Options(exponent=541, mode="pm1", b1=1000, b2=0,
                     backend="numpy", pm1_variant="ultralowmem",

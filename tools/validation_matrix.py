@@ -31,9 +31,9 @@ def cases(profile: str):
     if profile != "quick":
         yield "prp_cofactor", dict(exponent=2699, mode="prp", proof=False,
                                    known_factors=("5399", "307687",
-                                                  "1226041630163",
-                                                  "357392437678121",
-                                                  "16647332713153"))
+                                                  "1187561",
+                                                  "7570504839257",
+                                                  "1987104667810711"))
         yield "llsafe2", dict(exponent=607, mode="llsafe2")
         yield "pm1_s2", dict(exponent=367, mode="pm1", b1=11981, b2=38971)
         yield "pm1_lowmem", dict(exponent=367, mode="pm1", b1=11981,
