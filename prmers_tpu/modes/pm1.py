@@ -333,7 +333,9 @@ def run_pm1_stage1(opts: Options, eng: Engine | None = None,
         g = gmp.gcd((x - 1) % mp, mp)
         factor = _reduce_gcd(g, mp, opts)
         if factor:
-            log(f"P-1 stage 1 found factor {factor}")
+            log(f"P-1 factor stage 1 found: {factor}")
+        else:
+            log(f"No P-1 (stage 1) factor up to B1={b1}")
     r = Pm1Result(p=p, b1=b1, b2=opts.b2, factor=factor,
                   stage=1 if factor else 0,
                   res64=res.res64_hex(x),
@@ -410,7 +412,9 @@ def run_pm1_stage2(opts: Options, x1: int, eng: Engine | None = None,
     g = gmp.gcd(acc, mp)
     factor = _reduce_gcd(g, mp, opts)
     if factor:
-        log(f"P-1 stage 2 found factor {factor}")
+        log(f">>>  Factor P-1 (stage 2) found : {factor}")
+    else:
+        log(f"No factor P-1 (stage 2) until B2 = {b2}")
     return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
                      stage=2 if factor else 0,
                      res64=res.res64_hex(acc),
@@ -508,7 +512,9 @@ def run_pm1_stage2_lowmem(opts: Options, x1: int, eng: Engine | None = None,
     g = gmp.gcd((hq - 1) % mp, mp)
     factor = _reduce_gcd(g, mp, opts)
     if factor:
-        log(f"P-1 stage 2 found factor {factor}")
+        log(f">>>  Factor P-1 (stage 2) found : {factor}")
+    else:
+        log(f"No factor P-1 (stage 2) until B2 = {b2}")
     return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
                      stage=2 if factor else 0,
                      res64=res.res64_hex(hq),
@@ -555,7 +561,9 @@ def run_pm1_stage2_ultralow(opts: Options, eng: Engine | None = None,
     g = gmp.gcd((x - 1) % mp, mp)
     factor = _reduce_gcd(g, mp, opts)
     if factor:
-        log(f"P-1 stage 2 found factor {factor}")
+        log(f">>>  Factor P-1 (stage 2) found : {factor}")
+    else:
+        log(f"No factor P-1 (stage 2) until B2 = {b2}")
     return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
                      stage=2 if factor else 0,
                      res64=res.res64_hex(x),
@@ -619,7 +627,7 @@ def run_pm1_stage2_nk(opts: Options, x1: int, eng: Engine | None = None,
     g = gmp.gcd(acc, mp)
     factor = _reduce_gcd(g, mp, opts)
     if factor:
-        log(f"P-1 stage 2 (n^K) found factor {factor}")
+        log(f">>>  Factor P-1 (stage 2) found : {factor}")
     return Pm1Result(p=p, b1=opts.b1, b2=opts.b2, factor=factor,
                      stage=2 if factor else 0, res64=res.res64_hex(acc),
                      elapsed=time.monotonic() - t0,
@@ -663,7 +671,7 @@ def run_pm1(opts: Options, log=print) -> Pm1Result:
         g = gmp.gcd((x - 1) % mp, mp)
         factor = _reduce_gcd(g, mp, opts)
         if factor:
-            log(f"P-1 stage 1 found factor {factor}")
+            log(f"P-1 factor stage 1 found: {factor}")
         r1 = Pm1Result(p=opts.exponent, b1=b1_eff, b2=opts.b2,
                        factor=factor, stage=1 if factor else 0,
                        res64=res.res64_hex(x % mp))
@@ -1033,7 +1041,9 @@ def run_pm1_stage2_vtrace(opts: Options, x1: int, eng: Engine | None = None,
     g = gmp.gcd(acc, mp)
     factor = _reduce_gcd(g, mp, opts)
     if factor:
-        log(f"P-1 stage 2 found factor {factor}")
+        log(f">>>  Factor P-1 (stage 2) found : {factor}")
+    else:
+        log(f"No factor P-1 (stage 2) until B2 = {b2}")
     return Pm1Result(p=p, b1=b1, b2=b2, factor=factor,
                      stage=2 if factor else 0,
                      res64=res.res64_hex(acc),

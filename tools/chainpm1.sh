@@ -20,8 +20,8 @@ run() {  # run <b1> [extra args...]
   set +e
   ${PROG} "${p}" -pm1 -b1 "${b1}" -resume "$@" | tee "${log}"
   set -e
-  if grep -q "stage 1 found factor" "${log}"; then
-    factor=$(sed -n 's/.*stage 1 found factor \([0-9][0-9]*\).*/\1/p' \
+  if grep -q "factor stage 1 found" "${log}"; then
+    factor=$(sed -n 's/.*factor stage 1 found: \([0-9][0-9]*\).*/\1/p' \
              "${log}" | head -n1)
     echo "[FOUND] Factor ${factor} at B1=${b1}"
     exit 0
