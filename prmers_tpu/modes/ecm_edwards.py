@@ -833,8 +833,24 @@ def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
     seed0 = opts.curve_seed or 0x5EED
     check_every = getattr(opts, "ecm_check_interval", 0) or 0
     result = EcmResult(p=p, b1=opts.b1, b2=opts.b2, curves=K)
+    keep_going = getattr(opts, "continue_after_factor", False)
+
+    def record(f: int, stage: int, sig: int, curve: int) -> bool:
+        """Record a factor; True = stop the curve loop (reference
+        default), False when -ecm-continue-after-factor keeps going."""
+        result.factors = result.factors + (f,)
+        if not result.factor:
+            result.factor, result.stage = f, stage
+            result.factor_sigma, result.factor_curve = sig, curve
+        if not keep_going:
+            log("[ECM] New factor found; stopping ECM by default. "
+                "(-ecm-continue-after-factor keeps the remaining curves)")
+        return not keep_going
+
     if K > 1 and _run_edwards_batch(opts, log, n, K, result):
         result.elapsed = time.monotonic() - t0
+        if not result.factor:
+            log("[ECM] No factor found")
         return result
     eng = create_engine(p, regs, backend=opts.backend,
                         arith=opts.arith, workload="ecm")
@@ -851,9 +867,7 @@ def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
             else:
                 x0, y0, d = edwards_curve(seed, n)
         except _FactorFound as f:
-            if f.f:
-                result.factor, result.stage = f.f, 0
-                result.factor_sigma, result.factor_curve = seed, c
+            if f.f and record(f.f, 0, seed, c):
                 break
             continue
         ops = EdOps(eng, n, d, a_sign=1 if use_t16 else -1)
@@ -869,20 +883,22 @@ def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
             log(f"ECM-Edwards curve {c}: gcd == N, backtracking stage 1")
             g = _stage1_backtrack(ops, n, x0, y0, opts.b1)
         if 1 < g < n:
-            result.factor, result.stage = g, 1
-            result.factor_sigma, result.factor_curve = seed, c
             log(f"ECM-Edwards curve {c} stage 1 factor {g}")
-            break
+            if record(g, 1, seed, c):
+                break
+            continue
         if hit_all:
             continue  # [k]P vanished mod every factor; stage 2 is moot
         if opts.b2 > opts.b1:
             acc = _stage2(ops, opts, n, log)
             g = gmp.gcd(acc % n, n)
             if 1 < g < n:
-                result.factor, result.stage = g, 2
-                result.factor_sigma, result.factor_curve = seed, c
                 log(f"ECM-Edwards curve {c} stage 2 factor {g}")
-                break
+                if record(g, 2, seed, c):
+                    break
+                continue
         log(f"ECM-Edwards curve {c}: no factor")
     result.elapsed = time.monotonic() - t0
+    if not result.factor:
+        log("[ECM] No factor found")
     return result
