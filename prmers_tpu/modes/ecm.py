@@ -577,6 +577,9 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
         if not result.factor:
             result.factor, result.stage = f, stage
             result.factor_sigma, result.factor_curve = sig, curve
+        if not keep_going:
+            log("[ECM] New factor found; stopping ECM by default. "
+                "(-ecm-continue-after-factor keeps the remaining curves)")
         return not keep_going
 
     torsion = getattr(opts, "torsion", 0)
@@ -587,6 +590,8 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
     if K > 1 and _run_ecm_batch(opts, log, n, K, family, seed0,
                                 result, record):
         result.elapsed = time.monotonic() - t0
+        if not result.factor:
+            log("[ECM] No factor found")
         return result
     eng = create_engine(p, regs, backend=opts.backend,
                         arith=opts.arith, workload="ecm")
@@ -690,4 +695,6 @@ def run_ecm(opts: Options, log=print) -> EcmResult:
                     continue
         log(f"ECM curve {c} (sigma={sigma}): no factor")
     result.elapsed = time.monotonic() - t0
+    if not result.factor:
+        log("[ECM] No factor found")
     return result

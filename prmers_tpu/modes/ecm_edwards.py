@@ -687,7 +687,7 @@ class BatchEdOps(EdOps):
 
 
 def _run_edwards_batch(opts: Options, log, n: int, K: int,
-                       result: EcmResult) -> bool:
+                       result: EcmResult, record) -> bool:
     """SPMD curve batching for the twisted-Edwards driver (same design
     as ecm._run_ecm_batch): one batched register file runs every curve's
     identical dbl/add schedule; divergent host events resolve per lane.
@@ -742,9 +742,7 @@ def _run_edwards_batch(opts: Options, log, n: int, K: int,
                 else:
                     x0, y0, d = edwards_curve(seed, n)
             except _FactorFound as f:
-                if alive and f.f:
-                    result.factor, result.stage = f.f, 0
-                    result.factor_sigma, result.factor_curve = seed, c
+                if alive and f.f and record(f.f, 0, seed, c):
                     return True
                 x0, y0, d = 0, 1, 1           # neutral placeholder
                 alive = False
@@ -783,10 +781,11 @@ def _run_edwards_batch(opts: Options, log, n: int, K: int,
                                          1 if use_t16 else -1)
                 lane_info[li][5] = False
             if 1 < g < n:
-                result.factor, result.stage = g, 1
-                result.factor_sigma, result.factor_curve = seed, c
                 log(f"ECM-Edwards curve {c} stage 1 factor {g}")
-                return True
+                if record(g, 1, seed, c):
+                    return True
+                lane_info[li][5] = False      # this curve is done
+                continue
             if lane_info[li][5]:
                 want_s2 = True
         if want_s2 and opts.b2 > opts.b1:
@@ -796,10 +795,10 @@ def _run_edwards_batch(opts: Options, log, n: int, K: int,
                     continue
                 g = gmp.gcd(eng.get_int(RACC, li) % n, n)
                 if 1 < g < n:
-                    result.factor, result.stage = g, 2
-                    result.factor_sigma, result.factor_curve = seed, c
                     log(f"ECM-Edwards curve {c} stage 2 factor {g}")
-                    return True
+                    if record(g, 2, seed, c):
+                        return True
+                    continue
                 log(f"ECM-Edwards curve {c}: no factor")
         else:
             for c, seed, _x, _y, _d, alive in lane_info:
@@ -847,7 +846,7 @@ def run_ecm_edwards(opts: Options, log=print) -> EcmResult:
                 "(-ecm-continue-after-factor keeps the remaining curves)")
         return not keep_going
 
-    if K > 1 and _run_edwards_batch(opts, log, n, K, result):
+    if K > 1 and _run_edwards_batch(opts, log, n, K, result, record):
         result.elapsed = time.monotonic() - t0
         if not result.factor:
             log("[ECM] No factor found")
