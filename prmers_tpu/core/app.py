@@ -223,6 +223,17 @@ def run_app(opts: Options, log=print) -> int:
     """Top-level driver: worktodo loop or single run. Returns exit code
     (reference exit semantics: 0 = prime/PRP/factor found where
     applicable)."""
+    if getattr(opts, "filemers", ""):
+        # utility conversion mode: .mers checkpoint -> GMP-ECM .save
+        # (reference: App::exportResumeFromMersFile, App.cpp:520-553)
+        from ..io import interop
+        try:
+            out = interop.convert_mers_to_save(opts.filemers)
+        except (OSError, ValueError) as e:
+            log(f"-filemers failed: {e}")
+            return 1
+        log(f"GMP ECM file written to: {out}")
+        return 0
     gui = None
     if opts.gui:
         from ..ui.webgui import WebGui

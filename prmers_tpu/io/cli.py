@@ -72,6 +72,7 @@ _ALIASES: dict[str, list[str]] = {
     "-cmont": ["-montgomery"],
     "-seed": ["-curve-seed"],
     "-ecm-continue-after-factor": ["-continue-after-factor"],
+    "-f": ["-save-dir"],   # reference: -f <path> = checkpoint directory
     "--ecm-continue-after-factor": ["-continue-after-factor"],
     "-ecm-continue-curves-after-factor": ["-continue-after-factor"],
     # Aevum PFA plan forcing -> the second arithmetic path (this
@@ -147,7 +148,7 @@ _NOOP_FLAGS: dict[str, bool] = {
     "-l1": True, "-l2": True, "-l3": True, "-l5": True,
     "-tbits": True, "-throttle_low": True,
     "-iterforce": True, "-iterforce2": True, "-ecm_progress_ms": True,
-    "-filemers": True, "-c": True, "-f": True,
+    "-c": True,
     "-marin": False, "-engine-marin": False, "-backend-marin": False,
     "-backend-auto": False, "-aevum": False, "-aevum-auto": False,
     # network submission (no egress in this environment; the PrimeNet
@@ -230,6 +231,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a Prime95 stage-1 save after stage 1")
     ap.add_argument("-resume_load", default="",
                     help="import a stage-1 X from a GMP-ECM or Prime95 file")
+    ap.add_argument("-filemers", default="",
+                    help="convert a PrMers <p>pm<B1>.mers checkpoint to "
+                         "a GMP-ECM .save resume file and exit")
     ap.add_argument("-s2resume", dest="s2_resume", action="store_true",
                     help="stage-2-only run from an auto-located "
                          "resume_p<p>_B1_<b1>.p95/.save stage-1 file "
@@ -374,6 +378,7 @@ def parse_args(argv: list[str] | None = None) -> Options:
         nmax=ns.nmax, k_nk=ns.curves,
         resume_save=ns.resume_save, p95_save=ns.p95_save,
         resume_load=ns.resume_load, s2_resume=ns.s2_resume,
+        filemers=ns.filemers,
         password=ns.password, auto_resume_export=ns.auto_resume_export,
         p95_path=ns.p95_path, p95_stage2=ns.p95_stage2,
         res64_display_interval=ns.res64_display_interval,

@@ -37,6 +37,35 @@ def write_ecm_resume(path: str, b1: int, p: int, x: int) -> None:
         f.write(line + "\n")
 
 
+def convert_mers_to_save(mers_path: str, out_path: str = "") -> str:
+    """Convert a PrMers `.mers` checkpoint (the raw little-endian u64
+    digit vector of the stage-1 residue; filename <p>pm<B1>.mers) to a
+    GMP-ECM .save resume line; returns the output path (reference:
+    App::exportResumeFromMersFile, src/core/App.cpp:520-553 +
+    AlgoUtils.hpp:510 read_mers_file)."""
+    import os
+    import numpy as np
+    from ..core.plan import digit_widths
+    from ..utils import digits as dgu
+
+    fname = os.path.basename(mers_path)
+    stem, dot, ext = fname.rpartition(".")
+    if ext != "mers" or "pm" not in stem:
+        raise ValueError("invalid filename format, expected <p>pm<B1>.mers")
+    p_str, _, b1_str = stem.partition("pm")
+    p, b1 = int(p_str), int(b1_str)
+    v = np.fromfile(mers_path, dtype="<u8")
+    if v.size < 1:
+        raise ValueError(f"file too small: {mers_path}")
+    widths = digit_widths(p, int(v.size))
+    mp = (1 << p) - 1
+    x = dgu.digits_to_int(v, widths) % mp
+    out = out_path or os.path.join(os.path.dirname(mers_path) or ".",
+                                   stem + ".save")
+    write_ecm_resume(out, b1, p, x)
+    return out
+
+
 def write_ecm_resume_ecm(path: str, b1: int, p: int, x_aff: int,
                          a: int | None = None,
                          sigma: int | None = None) -> None:

@@ -68,6 +68,8 @@ class Options:
                                  # with the canonical names after stage 1
     p95_save: str = ""           # export Prime95 stage-1 save after S1
     resume_load: str = ""        # import a stage-1 X (either format)
+    filemers: str = ""           # -filemers: convert a .mers checkpoint
+                                 # to a GMP-ECM .save file and exit
     s2_resume: bool = False      # -pm1-s2-resume2reg: stage 2 only, from
                                  # an auto-located resume_p<p>_B1_<b1>
                                  # .p95/.save file (2-register H^Q)

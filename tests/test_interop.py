@@ -68,6 +68,21 @@ class TestB1Extension:
         r2 = run_pm1(o2, log=_silent)
         assert r2.factor == 4312790327
 
+    def test_filemers_conversion(self, tmp_path):
+        """-filemers: a PrMers .mers checkpoint (raw LE u64 digit
+        vector, <p>pm<B1>.mers) converts to a checksummed GMP-ECM .save
+        (reference: App::exportResumeFromMersFile)."""
+        import numpy as np
+        from prmers_tpu.core.plan import cached_plan
+        from prmers_tpu.utils import digits as dgu
+        p, b1 = 541, 899
+        x = 0x123456789ABCDEF0FEDCBA
+        v = dgu.int_to_digits(x, cached_plan(p).widths)
+        mers = str(tmp_path / f"{p}pm{b1}.mers")
+        v.astype("<u8").tofile(mers)
+        out = interop.convert_mers_to_save(mers)
+        assert interop.read_ecm_resume(out) == (b1, p, x)
+
     def test_auto_resume_export_writes_both(self, tmp_path):
         """-resume: canonical-named .save + .p95 appear after stage 1
         (reference -resume / chainpm1.sh flow)."""
