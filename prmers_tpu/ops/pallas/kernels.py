@@ -50,7 +50,13 @@ g = GL(jnp)
 LANES = 128
 G = 8              # retained for table-build signatures (no payload dim)
 SUBBLK = 8         # sub-factor slice width for VPU-dft leading-axis passes
-VMEM_LIMIT = 100 * 1024 * 1024
+# v5e/v5p cores expose 128 MiB of VMEM; the flagship fused kernel's
+# scoped stack peaks at ~105 MiB (measured: the 100 MiB default OOMed by
+# 4.5 MiB at n=2^23 and degraded the whole pipeline), so the cap sits as
+# close to the hardware as Mosaic allows. Env-overridable for smaller
+# parts.
+VMEM_LIMIT = int(__import__("os").environ.get(
+    "PRMERS_VMEM_LIMIT", 120 * 1024 * 1024))
 
 
 def _cparams(**kw):
