@@ -30,6 +30,7 @@ arithmetic through fused radix dispatch tables on one GPU queue
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -55,8 +56,23 @@ SUBBLK = 8         # sub-factor slice width for VPU-dft leading-axis passes
 # 4.5 MiB at n=2^23 and degraded the whole pipeline), so the cap sits as
 # close to the hardware as Mosaic allows. Env-overridable for smaller
 # parts.
-VMEM_LIMIT = int(__import__("os").environ.get(
-    "PRMERS_VMEM_LIMIT", 120 * 1024 * 1024))
+_VMEM_DEFAULT = 120 * 1024 * 1024
+
+
+def _vmem_limit() -> int:
+    v = os.environ.get("PRMERS_VMEM_LIMIT", "")
+    if not v:
+        return _VMEM_DEFAULT
+    try:
+        return int(v)
+    except ValueError:
+        import warnings
+        warnings.warn(f"PRMERS_VMEM_LIMIT={v!r} is not an integer byte "
+                      f"count; using the default {_VMEM_DEFAULT}")
+        return _VMEM_DEFAULT
+
+
+VMEM_LIMIT = _vmem_limit()
 
 
 def _cparams(**kw):
@@ -67,7 +83,6 @@ def _interpret() -> bool:
     """Pallas interpret mode: kernels execute as jax ops (CPU mesh tests
     and the driver's multi-chip dryrun run the SAME kernel code without
     Mosaic)."""
-    import os
     return bool(os.environ.get("PRMERS_PALLAS_INTERPRET"))
 
 
@@ -211,16 +226,19 @@ def _pass_kernel(L: int, inverse: bool, has_pre: bool, has_post: bool,
         corr = mxu_refs[1]
         if len(w8.shape) == 3 and len(v) == 3:
             # axis-0 pass with per-r2 variant tables, S slices in-tile:
-            # one big-N dot per sub-column against its own folded matrix
+            # one big-N dot per sub-column against its own folded matrix,
+            # batch-emitted so the dots overlap the combines
             S = v[1]
-            outs0, outs1 = [], []
-            for s in range(S):
-                r0, r1 = mxm.mxu_dft_apply(
-                    g, x0[:, s, :], x1[:, s, :], L, w8[s], corr[s])
-                outs0.append(r0.reshape(L, 1, v[2]))
-                outs1.append(r1.reshape(L, 1, v[2]))
-            x0 = jnp.concatenate(outs0, axis=1) if S > 1 else outs0[0]
-            x1 = jnp.concatenate(outs1, axis=1) if S > 1 else outs1[0]
+            pairs = [(x0[:, s, :], x1[:, s, :]) for s in range(S)]
+            outs = mxm.mxu_dft_apply_multi(
+                g, pairs, L, [w8[s] for s in range(S)],
+                [corr[s] for s in range(S)])
+            x0 = (jnp.concatenate(
+                [r0.reshape(L, 1, v[2]) for (r0, _) in outs], axis=1)
+                if S > 1 else outs[0][0].reshape(L, 1, v[2]))
+            x1 = (jnp.concatenate(
+                [r1.reshape(L, 1, v[2]) for (_, r1) in outs], axis=1)
+                if S > 1 else outs[0][1].reshape(L, 1, v[2]))
         elif len(w8.shape) == 3:
             # axis-1 pass: one grid-streamed variant (leading block 1)
             x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, w8[0], corr[0])
@@ -415,17 +433,24 @@ def _p1c_kernel(L: int, k: int, wcorr_n, *refs):
     mask = jnp.broadcast_to((er + ec) >= jnp.uint32(wcorr_n), v)
     x0, x1 = g.halve_where(x0, x1, mask)
 
-    S = sh[1]
-    outs0, outs1 = [], []
-    for s in range(S):
-        r0, r1 = mxm.mxu_dft_apply(g, x0[:, s, :], x1[:, s, :], L,
-                                   w8_ref[s], corr_ref[s])
-        outs0.append(r0.reshape(L, 1, sh[2]))
-        outs1.append(r1.reshape(L, 1, sh[2]))
-    x0 = jnp.concatenate(outs0, axis=1) if S > 1 else outs0[0]
-    x1 = jnp.concatenate(outs1, axis=1) if S > 1 else outs1[0]
+    x0, x1 = _sdots_multi(x0, x1, L, sh[1], sh[2], w8_ref, corr_ref)
     o0_ref[:] = x0.reshape(sh)
     o1_ref[:] = x1.reshape(sh)
+
+
+def _sdots_multi(x0, x1, L, S, C, w8_ref, corr_ref):
+    """Per-r2-variant axis-0 dots over the S sub-columns, batch-emitted
+    (all packs, all dots, all combines) so the MXU dots overlap the
+    VPU-heavy combines."""
+    pairs = [(x0[:, s, :], x1[:, s, :]) for s in range(S)]
+    outs = mxm.mxu_dft_apply_multi(
+        g, pairs, L, [w8_ref[s] for s in range(S)],
+        [corr_ref[s] for s in range(S)])
+    if S == 1:
+        return (outs[0][0].reshape(L, 1, C), outs[0][1].reshape(L, 1, C))
+    x0 = jnp.concatenate([r0.reshape(L, 1, C) for (r0, _) in outs], axis=1)
+    x1 = jnp.concatenate([r1.reshape(L, 1, C) for (_, r1) in outs], axis=1)
+    return x0, x1
 
 
 def _carry_phase_math(x0, x1, wd, mk0, mk1, rounds: int, v):
@@ -490,15 +515,7 @@ def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
     x0 = x0_ref[:].reshape(v)
     x1 = x1_ref[:].reshape(v)
 
-    S = sh[1]
-    outs0, outs1 = [], []
-    for s in range(S):
-        r0, r1 = mxm.mxu_dft_apply(g, x0[:, s, :], x1[:, s, :], L,
-                                   w8_ref[s], corr_ref[s])
-        outs0.append(r0.reshape(L, 1, sh[2]))
-        outs1.append(r1.reshape(L, 1, sh[2]))
-    x0 = jnp.concatenate(outs0, axis=1) if S > 1 else outs0[0]
-    x1 = jnp.concatenate(outs1, axis=1) if S > 1 else outs1[0]
+    x0, x1 = _sdots_multi(x0, x1, L, sh[1], sh[2], w8_ref, corr_ref)
 
     er = er_ref[:].reshape(L, sh[1], 1)
     ec = ec_ref[:].reshape(1, 1, sh[2])
@@ -681,7 +698,6 @@ def attach_cinrow(t: FourStepTables, device_put=None):
 def use_rowcarry(fp: FourStepPlan, t: FourStepTables) -> bool:
     """The row-carry pipeline needs the weight-folded MXU tables, the
     fused-C tables, and the cinrow spread tables."""
-    import os
     return (t.cinrow is not None and _fused_ok(fp, t)
             and not os.environ.get("PRMERS_NO_ROWCARRY"))
 
@@ -740,16 +756,16 @@ def _fused_c_kernel(ca_count: int, mode: str, r2cfg,
         v3 = (RC, sh[1], C)
         x0 = x0.reshape(v3)
         x1 = x1.reshape(v3)
-        outs0, outs1 = [], []
-        for rc in range(RC):
-            a0, a1 = x0[rc], x1[rc]
-            if has_mx2:
-                a0, a1 = mxm.mxu_dft_apply(
-                    g, a0, a1, L2, w2_ref[:], c2_ref[:])
-            else:
-                a0, a1 = fsm.dft_axis0(g, a0, a1, L2, False)
-            outs0.append(a0.reshape((1,) + a0.shape))
-            outs1.append(a1.reshape((1,) + a1.shape))
+        if has_mx2:
+            # same generic table for every r1 row; batch-emitted dots
+            outs = mxm.mxu_dft_apply_multi(
+                g, [(x0[rc], x1[rc]) for rc in range(RC)], L2,
+                [w2_ref[:]] * RC, [c2_ref[:]] * RC)
+        else:
+            outs = [fsm.dft_axis0(g, x0[rc], x1[rc], L2, False)
+                    for rc in range(RC)]
+        outs0 = [a0.reshape((1,) + a0.shape) for (a0, _) in outs]
+        outs1 = [a1.reshape((1,) + a1.shape) for (_, a1) in outs]
         x0 = jnp.concatenate(outs0, axis=0) if RC > 1 else outs0[0]
         x1 = jnp.concatenate(outs1, axis=0) if RC > 1 else outs1[0]
         x0, x1 = g.mul(x0, x1, mf0_ref[:], mf1_ref[:])
@@ -798,17 +814,18 @@ def _fused_c_kernel(ca_count: int, mode: str, r2cfg,
             x0 = x0.reshape(v3)
             x1 = x1.reshape(v3)
             x0, x1 = g.mul(x0, x1, mi0_ref[:], mi1_ref[:])
-            outs0, outs1 = [], []
-            for rc in range(RC):
-                a0, a1 = x0[rc], x1[rc]
-                if has_mx6:
-                    # per-r1 variant tables (t_r_inv folded as row scales)
-                    a0, a1 = mxm.mxu_dft_apply(
-                        g, a0, a1, L2, w6_ref[rc], c6_ref[rc])
-                else:
-                    a0, a1 = fsm.dft_axis0(g, a0, a1, L2, True)
-                outs0.append(a0.reshape((1,) + a0.shape))
-                outs1.append(a1.reshape((1,) + a1.shape))
+            if has_mx6:
+                # per-r1 variant tables (t_r_inv folded as row scales),
+                # batch-emitted dots
+                outs = mxm.mxu_dft_apply_multi(
+                    g, [(x0[rc], x1[rc]) for rc in range(RC)], L2,
+                    [w6_ref[rc] for rc in range(RC)],
+                    [c6_ref[rc] for rc in range(RC)])
+            else:
+                outs = [fsm.dft_axis0(g, x0[rc], x1[rc], L2, True)
+                        for rc in range(RC)]
+            outs0 = [a0.reshape((1,) + a0.shape) for (a0, _) in outs]
+            outs1 = [a1.reshape((1,) + a1.shape) for (_, a1) in outs]
             x0 = jnp.concatenate(outs0, axis=0) if RC > 1 else outs0[0]
             x1 = jnp.concatenate(outs1, axis=0) if RC > 1 else outs1[0]
             if not has_mx6:
@@ -1039,7 +1056,6 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a,
 def _mx(t: FourStepTables, key, ln: int = 128):
     """(w8, corr) tables for a string key or (L, inverse) pair; None when
     the tables are absent or MXU is disabled."""
-    import os
     if not t.mxu or os.environ.get("PRMERS_NO_MXU"):
         return None
     if not isinstance(key, str):
@@ -1060,7 +1076,6 @@ def _cin_widths(fp: FourStepPlan) -> tuple[int, ...]:
 def _wfold_ok(fp, t) -> bool:
     """Weight folding must engage for P1 and P7 together: the folded
     tables exist (rs.L1 >= 32) and MXU is enabled."""
-    import os
     if t.wcorr is None or os.environ.get("PRMERS_NO_MXU") or \
             os.environ.get("PRMERS_NO_WFOLD"):
         return False
@@ -1069,7 +1084,6 @@ def _wfold_ok(fp, t) -> bool:
 
 
 def _fused_ok(fp, t) -> bool:
-    import os
     return (t.fused is not None and _wfold_ok(fp, t)
             and not os.environ.get("PRMERS_NO_FUSE"))
 
@@ -1295,16 +1309,8 @@ def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
                 jnp.concatenate(outs1, axis=1))
 
     def sdots(y0, y1, w8_ref, corr_ref):
-        # per-r2-variant axis-0 dots (P1/P7 folded tables)
-        outs0, outs1 = [], []
-        for s in range(R2):
-            r0, r1 = mxm.mxu_dft_apply(g, y0[:, s, :], y1[:, s, :], L1,
-                                       w8_ref[s], corr_ref[s])
-            outs0.append(r0.reshape(L1, 1, C))
-            outs1.append(r1.reshape(L1, 1, C))
-        y0 = jnp.concatenate(outs0, axis=1) if R2 > 1 else outs0[0]
-        y1 = jnp.concatenate(outs1, axis=1) if R2 > 1 else outs1[0]
-        return y0, y1
+        # per-r2-variant axis-0 dots (P1/P7 folded tables), batch-emitted
+        return _sdots_multi(y0, y1, L1, R2, C, w8_ref, corr_ref)
 
     def dft_mid(x0, x1, inverse):
         # length-L2 DIF/DIT along axis 1 via rank-2 slices; identical
@@ -1404,8 +1410,9 @@ def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
 def chain_ok(fp: FourStepPlan, t: FourStepTables) -> bool:
     """Whole-chain kernel eligibility: row-carry tables live, power-of-two
     r2 factor small enough to unroll, C a lane-tile multiple, and the
-    whole working set within the VMEM budget."""
-    import os
+    whole working set within the VMEM budget (the PRMERS_VMEM_LIMIT
+    override also gates eligibility, so lowering it below the default
+    falls back to the per-pass pipeline instead of failing Mosaic)."""
     if os.environ.get("PRMERS_NO_CHAIN") or not use_rowcarry(fp, t):
         return False
     L2 = fp.rs.L2
@@ -1416,7 +1423,7 @@ def chain_ok(fp: FourStepPlan, t: FourStepTables) -> bool:
         return False
     # data (~10 live n-sized u32 temps) + mids/widths/masks + fused W8s
     est = 10 * 4 * fp.n + 7 * 4 * fp.n + 2 * ca * (8 * 128) * (8 * 128)
-    return est < 80 * 1024 * 1024
+    return est < min(80 * 1024 * 1024, VMEM_LIMIT)
 
 
 CHAIN_K = 512          # a-buffer extent; the trip count is dynamic

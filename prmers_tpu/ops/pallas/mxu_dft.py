@@ -310,10 +310,16 @@ def lhs_bitcast_mode() -> str:
     """Sublane byte order of Mosaic's width-changing u32 -> int8 bitcast,
     for the LHS (transform-on-sublanes) pack: "" = off (shift/mask pack),
     "wordmajor" = byte b of word l lands at sublane 4l + b (what
-    interpret mode does), "planemajor" = sublane b*L + l. Determined on
-    device with tools/probe_bitcast.py and set via PRMERS_LHS_BITCAST."""
+    interpret mode does), "planemajor" = sublane b*L + l.
+
+    Default: "wordmajor" — measured on TPU v5e with tools/probe_bitcast.py
+    (sublane order [0, 1, 2, .., 31] = word-major) and worth ~10% end to
+    end (the ~24-op shift/mask LHS pack collapses to one XOR + bitcast).
+    Override with PRMERS_LHS_BITCAST on hardware whose bitcast order
+    differs ("0"/"off" disable; any other value names the order)."""
     import os
-    return os.environ.get("PRMERS_LHS_BITCAST", "")
+    v = os.environ.get("PRMERS_LHS_BITCAST", "wordmajor")
+    return "" if v in ("", "0", "off") else v
 
 
 def lhs_byte_perm(L: int, mode: str) -> np.ndarray:
@@ -365,9 +371,10 @@ def use_bytecast() -> bool:
     """Byte-order RHS pack: the x-side limb split becomes one XOR +
     int8 bitcast per word (vs ~8 shift/mask/xor rounds) when the W
     tables' rows are pre-permuted to the bitcast's little-endian byte
-    order. Opt-in (PRMERS_BYTECAST=1) until measured on device."""
+    order. Opt-in (PRMERS_BYTECAST=1) until measured on device;
+    "0"/"off"/"" mean off (so A/B combos can disable with =0)."""
     import os
-    return bool(os.environ.get("PRMERS_BYTECAST"))
+    return os.environ.get("PRMERS_BYTECAST", "") not in ("", "0", "off")
 
 
 def permute_rhs_rows_bytes(W8: np.ndarray) -> np.ndarray:
@@ -427,6 +434,36 @@ def mxu_rhs_apply(g: GL, x0, x1, L: int, w8, corr,
         D = lax.dot_general(X8, w8, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     return _combine_rhs(g, L, D + corr)
+
+
+def mxu_dft_apply_multi(g: GL, pairs, L: int, w8_slices, corr_slices):
+    """Apply the LHS MXU DFT to SEVERAL (x0, x1) 2D operands (each
+    (L, N)) with per-operand variant tables, emitting all packs, then all
+    dots, then all combines: the independent dots become visible to the
+    Mosaic scheduler at once, so the MXU work overlaps the VPU-heavy
+    pair-merge combines (the per-operand-serial form runs them back to
+    back). Returns a list of (y0, y1) pairs."""
+    xp = g.xp
+    lhs_mode = lhs_bitcast_mode()
+
+    def pack(Xl, Xh):
+        if lhs_mode:
+            return _pack_planes_bitcast(g, Xl, Xh, lhs_mode)
+        return _pack_planes(g, Xl, Xh)
+
+    X8s = [pack(x0, x1) for (x0, x1) in pairs]
+    if xp is np:
+        Ds = [w8_slices[s].astype(np.int32) @ X8s[s].astype(np.int32)
+              for s in range(len(pairs))]
+    else:
+        from jax import lax
+        import jax.numpy as jnp
+        Ds = [lax.dot_general(w8_slices[s], X8s[s],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+              for s in range(len(pairs))]
+    return [_combine_2d(g, L, Ds[s] + corr_slices[s])
+            for s in range(len(pairs))]
 
 
 def mxu_dft_apply(g: GL, x0, x1, L: int, w8, corr,
