@@ -222,7 +222,15 @@ class PallasEngine(Engine):
         self.set_int(dst, a)
 
     def copy(self, dst: Reg, src: Reg) -> None:
-        self.regs[dst] = list(self.regs[src])
+        # Materialize REAL buffer copies: the hot ops donate their x0/x1
+        # operands (donate_argnums), and donation DELETES the input
+        # buffers on TPU — an aliased register (shared arrays) would
+        # dangle and every later use dies with a TPU InvalidArgument.
+        # CPU ignores donation, so only device runs see the difference
+        # (found by the M756839 device PRP at the first GL boundary).
+        st = self.regs[src]
+        self.regs[dst] = [jnp.copy(st[0]), jnp.copy(st[1]),
+                          jnp.copy(st[2]), jnp.copy(st[3]), st[4]]
 
     def square_mul(self, src: Reg, a: int = 1) -> None:
         st = self.regs[src]
