@@ -113,6 +113,16 @@ def _double_mod_p(x0, x1, mask):
     return g.double_where(x0, x1, mask)
 
 
+def _r2_tile(r2: int) -> int:
+    """Sub-column tile width S for passes that tile the r2 dim: Pallas
+    wants the block's second-to-last dim to be a multiple of 8 or the
+    whole extent, and S MUST divide r2 — radix-5 splits produce r2 in
+    {5, 10, 20} whose only legal choice is the whole extent (r2 = 10/20
+    tiled at S=8 silently dropped sub-columns: grid = r2 // 8 truncated;
+    found by the device GL smoke at n = 5*2^17 / 5*2^18)."""
+    return 8 if r2 % 8 == 0 else r2
+
+
 # ---------------------------------------------------------------------------
 # The generic R-side pass kernel (P1 / P2 / P6 / P7)
 # ---------------------------------------------------------------------------
@@ -264,7 +274,7 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
     sub-columns at a time (S = min(8, R2) — Pallas requires the block's
     second-to-last dim to be a multiple of 8 or the whole extent)."""
     sh = x0.shape
-    S = sh[1] if sh[1] < 8 else 8
+    S = _r2_tile(sh[1])
     grid = (sh[1] // S,)
     blk = (L, S, sh[2])
 
@@ -574,7 +584,7 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
     "er", "ec"} (shard-local slices in the mesh pipeline; the variant/row
     axes may be narrower than the plan's full extent)."""
     sh = x0.shape
-    S = sh[1] if sh[1] < 8 else 8
+    S = _r2_tile(sh[1])
     grid = (sh[1] // S,)
     blk = (fp.rs.L1, S, sh[2])
     xspec = pl.BlockSpec(blk, lambda i: (i * 0, i, i * 0),
@@ -624,7 +634,7 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None):
     "widths", "masks_lo", "masks_hi"} (shard-local slices in the mesh
     pipeline)."""
     sh = z0.shape
-    S = sh[1] if sh[1] < 8 else 8
+    S = _r2_tile(sh[1])
     grid = (sh[1] // S,)
     L = fp.rs.L1
     blk = (L, S, sh[2])
