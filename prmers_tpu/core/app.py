@@ -66,6 +66,10 @@ MAX_EXPONENT = 17 * (5 << 26) - 1
 
 def run_once(opts: Options, log=print, gui=None) -> tuple[object, str]:
     """Run one workload; returns (result, json_line)."""
+    if opts.save_dir:
+        # every artifact (ckpts, proofs, result JSON, prmers.log) lands
+        # here; a fresh directory must not abort mid-run
+        os.makedirs(opts.save_dir, exist_ok=True)
     if opts.exponent > MAX_EXPONENT and opts.arith != "fft3161":
         # forced fft3161 may exceed this (its 3-smooth capacity table
         # extends further); the default gl64 families cannot

@@ -76,6 +76,9 @@ def write_checkpoint(path: str, data: CheckpointData) -> None:
     payload += struct.pack("<I", len(data.extra)) + data.extra
     payload += data.regs
     crc = zlib.crc32(payload) & 0xFFFFFFFF
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)   # a fresh -save-dir must not abort
     newf, oldf = path + ".new", path + ".old"
     with open(newf, "wb") as f:
         f.write(payload)
