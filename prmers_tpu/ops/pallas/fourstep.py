@@ -201,8 +201,6 @@ class FourStepTables:
     t_c: Any
     t_c_inv: Any
     widths32: Any
-    masks_lo: Any
-    masks_hi: Any
     mxu: Any = None        # {key: (w8, corr)} device arrays; string keys
     wcorr: Any = None      # (er (R2,L1,1) u32, ec (CB,1,G,LN) u32) residues
     # fused C-transform (transpose-free): (wf8, corrf, wi8, corri,
@@ -257,7 +255,8 @@ class FourStepTables:
         t_c_inv = _pow_mod_vec(F, field.inv(wC), e_tc, C.bit_length())
 
         widths = xp.asarray(fp.widths.reshape(R, C).astype(np.uint32))
-        masks64 = (xp.uint64(1) << widths.astype(xp.uint64)) - xp.uint64(1)
+        assert int(fp.widths.max()) < 32, \
+            "gl64 digit widths must fit one u32 word (in-kernel masks)"
 
         R1, R2 = fp.rs.L1, fp.rs.L2
 
@@ -278,8 +277,6 @@ class FourStepTables:
             mid=pair(ax3(mid)), mid_inv=pair(ax3(mid_inv)),
             t_c=pair(t3(t_c)), t_c_inv=pair(t3(t_c_inv)),
             widths32=ax3(widths),
-            masks_lo=ax3((masks64 & xp.uint64(0xFFFFFFFF)).astype(xp.uint32)),
-            masks_hi=ax3((masks64 >> xp.uint64(32)).astype(xp.uint32)),
         )
 
 
@@ -291,7 +288,7 @@ def _register_pytree():
 
     def flatten(t):
         children = (t.w, t.iw, t.t_r, t.t_r_inv, t.mid, t.mid_inv,
-                    t.t_c, t.t_c_inv, t.widths32, t.masks_lo, t.masks_hi,
+                    t.t_c, t.t_c_inv, t.widths32,
                     t.mxu, t.wcorr, t.fused, t.cinrow)
         return children, (t.fp, t.G)
 

@@ -56,7 +56,7 @@ SUBBLK = 8         # sub-factor slice width for VPU-dft leading-axis passes
 # 4.5 MiB at n=2^23 and degraded the whole pipeline), so the cap sits as
 # close to the hardware as Mosaic allows. Env-overridable for smaller
 # parts.
-_VMEM_DEFAULT = 120 * 1024 * 1024
+_VMEM_DEFAULT = 127 * 1024 * 1024
 
 
 def _vmem_limit() -> int:
@@ -237,18 +237,8 @@ def _pass_kernel(L: int, inverse: bool, has_pre: bool, has_post: bool,
         if len(w8.shape) == 3 and len(v) == 3:
             # axis-0 pass with per-r2 variant tables, S slices in-tile:
             # one big-N dot per sub-column against its own folded matrix,
-            # batch-emitted so the dots overlap the combines
-            S = v[1]
-            pairs = [(x0[:, s, :], x1[:, s, :]) for s in range(S)]
-            outs = mxm.mxu_dft_apply_multi(
-                g, pairs, L, [w8[s] for s in range(S)],
-                [corr[s] for s in range(S)])
-            x0 = (jnp.concatenate(
-                [r0.reshape(L, 1, v[2]) for (r0, _) in outs], axis=1)
-                if S > 1 else outs[0][0].reshape(L, 1, v[2]))
-            x1 = (jnp.concatenate(
-                [r1.reshape(L, 1, v[2]) for (_, r1) in outs], axis=1)
-                if S > 1 else outs[0][1].reshape(L, 1, v[2]))
+            # batch-emitted (and stack-throttled) via _sdots_multi
+            x0, x1 = _sdots_multi(x0, x1, L, v[1], v[2], w8, corr)
         elif len(w8.shape) == 3:
             # axis-1 pass: one grid-streamed variant (leading block 1)
             x0, x1 = mxm.mxu_dft_apply(g, x0, x1, L, w8[0], corr[0])
@@ -451,11 +441,19 @@ def _p1c_kernel(L: int, k: int, wcorr_n, *refs):
 def _sdots_multi(x0, x1, L, S, C, w8_ref, corr_ref):
     """Per-r2-variant axis-0 dots over the S sub-columns, batch-emitted
     (all packs, all dots, all combines) so the MXU dots overlap the
-    VPU-heavy combines."""
-    pairs = [(x0[:, s, :], x1[:, s, :]) for s in range(S)]
-    outs = mxm.mxu_dft_apply_multi(
-        g, pairs, L, [w8_ref[s] for s in range(S)],
-        [corr_ref[s] for s in range(S)])
+    VPU-heavy combines. The batch is throttled so the live int32 dot
+    outputs stay within ~24 MB of kernel stack: each D is (8L, C) i32,
+    and emitting all 8 at C = 4096 blew Mosaic's scoped VMEM at
+    n = 2^24."""
+    d_bytes = 8 * L * C * 4
+    bs = max(1, min(S, (24 << 20) // max(d_bytes, 1)))
+    outs = []
+    for lo in range(0, S, bs):
+        hi = min(lo + bs, S)
+        pairs = [(x0[:, s, :], x1[:, s, :]) for s in range(lo, hi)]
+        outs += mxm.mxu_dft_apply_multi(
+            g, pairs, L, [w8_ref[s] for s in range(lo, hi)],
+            [corr_ref[s] for s in range(lo, hi)])
     if S == 1:
         return (outs[0][0].reshape(L, 1, C), outs[0][1].reshape(L, 1, C))
     x0 = jnp.concatenate([r0.reshape(L, 1, C) for (r0, _) in outs], axis=1)
@@ -463,16 +461,23 @@ def _sdots_multi(x0, x1, L, S, C, w8_ref, corr_ref):
     return x0, x1
 
 
-def _carry_phase_math(x0, x1, wd, mk0, mk1, rounds: int, v):
+def _carry_phase_math(x0, x1, wd, rounds: int, v):
     """Digit/carry split + fixed lane-ripple rounds + residual tail; the
     per-row boundary carry accumulates into (.., .., 1) acc pairs (the
-    flat digit order within a row IS the lane order)."""
+    flat digit order within a row IS the lane order).
+
+    Digit masks are computed from the widths in-kernel: gl64 widths are
+    always < 32 (asserted at table build), so mask_lo = 2^w - 1 and the
+    high-word mask is zero — streaming two extra n-sized mask tables
+    through the kernel OOMed VMEM at n = 2^24 ((64, 8, 4096) double-
+    buffered windows)."""
     L, S = v[0], v[1]
     rem = jnp.uint32(31) - wd
+    mk0 = (jnp.uint32(1) << wd) - jnp.uint32(1)
 
     def split(y0, y1):
         d0 = y0 & mk0
-        d1 = y1 & mk1
+        d1 = y1 * jnp.uint32(0)          # width < 32: high digit word = 0
         c0 = (y0 >> wd) | ((y1 << jnp.uint32(1)) << rem)
         c1 = y1 >> wd
         return d0, d1, c0, c1
@@ -518,8 +523,7 @@ def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
         a0_ref, a1_ref = refs[i], refs[i + 1]
         i += 2
     (x0_ref, x1_ref, er_ref, ec_ref, w8_ref, corr_ref,
-     wd_ref, mk0_ref, mk1_ref, o0_ref, o1_ref, co0_ref, co1_ref) = \
-        refs[i:i + 13]
+     wd_ref, o0_ref, o1_ref, co0_ref, co1_ref) = refs[i:i + 11]
     sh = x0_ref.shape                   # (L, S, C)
     v = (L, sh[1], sh[2])
     x0 = x0_ref[:].reshape(v)
@@ -539,8 +543,6 @@ def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
         x0, x1 = g.canon(x0, x1)
 
     d0, d1, acc0, acc1 = _carry_phase_math(x0, x1, wd_ref[:].reshape(v),
-                                           mk0_ref[:].reshape(v),
-                                           mk1_ref[:].reshape(v),
                                            rounds, v)
 
     o0_ref[:] = d0.reshape(sh)
@@ -631,8 +633,7 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None):
     local r2 extent).
 
     tabs: optional explicit table operands {"w8", "corr", "er", "ec",
-    "widths", "masks_lo", "masks_hi"} (shard-local slices in the mesh
-    pipeline)."""
+    "widths"} (shard-local slices in the mesh pipeline)."""
     sh = z0.shape
     S = _r2_tile(sh[1])
     grid = (sh[1] // S,)
@@ -661,13 +662,12 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None):
     with_a = not a_is_one
     kern = functools.partial(_p7c_kernel, L, _carry_rounds(fp), with_a,
                              fp.n)
-    wd, mk0, mk1 = ((tabs["widths"], tabs["masks_lo"], tabs["masks_hi"])
-                    if tabs else (t.widths32, t.masks_lo, t.masks_hi))
+    wd = tabs["widths"] if tabs else t.widths32
     ins = ([a[0], a[1]] if with_a else []) + \
-        [z0, z1, er_t, ec_t, w8, corr, wd, mk0, mk1]
+        [z0, z1, er_t, ec_t, w8, corr, wd]
     in_specs = ([smem11, smem11] if with_a else []) + \
         [xspec, xspec, vspec, _full(ec_t.shape), tabspec, tabspec_c,
-         xspec, xspec, xspec]
+         xspec]
     R1, R2 = fp.rs.L1, sh[1]
     d0, d1, co0, co1 = pl.pallas_call(
         kern,
@@ -942,15 +942,15 @@ def _k4_kernel(fp: FourStepPlan, rounds: int, with_a: bool, *refs):
     if with_a:
         a0_ref, a1_ref = refs[i], refs[i + 1]
         i += 2
-    (y0_ref, y1_ref, wd_ref, mk0_ref, mk1_ref,
-     o0_ref, o1_ref, co0_ref, co1_ref) = refs[i:i + 9]
+    (y0_ref, y1_ref, wd_ref,
+     o0_ref, o1_ref, co0_ref, co1_ref) = refs[i:i + 7]
     sh = y0_ref.shape
     v2 = (sh[1], sh[2])
     y0 = y0_ref[:].reshape(v2)
     y1 = y1_ref[:].reshape(v2)
     wd = wd_ref[:].reshape(v2)
-    mk0 = mk0_ref[:].reshape(v2)
-    mk1 = mk1_ref[:].reshape(v2)
+    # masks derived in-kernel (widths < 32; see _carry_phase_math)
+    mk0 = (jnp.uint32(1) << wd) - jnp.uint32(1)
 
     if with_a:
         a = a0_ref[0, 0]
@@ -961,7 +961,7 @@ def _k4_kernel(fp: FourStepPlan, rounds: int, with_a: bool, *refs):
 
     def split(y0, y1):
         d0 = y0 & mk0
-        d1 = y1 & mk1
+        d1 = y1 * jnp.uint32(0)
         c0 = (y0 >> wd) | ((y1 << jnp.uint32(1)) << rem)
         c1 = y1 >> wd
         return d0, d1, c0, c1
@@ -1041,9 +1041,8 @@ def k4(fp: FourStepPlan, t: FourStepTables, y0, y1, a,
                           memory_space=pltpu.SMEM)
     co_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, i * 0, i * 0),
                            memory_space=pltpu.SMEM)
-    ins = ([a[0], a[1]] if with_a else []) + \
-        [y0, y1, t.widths32, t.masks_lo, t.masks_hi]
-    in_specs = ([smem11, smem11] if with_a else []) + [bs] * 5
+    ins = ([a[0], a[1]] if with_a else []) + [y0, y1, t.widths32]
+    in_specs = ([smem11, smem11] if with_a else []) + [bs] * 3
     d0, d1, co0, co1 = pl.pallas_call(
         kern,
         grid=(R1,),
@@ -1280,7 +1279,7 @@ def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
      w1_ref, c1p_ref, mf0_ref, mf1_ref, mi0_ref, mi1_ref,
      tri0_ref, tri1_ref,
      wf8_ref, corrf_ref, wi8_ref, corri_ref, wrapc_ref,
-     w7_ref, c7p_ref, wd_ref, mk0_ref, mk1_ref,
+     w7_ref, c7p_ref, wd_ref,
      o0_ref, o1_ref, co0_ref, co1_ref) = refs
     L1, L2 = fp.rs.L1, fp.rs.L2
     sh = x0_ref.shape                    # (R1, R2, C)
@@ -1295,8 +1294,6 @@ def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
     wmask = jnp.broadcast_to((er + ec) >= jnp.uint32(fp.n), v)
     cmask2 = jnp.broadcast_to(wrapc_ref[:] != jnp.uint32(0), (rows, C))
     wd = wd_ref[:]
-    mk0 = mk0_ref[:]
-    mk1 = mk1_ref[:]
     tri0 = tri0_ref[:]
     tri1 = tri1_ref[:]
 
@@ -1400,7 +1397,7 @@ def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
         x0, x1 = g.mul_small(x0, x1, a_ref[it, 0])
         x0, x1 = g.canon(x0, x1)
         # carry phase
-        return _carry_phase_math(x0, x1, wd, mk0, mk1, rounds, v)
+        return _carry_phase_math(x0, x1, wd, rounds, v)
 
     st0 = (x0_ref[:], x1_ref[:],
            ci0_ref[:, :, 0:1], ci1_ref[:, :, 0:1])
@@ -1468,7 +1465,7 @@ def square_chain(fp: FourStepPlan, t: FourStepTables, x0, x1,
            wt, cum, er_t, ec_t, w1, c1p, mf0, mf1, mi0, mi1,
            t.t_r_inv[0], t.t_r_inv[1],
            wf8, corrf, wi8, corri, wrapc,
-           w7, c7p, t.widths32, t.masks_lo, t.masks_hi]
+           w7, c7p, t.widths32]
     in_specs = [pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((CHAIN_K, 1), lambda i: (i * 0, i * 0),

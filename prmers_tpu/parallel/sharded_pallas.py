@@ -111,8 +111,6 @@ class PallasShardedTables:
         add("mid_i0", mi0, r1_3)
         add("mid_i1", mi1, r1_3)
         add("widths", t.widths32, r1_3)
-        add("masks_lo", t.masks_lo, r1_3)
-        add("masks_hi", t.masks_hi, r1_3)
         add("er", t.wcorr[0], P(None, LIMB, None))   # (R1, R2, 1)
         add("ec", t.wcorr[1], rep(t.wcorr[1]))       # (1, C)
         for nm, a in zip(("fc_wf8", "fc_corrf", "fc_wi8", "fc_corri",
@@ -132,8 +130,6 @@ class PallasShardedTables:
         add("rc_wt", rc_wt, r2_3)                    # (R1, R2, k)
         add("rc_cum", rc_cum, r2_3)
         add("widths_r2", t.widths32, r2_3)
-        add("masks_lo_r2", t.masks_lo, r2_3)
-        add("masks_hi_r2", t.masks_hi, r2_3)
         import os
         self.rowcarry = not os.environ.get("PRMERS_NO_ROWCARRY")
 
@@ -178,7 +174,7 @@ def _fused_local(fp, t, x0, x1, fc_tabs, mode="sqr", u=None):
         t.fused = saved
 
 
-def _k4_local(fp, y0, y1, wd, mk0, mk1, a=None):
+def _k4_local(fp, y0, y1, wd, a=None):
     """k4 with local-shard table operands; a = optional (a0, a1) small
     carry-operand pair ((1, 1) u32 each, the PRP x3 multiplier)."""
     from jax.experimental import pallas as pl
@@ -199,11 +195,11 @@ def _k4_local(fp, y0, y1, wd, mk0, mk1, a=None):
                           memory_space=pltpu.SMEM)
     co_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, i * 0, i * 0),
                            memory_space=pltpu.SMEM)
-    ins = ([a[0], a[1]] if with_a else []) + [y0, y1, wd, mk0, mk1]
+    ins = ([a[0], a[1]] if with_a else []) + [y0, y1, wd]
     d0, d1, co0, co1 = pl.pallas_call(
         kern,
         grid=(R1s,),
-        in_specs=([smem11, smem11] if with_a else []) + [bs] * 5,
+        in_specs=([smem11, smem11] if with_a else []) + [bs] * 3,
         out_specs=(bs, bs, co_spec, co_spec),
         out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
                    jax.ShapeDtypeStruct(sh, jnp.uint32),
@@ -288,8 +284,7 @@ def build_pallas_sharded_step(tb: PallasShardedTables,
         x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
 
         # ---- K4 carry over local r1 blocks --------------------------
-        return _k4_local(fp, x0, x1, d["widths"], d["masks_lo"],
-                         d["masks_hi"],
+        return _k4_local(fp, x0, x1, d["widths"],
                          a=((a0, a1) if with_a else None))
 
     vec3 = P(LIMB, None, None)
@@ -392,8 +387,7 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
             fp, t, x0, x1, (a0, a1) if with_a else None, not with_a,
             tabs={"w8": d["p7_w8"], "corr": d["p7_corr"],
                   "er": d["er"], "ec": d["ec"],
-                  "widths": d["widths_r2"], "masks_lo": d["masks_lo_r2"],
-                  "masks_hi": d["masks_hi_r2"]})
+                  "widths": d["widths_r2"]})
         x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
         co0 = lax.all_to_all(co0, LIMB, 0, 1, tiled=True)
