@@ -662,13 +662,25 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
         wf8 = permute_rhs_rows_bytes(wf8)
         wi8 = permute_rhs_rows_bytes(wi8)
 
+    # root-of-2 wrap between the ca/l weight-exponent parts: the 2^{-+1}
+    # correction depends on c only, so it folds into the mid tables as
+    # inv2 (forward) / 2 (inverse) on the wrapped lanes — the masked
+    # halve/double that used to run per element per direction is gone.
+    # The (1, C) mask stays in t.fused for plumbing/diagnostics only.
+    wrapc = ((np.repeat(eca, 128) + np.tile(ecl, ca_count)) >= n
+             ).astype(np.uint32).reshape(1, C)
+    wrap_flat = wrapc.reshape(C) != 0
+    inv2 = fld.inv(2)
+    wfac = np.where(wrap_flat, np.uint64(inv2), np.uint64(1))
+    ifac = np.where(wrap_flat, np.uint64(2), np.uint64(1))
+
     # ca-part of the weights folds into the mid tables (it commutes
     # through the R-transform); stored as separate folded copies so the
     # unfused tables stay valid for the numpy oracle
     wca = powv(nr2, eca)
     iwca = powv(nr2i, eca)
-    wca_c = np.repeat(wca, 128).reshape(1, 1, C)
-    iwca_c = np.repeat(iwca, 128).reshape(1, 1, C)
+    wca_c = _mulmod_u64(np.repeat(wca, 128), wfac).reshape(1, 1, C)
+    iwca_c = _mulmod_u64(np.repeat(iwca, 128), ifac).reshape(1, 1, C)
 
     def mul_tab(pair, fac64):
         gnp = GL(np)
@@ -680,11 +692,6 @@ def attach_fused_c_tables(t: FourStepTables, device_put=None):
 
     mid_f = mul_tab(t.mid, wca_c)
     midi_f = mul_tab(t.mid_inv, iwca_c)
-
-    # root-of-2 wrap between the ca/l weight-exponent parts, as one
-    # precomputed (1, C) mask (halve forward / double inverse)
-    wrapc = ((np.repeat(eca, 128) + np.tile(ecl, ca_count)) >= n
-             ).astype(np.uint32).reshape(1, C)
 
     t.fused = (put(wf8), put(corrf), put(wi8), put(corri),
                put(wrapc),
@@ -703,8 +710,7 @@ def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
     R, C = fp.R, fp.C
     v0 = np.asarray(x0).reshape(R, C)
     v1 = np.asarray(x1).reshape(R, C)
-    mask = np.broadcast_to(np.asarray(wrapc) != 0, v0.shape)
-    v0, v1 = g.halve_where(v0, v1, mask)
+    del wrapc  # the 2^{-+1} wrap lives in the folded mid tables now
     v0, v1 = dft_lanes(g, v0, v1, ca_count, 128, False)
     from .mxu_dft import mxu_rhs_apply
 
@@ -734,7 +740,6 @@ def fused_c_ref(t: FourStepTables, x0, x1, mode: str, u0=None, u1=None):
                        np.asarray(u1).reshape(v1.shape))
     v0, v1 = dots(v0, v1, wi8, corri)
     v0, v1 = dft_lanes(g, v0, v1, ca_count, 128, True)
-    v0, v1 = g.double_where(v0, v1, mask)
     return v0.reshape(sh), v1.reshape(sh)
 
 

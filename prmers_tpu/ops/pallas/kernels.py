@@ -782,8 +782,7 @@ def _fused_c_kernel(ca_count: int, mode: str, r2cfg,
         x0 = x0.reshape(v)
         x1 = x1.reshape(v)
 
-    mask = jnp.broadcast_to(wrapc_ref[:] != jnp.uint32(0), v)
-    x0, x1 = g.halve_where(x0, x1, mask)
+    del wrapc_ref  # the 2^{-+1} wrap lives in the folded mid tables now
     x0, x1 = fsm.dft_lanes(g, x0, x1, ca_count, 128, False)
 
     pack = (mxm._pack_planes_rhs_bytes if mxm.use_bytecast()
@@ -817,7 +816,6 @@ def _fused_c_kernel(ca_count: int, mode: str, r2cfg,
     if mode != "fwd":
         x0, x1 = dots(x0, x1, wi8_ref, corri_ref)
         x0, x1 = fsm.dft_lanes(g, x0, x1, ca_count, 128, True)
-        x0, x1 = g.double_where(x0, x1, mask)
         if r2cfg is not None:
             # ---- P6 in-tile: mid_inv*iwca, then the r2-inverse DFT ----
             v3 = (RC, sh[1], C)
@@ -1292,7 +1290,7 @@ def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
     er = er_ref[:].reshape(R1, R2, 1)
     ec = ec_ref[:].reshape(1, 1, C)
     wmask = jnp.broadcast_to((er + ec) >= jnp.uint32(fp.n), v)
-    cmask2 = jnp.broadcast_to(wrapc_ref[:] != jnp.uint32(0), (rows, C))
+    del wrapc_ref  # the C-transform 2^{-+1} wrap lives in the mid tables
     wd = wd_ref[:]
     tri0 = tri0_ref[:]
     tri1 = tri1_ref[:]
@@ -1377,13 +1375,11 @@ def _chain_kernel(fp: FourStepPlan, K: int, k: int, rounds: int,
         # C transform + dyadic square + mirror
         y0 = x0.reshape(rows, C)
         y1 = x1.reshape(rows, C)
-        y0, y1 = g.halve_where(y0, y1, cmask2)
         y0, y1 = fsm.dft_lanes(g, y0, y1, ca_count, 128, False)
         y0, y1 = dots(y0, y1, wf8_ref, corrf_ref)
         y0, y1 = g.sqr(y0, y1)
         y0, y1 = dots(y0, y1, wi8_ref, corri_ref)
         y0, y1 = fsm.dft_lanes(g, y0, y1, ca_count, 128, True)
-        y0, y1 = g.double_where(y0, y1, cmask2)
         x0 = y0.reshape(v)
         x1 = y1.reshape(v)
         # P6: mid_inv + r2-inverse butterflies + t_r_inv
