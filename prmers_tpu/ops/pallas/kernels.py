@@ -389,9 +389,15 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
 def _inject_rows_math(x0, x1, c0, c1, wt, cum, k: int, v):
     """Spread each row's incoming boundary carry (value in lane 0 of
     c0/c1, already rolled) base-2^width into the row's first k lanes and
-    add to x0 (parts < 2^(w+1): cannot wrap the low word)."""
-    lane = lax.broadcasted_iota(jnp.int32, v, 2)
-    add = jnp.zeros(v, jnp.uint32)
+    add to x0 (parts < 2^(w+1): cannot wrap the low word).
+
+    The spread block is assembled on ONE 128-lane tile (k < 128 always:
+    k lanes cover >= 64 bits) and spliced into x0 with a single
+    lane-aligned concat — the k full-(v)-sized where/broadcast rounds of
+    the round-2 form were ~8 VPU ops/el of pure masking."""
+    kv = (v[0], v[1], min(128, v[2]))
+    lane = lax.broadcasted_iota(jnp.int32, kv, 2)
+    add = jnp.zeros(kv, jnp.uint32)
     for j in range(k):
         cm = cum[:, :, j:j + 1]
         w = wt[:, :, j:j + 1]
@@ -407,8 +413,12 @@ def _inject_rows_math(x0, x1, c0, c1, wt, cum, k: int, v):
             part = part & ((jnp.uint32(1) << w) - jnp.uint32(1))
         else:
             part = jnp.where(cm >= jnp.uint32(64), jnp.uint32(0), part)
-        add = jnp.where(lane == j, jnp.broadcast_to(part, v), add)
-    return x0 + add, x1
+        add = jnp.where(lane == j, jnp.broadcast_to(part, kv), add)
+    if kv[2] == v[2]:
+        return x0 + add, x1
+    x0 = jnp.concatenate([x0[:, :, :kv[2]] + add, x0[:, :, kv[2]:]],
+                         axis=2)
+    return x0, x1
 
 
 def _p1c_kernel(L: int, k: int, wcorr_n, *refs):
