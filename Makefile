@@ -2,13 +2,17 @@
 
 PY ?= python
 
-.PHONY: test test-all test-matrix bench tune device smoke clean
+.PHONY: test test-heavy test-all test-matrix bench tune device smoke clean
 
-test:            ## fast guard-rail suite (CPU, 8-virtual-device mesh)
+test:            ## smoke tier: <5-min guard rail (CPU, 8-virtual-device mesh)
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
 	  $(PY) -m pytest tests/ -q
 
-test-all:        ## includes the slow golden runs
+test-heavy:      ## + multi-minute compile/e2e tests (mesh engine, big shapes)
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	  $(PY) -m pytest tests/ -q --run-heavy
+
+test-all:        ## everything incl. the slow golden runs
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
 	  $(PY) -m pytest tests/ -q --run-slow
 

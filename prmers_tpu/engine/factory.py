@@ -31,10 +31,11 @@ def configure_backend(backend: str, workload: str = "generic") -> None:
 def _pallas_eligible(p: int) -> bool:
     """Pallas path needs n in {2^k, 5*2^k} big enough for the MXU weight
     folds (rs.L1 >= 32), small enough for the VMEM-resident fused-C
-    variant tables (the four-step caps: R <= 4096/20480, C <= 4096,
-    ca_count <= 32 — n = 2^25+ and 5*2^25 fall back to the XLA engine),
-    and a TPU device. Probes the actual kernel plan so shape-cap changes
-    can never make the factory hand out an engine that asserts."""
+    variant tables (the four-step caps: R <= 8192/20480, C <= 8192,
+    ca_count <= 64 — covers the full reference ladder incl. n = 2^26
+    and MM31's 5*2^25), and a TPU device. Probes the actual kernel plan
+    so shape-cap changes can never make the factory hand out an engine
+    that asserts."""
     import os as _os
     if _os.environ.get("PRMERS_NO_PALLAS"):
         return False
@@ -54,12 +55,31 @@ def _pallas_eligible(p: int) -> bool:
         return False        # beyond the kernel plan's shape caps
     C, ca = fp.C, fp.C // 128
     if (C % 128 or fp.rs.L1 < 32 or ca < 2 or ca & (ca - 1)
-            or ca > 32):
+            or ca > 64):
         return False        # fused-C tables would not attach / fit VMEM
     try:
         from .. import jaxconf  # noqa: F401
         import jax
         return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _mesh_auto_eligible(p: int) -> bool:
+    """auto -> the sharded mesh-Pallas engine when the job has more than
+    one TPU chip and the shape runs the fused kernel pipeline (the
+    multi-chip analog of the reference's one-fast-engine rule)."""
+    import os as _os
+    if _os.environ.get("PRMERS_NO_PALLAS") or \
+            _os.environ.get("PRMERS_SHARDED_IMPL") == "xla":
+        return False
+    try:
+        from .. import jaxconf  # noqa: F401
+        import jax
+        if jax.devices()[0].platform in ("cpu",) or len(jax.devices()) < 2:
+            return False
+        from ..parallel.mesh_engine import mesh_pallas_eligible
+        return mesh_pallas_eligible(p)
     except Exception:
         return False
 
@@ -98,7 +118,10 @@ def _create_engine(p: int, reg_count: int, backend: str | None = None,
         import jax.numpy as jnp
         return Engine3161(p, reg_count, xp=jnp)
     if b == "auto":
-        b = "pallas" if _pallas_eligible(p) else "jax"
+        if _mesh_auto_eligible(p):
+            b = "sharded"           # >1 TPU chip: the mesh IS the device
+        else:
+            b = "pallas" if _pallas_eligible(p) else "jax"
     if b in ("pallas", "jax"):
         # huge register counts spill to host via the LRU paging wrapper
         # (reference: engine_gpu host paging, include/marin/engine_gpu.h:2172)
@@ -119,6 +142,16 @@ def _create_engine(p: int, reg_count: int, backend: str | None = None,
                                    arith="gl64")
             return PagedEngine(inner, reg_count)
     if b == "sharded":
+        # the mesh-Pallas engine is the production sharded path; the XLA
+        # u64 four-step remains the any-shape capacity fallback
+        impl = os.environ.get("PRMERS_SHARDED_IMPL", "auto")
+        if impl != "xla":
+            try:
+                from ..parallel.mesh_engine import MeshPallasEngine
+                return MeshPallasEngine(p, reg_count)
+            except (ValueError, AssertionError):
+                if impl == "pallas":
+                    raise
         from ..parallel.sharded import ShardedEngine
         return ShardedEngine(p, reg_count)
     if b == "pallas":

@@ -91,10 +91,13 @@ class SplitSpec:
 
 def make_split(L: int) -> SplitSpec:
     if L & (L - 1) == 0:
-        assert 4 <= L <= 4096, L
+        assert 4 <= L <= 16384, L
         L1 = min(L, 64)
         L2 = L // L1
-        assert L2 <= 64, f"column length {L} too large for one kernel"
+        # L2 > 64 has NO shift-twiddle path (ord(2) = 192, so omega_L2 is
+        # a power of two only for L2 | 64): those factors run exclusively
+        # as general MXU matrices — enforced where passes are built.
+        assert L2 <= 256, f"column length {L} too large for one kernel"
         return SplitSpec(L, L1, L2, dif_freq_of_pos(L1),
                          dif_freq_of_pos(L2))
     # 5-smooth: L = 5 * 2^m; the 5 rides the axis-1 factor as a
@@ -130,12 +133,20 @@ class FourStepPlan:
             "pallas path requires n in {2^k, 5*2^k}"
         # C is the pure power-of-two lane extent (the fused C kernel's
         # shift-DFT factor caps at 64 lane tiles => C <= 8192); R takes
-        # the radix-5 factor when present.
+        # the radix-5 factor when present. R2 factors > 64 (R > 4096
+        # pow2) have no shift-twiddle family and run as general MXU
+        # matrices; the fused kernel drops to the separate-P2/P6
+        # pipeline when R2*C exceeds the VMEM tile budget (kernels.py
+        # R2FOLD_BUDGET_EL). Covers the full reference ladder incl.
+        # n = 2^25, 2^26 and MM31's 5*2^25
+        # (reference: include/marin/ibdwt.h:17-43, engine_gpu.h:1623).
         r_cap = 20480 if five else 4096
         C = 1024
         while n // C > r_cap and C < 8192:
             C *= 2
         R = n // C
+        if not five and R > r_cap:
+            r_cap = 8192        # n = 2^26: C is maxed; take R2 = 128
         assert R >= 4 and R <= r_cap, \
             f"transform out of range for pallas path (n={n})"
         return cls(p=plan.p, n=n, R=R, C=C, rs=make_split(R),
@@ -162,6 +173,8 @@ def _pow_mod_vec(F, base: int, e, nbits: int):
 def shift_exponents(L1: int) -> list[tuple[int, list[int]]]:
     """Per-DIF-level (m, [e_j]) shift exponents for a length-L1 block:
     level half-size m has twiddles omega_{2m}^j = 2^(192/(2m)*j), j < m."""
+    assert L1 <= 64 and 192 % max(2 * (L1 // 2), 1) == 0, \
+        f"no shift-twiddle family for L={L1} (needs L | 64)"
     out = []
     m = L1 // 2
     while m >= 1:

@@ -28,7 +28,14 @@ U32MASK = 0xFFFFFFFF
 # iteration's VPU budget across mid/sqr mulmods). PRMERS_NO_MULLO=1
 # restores the all-16-bit form (A/B lever; also the behavior on
 # hypothetical lanes without a full 32-bit multiplier).
-_NATIVE_MULLO = os.environ.get("PRMERS_NO_MULLO", "") in ("", "0", "off")
+
+
+def _native_mullo() -> bool:
+    """Read at trace time (not import time) so tests toggling the env var
+    after import get the path they asked for; any common falsy spelling
+    keeps the native path on."""
+    return os.environ.get("PRMERS_NO_MULLO", "").lower() in (
+        "", "0", "off", "false", "no")
 
 
 def _c(xp, v):
@@ -68,7 +75,7 @@ class GL:
         p11 = a1 * b1
         mid = (p00 >> _c(xp, 16)) + (p01 & _c(xp, U16MASK)) + \
               (p10 & _c(xp, U16MASK))
-        if _NATIVE_MULLO:
+        if _native_mullo():
             lo = a * b          # native 32-bit muli (wraps mod 2^32)
         else:
             lo = (p00 & _c(xp, U16MASK)) | (mid << _c(xp, 16))

@@ -332,21 +332,49 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
     return r0, r1
 
 
-def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
-    """Transform along dim 1: tile (1, L, C) over grid (R1,)."""
-    sh = x0.shape
-    grid = (sh[0],)
-    blk = (1, L, sh[2])
+# Largest (L x lane) element count one axis-1 tile may hold: beyond it
+# the lane axis is tiled (the r2-DFT is lane-independent, so slicing C
+# is free). Keeps the dot output (9L, CT) i32 and its combine
+# temporaries inside the VMEM stack at the big shapes (L2 = 128/256/320
+# with C = 8192 would otherwise peak ~90+ MB on the dot output alone).
+# Env-overridable so tests can exercise the tiled path at small shapes
+# (read at trace time, not import time).
 
-    def im(i):
-        return (i, i * 0, i * 0)
+
+def _axis1_budget() -> int:
+    return int(os.environ.get("PRMERS_AXIS1_BUDGET", 1 << 19))
+
+
+def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
+    """Transform along dim 1: tile (1, L, CT) over grid (R1, C // CT);
+    CT == C (single lane tile) whenever L*C fits the tile budget."""
+    sh = x0.shape
+    C = sh[2]
+    CT = C
+    budget = _axis1_budget()
+    while L * CT > budget and CT % 256 == 0 and CT > 256:
+        CT //= 2
+    grid = (sh[0], C // CT)
+    blk = (1, L, CT)
+
+    def im(i, j):
+        return (i, i * 0, j)
+
+    def im0(i, j):
+        return (i, i * 0, j * 0)
 
     def bspec(a):
         s = a.shape
         if s[-1] == 1:
-            return pl.BlockSpec((1, L, 1), lambda i: (i, i * 0, i * 0),
-                                memory_space=pltpu.VMEM)
+            return pl.BlockSpec((1, L, 1), im0, memory_space=pltpu.VMEM)
         return pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
+
+    def mxspec(shape):
+        if len(shape) == 3:
+            return pl.BlockSpec((1,) + tuple(shape[1:]),
+                                lambda i, j: (i, i * 0, i * 0),
+                                memory_space=pltpu.VMEM)
+        return _full(shape)
 
     xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
     ins = [x0, x1]
@@ -354,7 +382,7 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
     if mxu is not None:
         w8, corr = mxu
         ins += [w8, corr]
-        in_specs += [_mxspec(w8.shape), _mxspec(corr.shape)]
+        in_specs += [mxspec(w8.shape), mxspec(corr.shape)]
     if pre is not None:
         ins += [pre[0], pre[1]]
         in_specs += [bspec(pre[0]), bspec(pre[1])]
@@ -396,6 +424,9 @@ def _inject_rows_math(x0, x1, c0, c1, wt, cum, k: int, v):
     lane-aligned concat — the k full-(v)-sized where/broadcast rounds of
     the round-2 form were ~8 VPU ops/el of pure masking."""
     kv = (v[0], v[1], min(128, v[2]))
+    # the spread block must cover all k carry parts: widths >= 1 bit make
+    # k <= 64 < 128 today, but a violation would silently drop carries
+    assert k <= kv[2], f"carry spread k={k} exceeds lane tile {kv[2]}"
     lane = lax.broadcasted_iota(jnp.int32, kv, 2)
     add = jnp.zeros(kv, jnp.uint32)
     for j in range(k):
@@ -726,6 +757,23 @@ def use_rowcarry(fp: FourStepPlan, t: FourStepTables) -> bool:
 # Fused C-transform kernel (lane-tile DFT + per-slot lane-axis dots)
 # ---------------------------------------------------------------------------
 
+# Element budget for one fused-kernel tile (B x C): the kernel's live
+# (B, C) u32-pair copies set the VMEM stack peak (measured ~105 MiB at
+# B*C = 512K, n = 2^23). Shapes whose full-R2 tile would exceed it run
+# P2/P6 as separate passes and tile r2 in the C kernel instead.
+# Env-overridable so tests can exercise the split path at small shapes
+# (read at trace time, not import time).
+
+
+def _r2fold_budget() -> int:
+    return int(os.environ.get("PRMERS_R2FOLD_BUDGET", 1 << 19))
+
+
+def use_r2fold(fp: FourStepPlan) -> bool:
+    """In-kernel P2/P6 (r2fold) needs the whole R2 extent in one tile;
+    beyond the budget the pipeline drops to separate axis-1 passes."""
+    return fp.rs.L2 * fp.C <= _r2fold_budget()
+
 def _fused_c_kernel(ca_count: int, mode: str, r2cfg,
                     *refs):
     """r2cfg: None, or (L2, has_mx2, has_mx6) — then the r2 forward
@@ -863,13 +911,36 @@ def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
     ca_count = wf8.shape[0]
     sh = x0.shape
     R2 = sh[1]
-    RC = max(1, min(sh[0], 128 // max(R2, 1)))
+    C = sh[2]
+    # tile budget: the kernel's live (B, C) u32-pair copies dominate the
+    # VMEM stack (measured ~105 MiB at B*C = 512K on the flagship), so
+    # the batch extent is capped by element count, not just sublanes
+    budget = _r2fold_budget()
+    RC = max(1, min(sh[0], 128 // max(R2, 1),
+                    budget // max(R2 * C, 1)))
     while sh[0] % RC:
         RC -= 1
-    grid = (sh[0] // RC,)
-    blk = (RC,) + tuple(sh[1:])
-    xspec = pl.BlockSpec(blk, lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM)
+    if not r2fold and R2 * C > budget:
+        # r2 rows are independent batch rows for the C-transform: tile
+        # them (the in-kernel P2/P6 variant instead needs all of R2 and
+        # is not selected at these shapes — see use_r2fold)
+        S = None
+        for cand in range(R2, 0, -1):
+            if R2 % cand == 0 and (cand % 8 == 0 or cand == R2) \
+                    and cand * C <= budget:
+                S = cand
+                break
+        if S is None:
+            S = R2
+        grid = (sh[0], R2 // S)
+        blk = (1, S, C)
+        xspec = pl.BlockSpec(blk, lambda i, j: (i, j, i * 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        grid = (sh[0] // RC,)
+        blk = (RC,) + tuple(sh[1:])
+        xspec = pl.BlockSpec(blk, lambda i: (i, i * 0, i * 0),
+                             memory_space=pltpu.VMEM)
     ins = [x0, x1]
     in_specs = [xspec, xspec]
     if mode == "mul":
@@ -881,8 +952,9 @@ def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
         mf0, mf1, mi0, mi1 = _mids
         g2 = _mx(t, (L2, False))
         mx6 = _mx(t, "tr_inv")
-        assert (g2 is not None or L2 & (L2 - 1) == 0), \
-            "radix-5 r2 factor requires its MXU matrix"
+        assert (g2 is not None or (L2 & (L2 - 1) == 0
+                                   and L2 <= 64)), \
+            "radix-5 and >64 r2 factors require their MXU matrix"
         has_mx6 = mx6 is not None
         r2cfg = (L2, g2 is not None, has_mx6)
         if g2 is not None:
@@ -1162,8 +1234,9 @@ def _forward_r(fp, t, x0, x1, cin=None, wfold=False, mid_tab=None):
                          wcorr=(t.wcorr[0], t.wcorr[1], fp.n)
                          if wfold else None)
     mx2 = _mx(t, (fp.rs.L2, False))
-    assert mx2 is not None or fp.rs.L2 & (fp.rs.L2 - 1) == 0, \
-        "radix-5 factor requires its MXU matrix"
+    assert mx2 is not None or (fp.rs.L2 & (fp.rs.L2 - 1) == 0
+                               and fp.rs.L2 <= 64), \
+        "radix-5 and >64 r2 factors require their MXU matrix"
     x0, x1 = _axis1_pass(x0, x1, fp.rs.L2, False,
                          post=mid_tab if mid_tab is not None else t.mid,
                          mxu=mx2)
@@ -1173,8 +1246,9 @@ def _forward_r(fp, t, x0, x1, cin=None, wfold=False, mid_tab=None):
 def _inverse_r(fp, t, z0, z1, wfold=False, mid_inv_tab=None):
     # P6: t_r_inv folds
     mx6 = _mx(t, "tr_inv") or _mx(t, (fp.rs.L2, True))
-    assert mx6 is not None or fp.rs.L2 & (fp.rs.L2 - 1) == 0, \
-        "radix-5 factor requires its MXU matrix"
+    assert mx6 is not None or (fp.rs.L2 & (fp.rs.L2 - 1) == 0
+                               and fp.rs.L2 <= 64), \
+        "radix-5 and >64 r2 factors require their MXU matrix"
     use_fold = mx6 is not None and _mx(t, "tr_inv") is not None
     z0, z1 = _axis1_pass(z0, z1, fp.rs.L2, True,
                          pre=(mid_inv_tab if mid_inv_tab is not None
@@ -1190,6 +1264,41 @@ def _inverse_r(fp, t, z0, z1, wfold=False, mid_inv_tab=None):
                          if wfold else None,
                          canon=True)
     return z0, z1
+
+
+def _p2_pass(fp, t, x0, x1):
+    """P2 alone (r2-DFT + folded mid), for shapes whose R2*C exceeds the
+    fused kernel's tile budget (n >= 2^26, 5*2^24/5*2^25)."""
+    L2 = fp.rs.L2
+    mf, _ = _fused_mid_tabs(t)
+    mx2 = _mx(t, (L2, False))
+    assert mx2 is not None or (L2 & (L2 - 1) == 0 and L2 <= 64), \
+        "r2 factors > 64 need their MXU matrix (no shift twiddles)"
+    return _axis1_pass(x0, x1, L2, False, post=mf, mxu=mx2)
+
+
+def _p6_pass(fp, t, z0, z1):
+    """P6 alone (folded mid_inv + r2-inverse DFT)."""
+    L2 = fp.rs.L2
+    _, mi = _fused_mid_tabs(t)
+    mx6 = _mx(t, "tr_inv") or _mx(t, (L2, True))
+    assert mx6 is not None or (L2 & (L2 - 1) == 0 and L2 <= 64), \
+        "r2 factors > 64 need their MXU matrix (no shift twiddles)"
+    use_fold = mx6 is not None and _mx(t, "tr_inv") is not None
+    return _axis1_pass(z0, z1, L2, True, pre=mi,
+                       post=None if use_fold else t.t_r_inv, mxu=mx6)
+
+
+def _fused_mid(fp, t, x0, x1, mode, u=None):
+    """The C-transform span: in-kernel P2/P6 when the tile budget allows
+    (r2fold), separate axis-1 passes otherwise."""
+    if use_r2fold(fp):
+        return fused_c_pass(fp, t, x0, x1, mode, u=u, r2fold=True)
+    s0, s1 = _p2_pass(fp, t, x0, x1)
+    s0, s1 = fused_c_pass(fp, t, s0, s1, mode, u=u, r2fold=False)
+    if mode == "fwd":
+        return s0, s1
+    return _p6_pass(fp, t, s0, s1)
 
 
 def _p1_pass(fp, t, x0, x1, cin=None, wfold=False):
@@ -1228,12 +1337,12 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
     if cin0.ndim == 3:
         r0, r1 = roll_row_carries(fp, cin0, cin1)
         s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
-        s0, s1 = fused_c_pass(fp, t, s0, s1, "sqr", r2fold=True)
+        s0, s1 = _fused_mid(fp, t, s0, s1, "sqr")
         return p7_carry_pass(fp, t, s0, s1, a, a_is_one)
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
     s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
-    s0, s1 = fused_c_pass(fp, t, s0, s1, "sqr", r2fold=True)
+    s0, s1 = _fused_mid(fp, t, s0, s1, "sqr")
     z0, z1 = _p7_pass(fp, t, s0, s1, wfold=wf)
     return k4(fp, t, z0, z1, a, a_is_one)
 
@@ -1246,13 +1355,12 @@ def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
     if cin0.ndim == 3:
         r0, r1 = roll_row_carries(fp, cin0, cin1)
         s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
-        s0, s1 = fused_c_pass(fp, t, s0, s1, "mul", u=(u0, u1),
-                              r2fold=True)
+        s0, s1 = _fused_mid(fp, t, s0, s1, "mul", u=(u0, u1))
         return p7_carry_pass(fp, t, s0, s1, a, False)
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
     s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
-    s0, s1 = fused_c_pass(fp, t, s0, s1, "mul", u=(u0, u1), r2fold=True)
+    s0, s1 = _fused_mid(fp, t, s0, s1, "mul", u=(u0, u1))
     z0, z1 = _p7_pass(fp, t, s0, s1, wfold=wf)
     return k4(fp, t, z0, z1, a)
 
@@ -1264,11 +1372,11 @@ def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     if cin0.ndim == 3:
         r0, r1 = roll_row_carries(fp, cin0, cin1)
         s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
-        return fused_c_pass(fp, t, s0, s1, "fwd", r2fold=True)
+        return _fused_mid(fp, t, s0, s1, "fwd")
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
     s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
-    return fused_c_pass(fp, t, s0, s1, "fwd", r2fold=True)
+    return _fused_mid(fp, t, s0, s1, "fwd")
 
 
 # ---------------------------------------------------------------------------

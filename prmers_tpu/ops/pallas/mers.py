@@ -50,6 +50,7 @@ class M31C:
 
     def _mul_base(self, a, b):
         """base mul of reduced inputs (< 2^31 + 1): lazy32 out (~20 ops)."""
+        from .gl64 import _native_mullo
         xp = self.xp
         a0 = a & _c(xp, 0xFFFF)
         a1 = a >> _c(xp, 16)
@@ -61,7 +62,10 @@ class M31C:
         p11 = a1 * b1
         mid = (p00 >> _c(xp, 16)) + (p01 & _c(xp, 0xFFFF)) + \
               (p10 & _c(xp, 0xFFFF))
-        lo = (p00 & _c(xp, 0xFFFF)) | (mid << _c(xp, 16))
+        if _native_mullo():
+            lo = a * b          # native 32-bit muli (wraps mod 2^32)
+        else:
+            lo = (p00 & _c(xp, 0xFFFF)) | (mid << _c(xp, 16))
         hi = p11 + (p01 >> _c(xp, 16)) + (p10 >> _c(xp, 16)) + \
             (mid >> _c(xp, 16))
         # value mod M31: (lo & M31) + (lo>>31 | hi<<1); hi < 2^30 + 1
@@ -118,6 +122,9 @@ class M61C:
         return s, (s < a).astype(self.xp.uint32)
 
     def _mul32(self, a, b):
+        # same native low-word muli fast path as gl64.GL.mul32 (the VPU
+        # multiplies 32-bit lanes natively), under the same env lever
+        from .gl64 import _native_mullo
         xp = self.xp
         a0 = a & _c(xp, 0xFFFF)
         a1 = a >> _c(xp, 16)
@@ -129,7 +136,10 @@ class M61C:
         p11 = a1 * b1
         mid = (p00 >> _c(xp, 16)) + (p01 & _c(xp, 0xFFFF)) + \
               (p10 & _c(xp, 0xFFFF))
-        lo = (p00 & _c(xp, 0xFFFF)) | (mid << _c(xp, 16))
+        if _native_mullo():
+            lo = a * b          # native 32-bit muli (wraps mod 2^32)
+        else:
+            lo = (p00 & _c(xp, 0xFFFF)) | (mid << _c(xp, 16))
         hi = p11 + (p01 >> _c(xp, 16)) + (p10 >> _c(xp, 16)) + \
             (mid >> _c(xp, 16))
         return lo, hi

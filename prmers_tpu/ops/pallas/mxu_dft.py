@@ -66,6 +66,25 @@ def dft_matrix(L: int, inverse: bool) -> np.ndarray:
         for k in range(L):
             M[k] = [pow(w, k * j, P) for j in range(L)]
         return M
+    if L > 64:
+        # no shift-twiddle network past 64 (ord(2) = 192): build the
+        # SAME DIF-ordered map in closed form. Forward: out position k
+        # holds frequency freq(k) -> M[k][j] = w^(freq(k)*j). Inverse
+        # (mirrored DIT): consumes the forward's order, natural out ->
+        # M[k][j] = w^(-k*freq(j)). Equality with dft_axis0 at L <= 64
+        # is asserted by test_mxu_dft.
+        freq = fsm.dif_freq_of_pos(L)
+        w = fsm.root_554(L)
+        if inverse:
+            from ...core import field as fld
+            w = fld.inv(w)
+        M = np.empty((L, L), dtype=np.uint64)
+        for k in range(L):
+            if not inverse:
+                M[k] = [pow(w, int(freq[k]) * j, P) for j in range(L)]
+            else:
+                M[k] = [pow(w, k * int(freq[j]), P) for j in range(L)]
+        return M
     eye = np.eye(L, dtype=np.uint64)
     x0, x1 = to_pairs(eye)
     y0, y1 = fsm.dft_axis0(g, x0, x1, L, inverse)

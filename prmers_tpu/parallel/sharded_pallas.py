@@ -314,8 +314,78 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
     """Row-carry mesh step: same kernels as the single-chip fast path,
     carry state (R1, R2, 128) r1-sharded at rest. with_a compiles the
     (x^2 * a) variant (P7 consumes the replicated small operand)."""
-    fp, s = tb.fp, tb.s
+    local_step = _local_step_fn(tb, with_a=with_a, mode=mode)
+    vec3 = P(LIMB, None, None)
+    rep2 = P(None, None)
+    u_specs = (vec3, vec3) if mode == "mul" else ()
+    a_specs = (rep2, rep2) if with_a else ()
+    fn = shard_map(
+        local_step, mesh=tb.mesh,
+        in_specs=(vec3, vec3, vec3, vec3) + u_specs + a_specs
+        + tb.specs(),
+        out_specs=(vec3, vec3) if mode == "fwd"
+        else (vec3, vec3, vec3, vec3),
+        check_rep=False)
+
+    @jax.jit
+    def step(x0, x1, co0, co1, *ops_and_tabs):
+        *ops, tabs = ops_and_tabs
+        return fn(x0, x1, co0, co1, *ops, *tabs)
+
+    return step
+
+
+def build_pallas_sharded_seq(tb: PallasShardedTables):
+    """Scanned chain of (x^2 * a_i) mesh squarings in ONE dispatch: the
+    mesh analog of pallas_engine.op_square_seq. a_vec rides as a (k,)
+    u32 pair of per-step small multipliers (a < 2^16)."""
+    body = _local_step_fn(tb, with_a=True)
     mesh = tb.mesh
+    vec3 = P(LIMB, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(vec3, vec3, vec3, vec3, rep2, rep2) + tb.specs(),
+        out_specs=(vec3, vec3, vec3, vec3),
+        check_rep=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def seq(x0, x1, c0, c1, a0s, a1s, tabs):
+        def step(st, a):
+            a0, a1 = a
+            return fn(*st, a0, a1, *tabs), None
+        st, _ = lax.scan(step, (x0, x1, c0, c1), (a0s, a1s))
+        return st
+
+    return seq
+
+
+def build_pallas_sharded_seq_ones(tb: PallasShardedTables):
+    """Pure-squaring chain (a == 1 throughout, the PRP hot loop): the
+    statically multiplier-free step under a dynamic-count fori_loop."""
+    body = _local_step_fn(tb, with_a=False)
+    mesh = tb.mesh
+    vec3 = P(LIMB, None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(vec3, vec3, vec3, vec3) + tb.specs(),
+        out_specs=(vec3, vec3, vec3, vec3),
+        check_rep=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def seq(x0, x1, c0, c1, count, tabs):
+        return lax.fori_loop(
+            0, count, lambda i, st: fn(*st, *tabs), (x0, x1, c0, c1))
+
+    return seq
+
+
+def _local_step_fn(tb: PallasShardedTables, with_a: bool, mode="sqr"):
+    """The UN-wrapped local step body (row-carry pipeline), so sequence
+    builders can place their own shard_map/scan around it. Mirrors
+    _build_rowcarry_step's local_step exactly."""
+    assert tb.rowcarry, "mesh sequence ops need the row-carry pipeline"
+    fp, s = tb.fp, tb.s
     names = tb.names()
 
     def local_step(x0, x1, rc0, rc1, *rest):
@@ -331,8 +401,6 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
         d = dict(zip(names, tabs))
         t = tb.t
 
-        # ---- roll the row carries by one flat row (r1-major order is
-        # shard-contiguous at rest): local roll + boundary ppermute ----
         R1s, R2 = rc0.shape[0], rc0.shape[1]
         rows = R1s * R2
         c0 = rc0.reshape(rows, 128)
@@ -343,13 +411,11 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
         c0 = jnp.concatenate([prev0, c0[:-1]]).reshape(R1s, R2, 128)
         c1 = jnp.concatenate([prev1, c1[:-1]]).reshape(R1s, R2, 128)
 
-        # ---- to r2-sharding, x and carries together (stay row-aligned)
         x0 = lax.all_to_all(x0, LIMB, 1, 0, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
         c0 = lax.all_to_all(c0, LIMB, 1, 0, tiled=True)
         c1 = lax.all_to_all(c1, LIMB, 1, 0, tiled=True)
 
-        # ---- P1 with in-kernel injection ----------------------------
         x0, x1 = kn.p1_carry_pass(
             fp, t, x0, x1, c0, c1,
             tabs={"wt": d["rc_wt"], "cum": d["rc_cum"],
@@ -358,9 +424,7 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
         x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
 
-        # ---- P2 / F2 / P6 under r1-sharding -------------------------
-        mx2 = ((d["p2_w8"], d["p2_corr"])
-               if tb.has_g2 else None)
+        mx2 = ((d["p2_w8"], d["p2_corr"]) if tb.has_g2 else None)
         x0, x1 = kn._axis1_pass(x0, x1, fp.rs.L2, False,
                                 post=(d["mid_f0"], d["mid_f1"]), mxu=mx2)
         x0, x1 = _fused_local(fp, t, x0, x1,
@@ -369,10 +433,8 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
                               mode=mode,
                               u=(u0, u1) if mode == "mul" else None)
         if mode == "fwd":
-            # spectral multiplicand: stays r1-sharded in the fused shell
             return x0, x1
-        mx6 = ((d["p6_w8"], d["p6_corr"])
-               if tb.has_g2i else None)
+        mx6 = ((d["p6_w8"], d["p6_corr"]) if tb.has_g2i else None)
         x0, x1 = kn._axis1_pass(
             x0, x1, fp.rs.L2, True,
             pre=(d["mid_i0"], d["mid_i1"]),
@@ -380,7 +442,6 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
                   else (d["t_r_inv0"], d["t_r_inv1"])),
             mxu=mx6)
 
-        # ---- P7 with the carry fused in, under r2-sharding ----------
         x0 = lax.all_to_all(x0, LIMB, 1, 0, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
         x0, x1, co0, co1 = kn.p7_carry_pass(
@@ -394,24 +455,7 @@ def _build_rowcarry_step(tb: PallasShardedTables, with_a: bool = False,
         co1 = lax.all_to_all(co1, LIMB, 0, 1, tiled=True)
         return x0, x1, co0, co1
 
-    vec3 = P(LIMB, None, None)
-    rep2 = P(None, None)
-    u_specs = (vec3, vec3) if mode == "mul" else ()
-    a_specs = (rep2, rep2) if with_a else ()
-    fn = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(vec3, vec3, vec3, vec3) + u_specs + a_specs
-        + tb.specs(),
-        out_specs=(vec3, vec3) if mode == "fwd"
-        else (vec3, vec3, vec3, vec3),
-        check_rep=False)
-
-    @jax.jit
-    def step(x0, x1, co0, co1, *ops_and_tabs):
-        *ops, tabs = ops_and_tabs
-        return fn(x0, x1, co0, co1, *ops, *tabs)
-
-    return step
+    return local_step
 
 
 class PallasShardedStep:

@@ -25,16 +25,24 @@ import pytest  # noqa: E402
 
 def pytest_addoption(parser):
     parser.addoption("--run-slow", action="store_true", default=False)
+    parser.addoption("--run-heavy", action="store_true", default=False)
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long golden runs (--run-slow)")
+    config.addinivalue_line(
+        "markers",
+        "heavy: multi-minute compile/e2e tests (--run-heavy; "
+        "make test-heavy). The default tier is the <5-min smoke suite.")
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--run-slow"):
-        return
-    skip = pytest.mark.skip(reason="slow; use --run-slow")
+    run_slow = config.getoption("--run-slow")
+    run_heavy = config.getoption("--run-heavy") or run_slow
+    skip_slow = pytest.mark.skip(reason="slow; use --run-slow")
+    skip_heavy = pytest.mark.skip(reason="heavy; use --run-heavy")
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+        if "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
+        elif "heavy" in item.keywords and not run_heavy:
+            item.add_marker(skip_heavy)

@@ -1,0 +1,149 @@
+"""MeshPallasEngine: the full Engine op surface over the sharded Pallas
+row-carry pipeline (VERDICT r3 missing #1 — backend="sharded" production
+engine). Kernels run in interpret mode on the 8-virtual-device CPU mesh;
+every value is checked against python big-int arithmetic.
+
+Reference contract: include/marin/engine.h:36-146.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from prmers_tpu.core.plan import cached_plan
+
+N = 1 << 19
+P_TEST = int(N * 16.2) | 1
+MP = (1 << P_TEST) - 1
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from prmers_tpu.parallel.sharded import make_mesh
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def eng(mesh8, monkeypatch_module):
+    monkeypatch_module.setenv("PRMERS_PALLAS_INTERPRET", "1")
+    from prmers_tpu.parallel.mesh_engine import MeshPallasEngine
+    return MeshPallasEngine(P_TEST, 4, mesh8, n=N)
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    mp = pytest.MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+@pytest.mark.heavy
+class TestMeshPallasEngine:
+    def test_square_chain_and_seq(self, eng):
+        eng.set(0, 3)
+        eng.square_mul(0)
+        assert eng.get_int(0) == pow(3, 2, MP)
+        # seq_ones (fori_loop) path
+        eng.square_mul_seq(0, [1, 1, 1])
+        assert eng.get_int(0) == pow(3, 16, MP)
+        # scanned with-a path
+        eng.square_mul_seq(0, [3, 1])
+        want = pow(3, 32, MP) * 3 % MP
+        want = want * want % MP
+        assert eng.get_int(0) == want
+
+    def test_fast3_step(self, eng):
+        eng.set(0, 5)
+        eng.square_mul(0, 3)
+        assert eng.get_int(0) == 75
+
+    def test_multiplicand_mul(self, eng):
+        eng.set(0, 10)
+        eng.set(1, 7)
+        eng.set_multiplicand(2, 1)
+        eng.mul(0, 2, 5)
+        assert eng.get_int(0) == 350
+
+    def test_linear_ops(self, eng):
+        eng.set(0, 1 << 40)
+        eng.set(1, 999)
+        want = 1 << 40
+        eng.add(0, 1)
+        want += 999
+        eng.sub(0, 123)
+        want -= 123
+        eng.sub_reg(0, 1)
+        want -= 999
+        eng.add_small(0, 7)
+        want += 7
+        assert eng.get_int(0) == want % MP
+        # subtraction through zero wraps mod M_p
+        eng.set(0, 5)
+        eng.sub(0, 7)
+        assert eng.get_int(0) == MP - 2
+
+    def test_checkpoint_roundtrip_incl_spectral(self, eng, mesh8):
+        from prmers_tpu.parallel.mesh_engine import MeshPallasEngine
+        eng.set(0, 12345)
+        eng.set(1, 7)
+        eng.set_multiplicand(2, 1)
+        eng.square_mul(0)        # leaves pending carries in reg 0
+        blob = eng.get_checkpoint()
+        eng2 = MeshPallasEngine(P_TEST, 4, mesh8, n=N)
+        eng2.set_checkpoint(blob)
+        assert eng2.get_int(0) == eng.get_int(0) == 12345 * 12345
+        # the restored spectral register still multiplies correctly
+        eng.mul(0, 2)
+        eng2.mul(0, 2)
+        assert eng.get_int(0) == eng2.get_int(0) == 12345 * 12345 * 7
+
+    def test_gl_window_bit_exact(self, eng):
+        """A manual Gerbicz-Li window (B = 4, 3 blocks) through the mesh
+        engine: the exact op sequence of the PRP mode loop (square
+        chains, accumulator muls, copies, replay verify) bit-exact vs
+        big-int (reference: src/modes/RunPrpOrLlMarin.cpp:317-430)."""
+        B = 4
+        eng.set(0, 3)      # R0 state
+        eng.set(1, 1)      # R1 accumulator
+        eng.copy(2, 0)     # last-good state
+        x, acc = 3, 1
+        for _blk in range(3):
+            eng.square_mul_seq(0, [1] * B)
+            x = pow(x, 1 << B, MP)
+            # boundary: acc *= state
+            eng.set_multiplicand(3, 0)
+            eng.mul(1, 3)
+            acc = acc * x % MP
+            assert eng.get_int(0) == x
+        assert eng.get_int(1) == acc
+        # verify pass: replay from the last-good copy
+        eng.square_mul_seq(2, [1] * (3 * B))
+        assert eng.get_int(2) == pow(3, 1 << (3 * B), MP) == x
+
+
+@pytest.mark.heavy
+class TestMeshFactory:
+    def test_factory_selects_mesh_engine(self, mesh8, monkeypatch):
+        monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        from prmers_tpu.parallel.mesh_engine import mesh_pallas_eligible
+        assert mesh_pallas_eligible(P_TEST, n_devices=8, n=N)
+        # natural plans for small p do not qualify -> XLA mesh fallback
+        from prmers_tpu.engine.factory import create_engine
+        from prmers_tpu.parallel.sharded import ShardedEngine
+        from prmers_tpu.core.profile import ProfiledEngine
+        eng = create_engine(1279, 2, backend="sharded")
+        inner = eng.inner if isinstance(eng, ProfiledEngine) else eng
+        assert isinstance(inner, ShardedEngine)
+
+    def test_shard_impl_env_override(self, monkeypatch):
+        monkeypatch.setenv("PRMERS_SHARDED_IMPL", "xla")
+        from prmers_tpu.engine.factory import create_engine
+        from prmers_tpu.parallel.sharded import ShardedEngine
+        from prmers_tpu.core.profile import ProfiledEngine
+        eng = create_engine(1279, 2, backend="sharded")
+        inner = eng.inner if isinstance(eng, ProfiledEngine) else eng
+        assert isinstance(inner, ShardedEngine)

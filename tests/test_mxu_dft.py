@@ -32,6 +32,32 @@ def test_mxu_dft_matches_dft_axis0(L, inverse):
     assert np.array_equal(from_pairs(c0, c1), from_pairs(rc0, rc1))
 
 
+@pytest.mark.parametrize("L", [16, 64])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_closed_form_dif_matrix_matches_network(L, inverse):
+    """dft_matrix's closed-form DIF-ordered construction (the only form
+    available for L > 64, where no shift-twiddle family exists) must
+    reproduce the butterfly network's map exactly at L <= 64."""
+    g = GL(np)
+    eye = np.eye(L, dtype=np.uint64)
+    x0, x1 = to_pairs(eye)
+    y0, y1 = fsm.dft_axis0(g, x0, x1, L, inverse)
+    c0, c1 = g.canon(y0, y1)
+    Mref = from_pairs(c0, c1)
+    freq = fsm.dif_freq_of_pos(L)
+    w = fsm.root_554(L)
+    if inverse:
+        from prmers_tpu.core import field as fld
+        w = fld.inv(w)
+    M = np.empty((L, L), dtype=np.uint64)
+    for k in range(L):
+        if not inverse:
+            M[k] = [pow(w, int(freq[k]) * j, P) for j in range(L)]
+        else:
+            M[k] = [pow(w, k * int(freq[j]), P) for j in range(L)]
+    assert np.array_equal(M, Mref)
+
+
 def test_balanced_limbs_exact():
     """8-plane signed decomposition: reconstruction == v or v - P
     (both ≡ v mod P); inputs are canonical residues [0, P)."""
