@@ -2,6 +2,8 @@
 
 import struct
 
+import pytest
+
 from prmers_tpu.io import interop
 from prmers_tpu.io.options import Options
 from prmers_tpu.modes.pm1 import run_pm1
@@ -108,6 +110,7 @@ class TestB1Extension:
         r2 = run_pm1(o2, log=_silent)
         assert r2.factor == 4312790327
 
+    @pytest.mark.heavy
     def test_pm1_resume_p95_stage2(self, tmp_path):
         # export .p95 after stage 1, then run stage 2 from the import only
         path = str(tmp_path / "m367.p95")

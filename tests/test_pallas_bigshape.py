@@ -31,6 +31,7 @@ class TestPlans:
         (5 << 24, 20480, 4096, 320),
         (5 << 25, 20480, 8192, 320),    # MM31's N = 5*2^25
     ])
+    @pytest.mark.heavy
     def test_fourstep_plan_builds(self, n, R, C, L2):
         p = int(n * 12.5) | 1
         fp = FourStepPlan.from_plan(cached_plan(p, n))

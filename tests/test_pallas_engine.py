@@ -41,6 +41,7 @@ def test_copy_never_aliases(eng):
         "copy must materialize new buffers (donated ops delete inputs)"
 
 
+@pytest.mark.heavy
 def test_gerbicz_block_sequence(eng):
     """The exact op mix of a PRP Gerbicz block boundary: squaring chain
     on R0, copy R1 -> R3, set_multiplicand, mul, replay chain on R3 —

@@ -224,6 +224,7 @@ class TestRadix5:
             want = (np.eye(L, dtype=object) * L) % P
             assert (prod == want).all()
 
+    @pytest.mark.heavy
     def test_square_ref_5smooth(self):
         n = 327680                       # 5 * 2^16 -> R = 320 = 64 * 5
         p = int(n * 16.5) | 1
@@ -240,6 +241,7 @@ class TestRadix5:
         val = sum(int(x) << int(qq) for x, qq in zip(y, q)) % mp
         assert val == (v * v) % mp
 
+    @pytest.mark.heavy
     def test_fused_c_still_exact_5smooth(self):
         """The fused C tables are independent of the radix-5 R factor;
         fwd+mul must equal sqr on a 5-smooth plan."""

@@ -129,6 +129,7 @@ def test_mul_and_fwd(setup):
     assert _value(fp, plan, d0, d1, co0, co1) == gmp.mod(gmp.mul(v, u), mp)
 
 
+@pytest.mark.heavy
 def test_whole_chain_kernel(setup):
     """square_chain (K squarings in ONE kernel, VMEM-resident) must
     match big-int x^(2^K) * prod(a) and leave the same carry state the

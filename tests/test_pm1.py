@@ -109,6 +109,7 @@ class TestPm1Golden:
         assert r.factor == 50500996776315830904406967
         assert r.stage1_factor == 646300400639
 
+    @pytest.mark.heavy
     def test_m367_stage2_b2start(self):
         """-b2start narrows the stage-2 range: the golden's large prime
         is 38971, so starting at 38000 keeps the factor while skipping
@@ -143,6 +144,7 @@ class TestVTrace:
         assert r.factor == 50500996776315830904406967
         assert r.stage == 2
 
+    @pytest.mark.heavy
     def test_known_factors_divided_out(self):
         """-factors with P-1: the raw stage-2 gcd contains the known
         factor; the NEW cofactor is reported (reference regression flow:
@@ -170,6 +172,7 @@ class TestVTrace:
         r = run_pm1(o, log=_silent)
         assert r.factor == 28401397572100073
 
+    @pytest.mark.heavy
     def test_classic_variant_still_selectable(self):
         o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
                     backend="numpy", stage2_variant="classic")
@@ -184,6 +187,7 @@ class TestVTrace:
         d_big = _vtrace_auto_d(10_000, 1_000_000, regs_cap=400)
         assert d_big >= d_small
 
+    @pytest.mark.heavy
     def test_vtrace_resume(self, tmp_path, monkeypatch):
         """Interrupt after a few giants via a poisoned prime iterator, then
         resume from the compact checkpoint and still find the factor."""
@@ -220,6 +224,7 @@ class TestVTrace:
         assert r2.factor == 50500996776315830904406967
 
 
+@pytest.mark.heavy
 class TestLowMem:
     """Low-memory P-1 variants (reference: 3-reg lowmem / 2-reg
     resume2reg register maps, src/modes/RunPM1.cpp:1408-1700, :6206-6222)."""

@@ -123,6 +123,7 @@ def test_m100003_golden_res64_res2048():
         "33f3f01d82347fa00578ec86c4cd7eb568a1463cf3e38dae1cf45e9503c71fd6")
 
 
+@pytest.mark.heavy
 def test_m11213_interval_res64_stream():
     """Reference unit_tests.sh:163-186: intermediate res64 every 1000
     iterations must match the golden stream bit-exactly."""

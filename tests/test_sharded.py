@@ -78,6 +78,7 @@ class TestShardedEngine:
         r = run_prp_or_ll(o, eng=eng, log=lambda *a: None)
         assert r.is_prime
 
+    @pytest.mark.heavy
     def test_ll_m3217_over_mesh(self, mesh8):
         from prmers_tpu.io.options import Options
         from prmers_tpu.modes.prp_ll import run_prp_or_ll
@@ -136,6 +137,7 @@ class TestShardedOnDeviceOps:
         assert eng2.get_int(0) == 55555 * 77777 % mp
 
 
+@pytest.mark.heavy
 class TestPallasSharded:
     """The Pallas pass kernels inside shard_map (interpret mode on the
     CPU mesh; identical code lowers through Mosaic on a TPU mesh)."""
