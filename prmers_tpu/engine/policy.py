@@ -7,14 +7,30 @@ engine::create_gpu, src/marin/gpu.cpp:52).
 
 TPU adaptation: the reference's ratio thresholds encode "the two backends
 have comparable per-word throughput, so the smaller transform wins".
-That premise is measured false here (the fft3161 XLA stand-in runs
-4-17x slower per word than the gl64 XLA path on CPU, and PERF.md's
-op-count analysis shows a Pallas fft3161 set would lose to gl64 on
-16-bit-multiplier vector lanes too), so measured rates decide: exact
+That premise is measured false here, so measured rates decide: exact
 tune entries when present, otherwise rates extrapolated from the nearest
 tuned size of the same engine family (n*log n scaling). The per-workload
 ratio thresholds and their env overrides still gate any switch to the
 second path — the reference-parity surface — but never pick it alone.
+
+fft3161 speed-role retirement — decided with ON-DEVICE data
+(TPU v5e, 2026-08-20, prmers_tune.json; VERDICT r3 item 7):
+
+    p        n_gl64 (engine)     iter/s | n_3161 (Engine3161)  iter/s
+    9941     512    (JaxEngine)   610   | 256                   649
+    216091   10240  (JaxEngine)   965   | 6144                  169
+    756839   32768  (PallasEngine)1201  | 24576                 291
+    3021377  163840 (JaxEngine)   1007  | 98304                 299
+
+Only at trivially small sizes (p ~ 1e4, both paths XLA graphs, n below
+the Pallas floor) does the smaller 3161 transform win — the reference
+rule's regime. Everywhere the kernel sets are real, gl64 is 3.4-5.7x
+faster despite transforms ~2x larger, matching PERF.md's op-count
+analysis (on 16-bit-multiplier lanes every fft3161 component costs at
+or above gl64 per payload bit). The second path's production role is
+therefore CAPACITY (3*2^k/9*2^k sizes landing much closer to p, odd
+small shapes), not speed; the measured-rates branch below realizes
+exactly this — it picks fft3161 only where the numbers do.
 """
 
 from __future__ import annotations

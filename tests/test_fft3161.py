@@ -181,6 +181,35 @@ class TestPolicy:
                          gl64_has_pallas=False)
         assert d.arith == "fft3161", d
 
+    def test_on_device_tune_data_decisions(self):
+        """The committed prmers_tune.json holds ON-DEVICE rates for BOTH
+        arithmetic paths (TPU v5e, -tune): the policy must realize the
+        retirement of fft3161's speed role that those numbers imply —
+        gl64 wherever a kernel set is real, fft3161 only at the tiny
+        sizes where the smaller transform wins inside XLA
+        (VERDICT r3 item 7 'decide with data')."""
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        from prmers_tpu.core import tune
+        data = tune.load(repo)
+        has_3161 = any("Engine3161" in ent for ent in data.values())
+        if not has_3161:
+            pytest.skip("no on-device Engine3161 tune entries committed")
+        # mid/large sizes: gl64 measured faster -> picked
+        for p in (216091, 756839, 3021377):
+            d = decide_arith(p, "prp", repo)
+            assert d.arith == "gl64", (p, d)
+            assert "measured" in d.reason or "extrapolated" in d.reason
+        # flagship: extrapolated from the measured families -> gl64
+        d = decide_arith(136279841, "prp", repo, gl64_has_pallas=True)
+        assert d.arith == "gl64", d
+        # tiny size where both run as XLA graphs: the smaller 3161
+        # transform measures faster and is picked (the reference rule's
+        # one surviving regime, AutoPolicy.cpp:86)
+        d = decide_arith(9941, "prp", repo)
+        if d.ips_3161 > d.ips_gl64 > 0:
+            assert d.arith == "fft3161", d
+
     def test_reference_aevum_env_spellings(self, tmp_path, monkeypatch):
         """The reference's AEVUM_AUTO_* env names steer the same policy
         (reference: CliParser.cpp help 'Auto policy env')."""
