@@ -44,14 +44,26 @@ def _get_tables(p: int, n: int):
     if key not in _TABLES_CACHE:
         plan = cached_plan(p, n) if n else cached_plan(p)
         fp = FourStepPlan.from_plan(plan)
-        t = jax.jit(lambda: FourStepTables.build(fp, jnp, G=kn.G,
-                                                 lanes=kn.LANES))()
+        # widths ride as a jit ARGUMENT: closed over, the n-sized array
+        # becomes an HLO constant and the remote compiler rejects the
+        # program at n = 5*2^25 (HTTP 413)
+        t = jax.jit(lambda w: FourStepTables.build(
+            fp, jnp, G=kn.G, lanes=kn.LANES, widths_arr=w))(
+                fp.widths.astype(np.uint32))
         fsm.attach_mxu_tables(t, device_put=jax.device_put)
         import os
         if not os.environ.get("PRMERS_NO_FUSE"):
             fsm.attach_fused_c_tables(t, device_put=jax.device_put)
         kn.attach_cinrow(t, device_put=jax.device_put)
-        jax.block_until_ready(jax.tree_util.tree_leaves(t))
+        if kn.use_rowcarry(fp, t) and kn._wfold_ok(fp, t):
+            # the row-carry pipeline consumes only the FOLDED tables
+            # (weights inside the P1/P7 MXU variants, mids as mf/mi
+            # copies): the unfolded w/iw/mid/mid_inv pairs are dead
+            # weight — 5.4 GB of HBM at MM31's n = 5*2^25, which alone
+            # OOMed the device (found by the MM31 golden)
+            t.w = t.iw = t.mid = t.mid_inv = None
+        jax.block_until_ready([x for x in jax.tree_util.tree_leaves(t)
+                               if x is not None])
         masks64 = ((jnp.uint64(1) <<
                     jnp.asarray(plan.widths.astype(np.uint64)))
                    - jnp.uint64(1))
@@ -179,7 +191,7 @@ class PallasEngine(Engine):
         self.fp, self.t, self._w64, self._m64 = _get_tables(
             p, self.plan.n)
         self.n = self.plan.n
-        sh = self.t.w[0].shape
+        sh = self.t.widths32.shape   # the AX register shell (R1, R2, C)
         self._sh = sh
         z5 = lambda: jnp.zeros(sh, jnp.uint32)  # noqa: E731
         self._r1 = self.fp.rs.L1

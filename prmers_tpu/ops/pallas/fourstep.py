@@ -228,8 +228,15 @@ class FourStepTables:
     cinrow: Any = None
 
     @classmethod
-    def build(cls, fp: FourStepPlan, xp, G: int = 8, lanes: int = 128):
-        """Build all tables in namespace xp (jit this under jax)."""
+    def build(cls, fp: FourStepPlan, xp, G: int = 8, lanes: int = 128,
+              widths_arr=None):
+        """Build all tables in namespace xp (jit this under jax).
+
+        widths_arr: optional pre-placed widths array (u32, any shape with
+        n elements). Under jit, PASS THIS AS AN ARGUMENT — closed over,
+        the n-sized widths become an HLO constant, and at n = 5*2^25
+        that alone exceeds the remote compiler's request-size limit
+        (HTTP 413; found by the MM31 device golden)."""
         from ...core.field import FieldOps
         F = FieldOps(xp)
         p, n, R, C = fp.p, fp.n, fp.R, fp.C
@@ -267,7 +274,10 @@ class FourStepTables:
         t_c = _pow_mod_vec(F, wC, e_tc, C.bit_length())
         t_c_inv = _pow_mod_vec(F, field.inv(wC), e_tc, C.bit_length())
 
-        widths = xp.asarray(fp.widths.reshape(R, C).astype(np.uint32))
+        if widths_arr is None:
+            widths = xp.asarray(fp.widths.reshape(R, C).astype(np.uint32))
+        else:
+            widths = xp.asarray(widths_arr).reshape(R, C).astype(xp.uint32)
         assert int(fp.widths.max()) < 32, \
             "gl64 digit widths must fit one u32 word (in-kernel masks)"
 

@@ -258,28 +258,42 @@ def _pass_kernel(L: int, inverse: bool, has_pre: bool, has_post: bool,
     o1_ref[:] = x1.reshape(sh)
 
 
+# Largest (L x S x lane) element count one axis-0 tile may hold: the
+# C = 8192 shapes' (64, 8, 8192) tile plus the dot intermediates exceed
+# VMEM; the wrap/canon/dot phases are lane-independent, so C tiles.
+# (The flagship (64, 8, 4096) = 2M tile stays un-tiled.)
+AXIS0_BUDGET_EL = 1 << 22
+
+
 def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
                 cin_widths=None, mxu=None, wcorr=None, canon=False):
     """Transform along dim 0 of the (R1, R2, C) array; dim 1 is tiled S
     sub-columns at a time (S = min(8, R2) — Pallas requires the block's
-    second-to-last dim to be a multiple of 8 or the whole extent)."""
+    second-to-last dim to be a multiple of 8 or the whole extent), and
+    the lane axis is tiled when the block exceeds AXIS0_BUDGET_EL."""
     sh = x0.shape
     S = _r2_tile(sh[1])
-    grid = (sh[1] // S,)
-    blk = (L, S, sh[2])
+    C = sh[2]
+    CT = C
+    while L * S * CT > AXIS0_BUDGET_EL and CT % 256 == 0 and CT > 256:
+        CT //= 2
+    assert CT == C or cin is None, \
+        "lane-tiled axis-0 pass cannot carry the injection strip"
+    grid = (sh[1] // S, C // CT)
+    blk = (L, S, CT)
 
-    def im(i):
-        return (i * 0, i, i * 0)
+    def im(i, j):
+        return (i * 0, i, j)
 
     def bspec(a):
         s = a.shape
         if s[-1] == 1:
-            return pl.BlockSpec((L, S, 1), lambda i: (i * 0, i, i * 0),
+            return pl.BlockSpec((L, S, 1), lambda i, j: (i * 0, i, i * 0),
                                 memory_space=pltpu.VMEM)
         return pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
 
     xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
-    smem11 = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
+    smem11 = pl.BlockSpec((1, 1), lambda i, j: (i * 0, i * 0),
                           memory_space=pltpu.SMEM)
     ins = []
     in_specs = []
@@ -293,19 +307,20 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
         er_t, ec_t, wcorr_n = wcorr      # er (R1, R2, 1); ec (1, C)
         ins += [er_t, ec_t]
         in_specs += [
-            pl.BlockSpec((L, S, 1), lambda i: (i * 0, i, i * 0),
+            pl.BlockSpec((L, S, 1), lambda i, j: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
-            _full(ec_t.shape)]
+            pl.BlockSpec((1, CT), lambda i, j: (i * 0, j),
+                         memory_space=pltpu.VMEM)]
     if mxu is not None:
         w8, corr = mxu
         ins += [w8, corr]
         if len(w8.shape) == 3:           # per-r2 variants: S-slice blocks
             in_specs += [
                 pl.BlockSpec((S,) + tuple(w8.shape[1:]),
-                             lambda i: (i, i * 0, i * 0),
+                             lambda i, j: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((S,) + tuple(corr.shape[1:]),
-                             lambda i: (i, i * 0, i * 0),
+                             lambda i, j: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM)]
         else:
             in_specs += [_full(w8.shape), _full(corr.shape)]
@@ -748,8 +763,10 @@ def attach_cinrow(t: FourStepTables, device_put=None):
 
 def use_rowcarry(fp: FourStepPlan, t: FourStepTables) -> bool:
     """The row-carry pipeline needs the weight-folded MXU tables, the
-    fused-C tables, and the cinrow spread tables."""
+    fused-C tables, and the cinrow spread tables; C = 8192 shapes run
+    the XLA-carry hybrid instead (use_xla_carry)."""
     return (t.cinrow is not None and _fused_ok(fp, t)
+            and not use_xla_carry(fp)
             and not os.environ.get("PRMERS_NO_ROWCARRY"))
 
 
@@ -773,6 +790,26 @@ def use_r2fold(fp: FourStepPlan) -> bool:
     """In-kernel P2/P6 (r2fold) needs the whole R2 extent in one tile;
     beyond the budget the pipeline drops to separate axis-1 passes."""
     return fp.rs.L2 * fp.C <= _r2fold_budget()
+
+
+def _fc_split(fp: FourStepPlan) -> bool:
+    """Forward/inverse C-transform as SEPARATE kernels when the combined
+    wf8+wi8 variant tables exceed VMEM: at ca_count = 64 (C = 8192) the
+    two table sets are 2 x 67 MB and the one-kernel form compiles to
+    ~205 MB of VMEM (measured: the MM31 n = 5*2^25 stage-1 chain).
+    Env-forceable so tests exercise the split at small shapes."""
+    return fp.C // 128 > 32 or bool(os.environ.get("PRMERS_FC_SPLIT"))
+
+
+def use_xla_carry(fp: FourStepPlan) -> bool:
+    """C = 8192 shapes: the P1/P7-with-carry minimum tile (L1, 8, C) is
+    4.2M elements and the fused carry phase blows VMEM; those shapes run
+    canonical-digit iterations — Pallas transforms, then the carry as an
+    XLA pass (ops/carry.carry_full) — trading ~2 extra HBM sweeps for
+    fitting the core. Env-forceable for tests."""
+    if os.environ.get("PRMERS_XLA_CARRY"):
+        return True
+    return fp.rs.L1 * 8 * fp.C >= (1 << 22)
 
 def _fused_c_kernel(ca_count: int, mode: str, r2cfg,
                     *refs):
@@ -900,6 +937,53 @@ def _fused_c_kernel(ca_count: int, mode: str, r2cfg,
     o1_ref[:] = x1.reshape(sh)
 
 
+def _fused_c_invh_kernel(ca_count: int, op: str, *refs):
+    """Inverse half of the split C-transform: optional head op (the
+    dyadic square / spectral multiply), the wi8 variant dots, and the
+    inverse lane-tile DFT. Holds ONLY the inverse tables (ca_count = 64
+    cannot fit both directions' 67 MB sets in one kernel)."""
+    i = 0
+    x0_ref, x1_ref = refs[i], refs[i + 1]
+    i += 2
+    if op == "mul":
+        u0_ref, u1_ref = refs[i], refs[i + 1]
+        i += 2
+    wi8_ref, corri_ref = refs[i], refs[i + 1]
+    i += 2
+    o0_ref, o1_ref = refs[i], refs[i + 1]
+
+    sh = x0_ref.shape
+    B = sh[0] * sh[1]
+    C = sh[2]
+    v = (B, C)
+    x0 = x0_ref[:].reshape(v)
+    x1 = x1_ref[:].reshape(v)
+    if op == "sqr":
+        x0, x1 = g.sqr(x0, x1)
+    elif op == "mul":
+        x0, x1 = g.mul(x0, x1, u0_ref[:].reshape(v),
+                       u1_ref[:].reshape(v))
+
+    pack = (mxm._pack_planes_rhs_bytes if mxm.use_bytecast()
+            else mxm._pack_planes_rhs)
+    X8s = [pack(g, x0[:, j * 128:(j + 1) * 128],
+                x1[:, j * 128:(j + 1) * 128])
+           for j in range(ca_count)]
+    Ds = [lax.dot_general(X8s[j], wi8_ref[j], (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+          for j in range(ca_count)]
+    outs0, outs1 = [], []
+    for j in range(ca_count):
+        r0, r1 = mxm._combine_rhs(g, 128, Ds[j] + corri_ref[j])
+        outs0.append(r0)
+        outs1.append(r1)
+    x0 = jnp.concatenate(outs0, axis=1)
+    x1 = jnp.concatenate(outs1, axis=1)
+    x0, x1 = fsm.dft_lanes(g, x0, x1, ca_count, 128, True)
+    o0_ref[:] = x0.reshape(sh)
+    o1_ref[:] = x1.reshape(sh)
+
+
 def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
                  u=None, r2fold: bool = False):
     """Run the fused C kernel over the (R1, R2, C) array; grid tiles r1
@@ -912,6 +996,50 @@ def fused_c_pass(fp: FourStepPlan, t: FourStepTables, x0, x1, mode: str,
     sh = x0.shape
     R2 = sh[1]
     C = sh[2]
+    if mode.startswith("invh"):
+        # inverse half of the split C-transform (see _fused_c_invh_kernel)
+        assert not r2fold
+        op = mode.split("_", 1)[1] if "_" in mode else ""
+        budget = _r2fold_budget()
+        if R2 * C > budget:
+            S = R2
+            for cand in range(R2, 0, -1):
+                if R2 % cand == 0 and (cand % 8 == 0 or cand == R2) \
+                        and cand * C <= budget:
+                    S = cand
+                    break
+            grid = (sh[0], R2 // S)
+            blk = (1, S, C)
+            xspec = pl.BlockSpec(blk, lambda i, j: (i, j, i * 0),
+                                 memory_space=pltpu.VMEM)
+        else:
+            RCh = max(1, min(sh[0], 128 // max(R2, 1),
+                             budget // max(R2 * C, 1)))
+            while sh[0] % RCh:
+                RCh -= 1
+            grid = (sh[0] // RCh,)
+            blk = (RCh,) + tuple(sh[1:])
+            xspec = pl.BlockSpec(blk, lambda i: (i, i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)
+        ins = [x0, x1]
+        in_specs = [xspec, xspec]
+        if op == "mul":
+            ins += [u[0], u[1]]
+            in_specs += [xspec, xspec]
+        ins += [wi8, corri]
+        in_specs += [_full(wi8.shape), _full(corri.shape)]
+        kern = functools.partial(_fused_c_invh_kernel, ca_count, op)
+        r0, r1 = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(xspec, xspec),
+            out_shape=(jax.ShapeDtypeStruct(sh, jnp.uint32),
+                       jax.ShapeDtypeStruct(sh, jnp.uint32)),
+            compiler_params=_cparams(),
+            interpret=_interpret(),
+        )(*ins)
+        return r0, r1
     # tile budget: the kernel's live (B, C) u32-pair copies dominate the
     # VMEM stack (measured ~105 MiB at B*C = 512K on the flagship), so
     # the batch extent is capped by element count, not just sublanes
@@ -1291,13 +1419,23 @@ def _p6_pass(fp, t, z0, z1):
 
 def _fused_mid(fp, t, x0, x1, mode, u=None):
     """The C-transform span: in-kernel P2/P6 when the tile budget allows
-    (r2fold), separate axis-1 passes otherwise."""
-    if use_r2fold(fp):
+    (r2fold), separate axis-1 passes otherwise; at ca_count > 32 the
+    forward and inverse halves are separate kernels (_fc_split) so each
+    holds only its own 67 MB variant table set."""
+    split = _fc_split(fp)
+    if use_r2fold(fp) and not split:
         return fused_c_pass(fp, t, x0, x1, mode, u=u, r2fold=True)
     s0, s1 = _p2_pass(fp, t, x0, x1)
-    s0, s1 = fused_c_pass(fp, t, s0, s1, mode, u=u, r2fold=False)
-    if mode == "fwd":
-        return s0, s1
+    if not split:
+        s0, s1 = fused_c_pass(fp, t, s0, s1, mode, u=u, r2fold=False)
+        if mode == "fwd":
+            return s0, s1
+    else:
+        s0, s1 = fused_c_pass(fp, t, s0, s1, "fwd", r2fold=False)
+        if mode == "fwd":
+            return s0, s1
+        s0, s1 = fused_c_pass(fp, t, s0, s1, "invh_" + mode, u=u,
+                              r2fold=False)
     return _p6_pass(fp, t, s0, s1)
 
 
@@ -1324,6 +1462,29 @@ def _p7_pass(fp, t, z0, z1, wfold=False):
                        canon=True)
 
 
+def _xla_carry(fp: FourStepPlan, t: FourStepTables, z0, z1, a,
+               a_is_one: bool):
+    """Canonical carry as an XLA pass (ops/carry.carry_full) for shapes
+    whose in-kernel carry phase does not fit VMEM (use_xla_carry). z is
+    the canonicalized P7 output; returns normalized digit pairs."""
+    from ...core.field import FieldOps
+    from ...ops import carry as carry_ops
+    F = FieldOps(jnp)
+    sh = z0.shape
+    n = fp.n
+    y = (z0.astype(jnp.uint64) |
+         (z1.astype(jnp.uint64) << jnp.uint64(32))).reshape(n)
+    widths = t.widths32.reshape(n).astype(jnp.uint64)
+    if a_is_one:
+        av = 1
+    else:
+        av = (a[0][0, 0].astype(jnp.uint64) |
+              (a[1][0, 0].astype(jnp.uint64) << jnp.uint64(32)))
+    d = carry_ops.carry_full(F, y, widths, None, av, lax=lax)
+    return ((d & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(sh),
+            (d >> jnp.uint64(32)).astype(jnp.uint32).reshape(sh))
+
+
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
                 cin0, cin1, a, a_is_one: bool = False):
     """One full (x^2 * a) iteration. With row-carry state (cin ndim 3,
@@ -1334,6 +1495,16 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
     Returns (d0, d1, cout0, cout1) with the carry pair in the same shape
     family as the input."""
     assert t.fused is not None, "pallas pipeline requires fused-C tables"
+    if use_xla_carry(fp):
+        # canonical-digit iteration: Pallas transforms + XLA carry; the
+        # deferred-carry state stays zero and passes through
+        wf = _wfold_ok(fp, t)
+        assert wf, "xla-carry hybrid requires the weight-folded tables"
+        s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
+        s0, s1 = _fused_mid(fp, t, s0, s1, "sqr")
+        z0, z1 = _p7_pass(fp, t, s0, s1, wfold=wf)
+        d0, d1 = _xla_carry(fp, t, z0, z1, a, a_is_one)
+        return d0, d1, cin0, cin1
     if cin0.ndim == 3:
         r0, r1 = roll_row_carries(fp, cin0, cin1)
         s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
@@ -1352,6 +1523,14 @@ def mul_step(fp: FourStepPlan, t: FourStepTables, x0, x1, u0, u1,
     """dst = dst * multiplicand(u) * a; u is a spectral pair in the
     (R1, R2, C) shell (fwd_step's output)."""
     assert t.fused is not None
+    if use_xla_carry(fp):
+        wf = _wfold_ok(fp, t)
+        assert wf, "xla-carry hybrid requires the weight-folded tables"
+        s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
+        s0, s1 = _fused_mid(fp, t, s0, s1, "mul", u=(u0, u1))
+        z0, z1 = _p7_pass(fp, t, s0, s1, wfold=wf)
+        d0, d1 = _xla_carry(fp, t, z0, z1, a, False)
+        return d0, d1, cin0, cin1
     if cin0.ndim == 3:
         r0, r1 = roll_row_carries(fp, cin0, cin1)
         s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
@@ -1369,6 +1548,10 @@ def fwd_step(fp: FourStepPlan, t: FourStepTables, x0, x1, cin0, cin1):
     """Forward transform only (multiplicand preparation); spectral out
     in the (R1, R2, C) shell."""
     assert t.fused is not None
+    if use_xla_carry(fp):
+        wf = _wfold_ok(fp, t)
+        s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)
+        return _fused_mid(fp, t, s0, s1, "fwd")
     if cin0.ndim == 3:
         r0, r1 = roll_row_carries(fp, cin0, cin1)
         s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)

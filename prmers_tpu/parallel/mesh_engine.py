@@ -55,6 +55,9 @@ def mesh_pallas_eligible(p: int, n_devices: int | None = None,
         fp = FourStepPlan.from_plan(plan)
     except AssertionError:
         return False
+    from ..ops.pallas import kernels as kn
+    if kn.use_xla_carry(fp):
+        return False    # C = 8192 shapes: single-chip xla-carry hybrid
     s = n_devices if n_devices else len(jax.devices())
     if fp.rs.L1 % s or fp.rs.L2 % s:
         return False

@@ -59,6 +59,10 @@ class PallasShardedTables:
         self.mesh = mesh
         fp = FourStepPlan.from_plan(self.plan)
         self.fp = fp
+        if kn.use_xla_carry(fp):
+            raise ValueError(
+                "mesh pallas step does not yet cover the C = 8192 "
+                "xla-carry shapes (per-shard P1/P7 tiles exceed VMEM)")
         s = mesh.size
         R1, R2 = fp.rs.L1, fp.rs.L2
         if R1 % s or R2 % s:

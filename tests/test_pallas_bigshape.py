@@ -59,11 +59,20 @@ class TestPlans:
                                                   1 << 26))
         assert not kn.use_r2fold(fp26)      # 1M-element tile: split path
 
-    def test_mesh_divisibility_at_big_shapes(self):
+    def test_big_shapes_single_chip_hybrid_not_mesh(self):
+        """C = 8192 shapes run the single-chip xla-carry hybrid (their
+        per-shard P1/P7 tiles exceed VMEM on the mesh too): the mesh
+        probe must decline so the factory falls back to the XLA mesh
+        engine instead of an engine that cannot compile."""
+        from prmers_tpu.ops.pallas import kernels as kn
         from prmers_tpu.parallel.mesh_engine import mesh_pallas_eligible
         for n in (1 << 25, 1 << 26, 5 << 25):
             p = int(n * 12.5) | 1
-            assert mesh_pallas_eligible(p, n_devices=8, n=n)
+            fp = FourStepPlan.from_plan(cached_plan(p, n))
+            assert kn.use_xla_carry(fp)
+            assert not mesh_pallas_eligible(p, n_devices=8, n=n)
+        # the flagship family stays on the row-carry mesh path
+        assert mesh_pallas_eligible(136279841, n_devices=8)
 
     def test_no_shift_twiddles_past_64(self):
         with pytest.raises(AssertionError):
@@ -79,7 +88,8 @@ def _mk_tables(p, n, R, C):
     fsm.attach_mxu_tables(t)
     fsm.attach_fused_c_tables(t)
     kn.attach_cinrow(t)
-    assert t.fused is not None and kn.use_rowcarry(fp, t)
+    assert t.fused is not None and (kn.use_rowcarry(fp, t)
+                                    or kn.use_xla_carry(fp))
     return fp, t
 
 
@@ -157,3 +167,48 @@ class TestAxis1LaneTiling:
         mp = (1 << p) - 1
         got = _square_chain_val(fp, t, 12345, steps=2)
         assert got == pow(12345, 4, mp)
+
+
+@pytest.mark.heavy
+class TestXlaCarryHybrid:
+    """The C = 8192 pipeline (Pallas transforms + XLA carry + split
+    fwd/inv fused kernels), forced at a small shape via the env levers;
+    bit-exact against big-int incl. fast-3 and the multiplicand mul."""
+
+    def test_hybrid_square_chain(self, monkeypatch):
+        monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("PRMERS_XLA_CARRY", "1")
+        monkeypatch.setenv("PRMERS_FC_SPLIT", "1")
+        n = 1 << 19
+        p = int(n * 16.2) | 1
+        fp, t = _mk_tables(p, n, 512, 1024)
+        assert kn.use_xla_carry(fp) and kn._fc_split(fp)
+        assert not kn.use_rowcarry(fp, t)
+        mp = (1 << p) - 1
+        got = _square_chain_val(fp, t, 3, steps=2, a=3)
+        want = (3 * 3 * 3) % mp
+        want = (want * want * 3) % mp
+        assert got == want
+
+    def test_hybrid_engine_mul(self, monkeypatch):
+        monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("PRMERS_XLA_CARRY", "1")
+        monkeypatch.setenv("PRMERS_FC_SPLIT", "1")
+        from prmers_tpu.engine.pallas_engine import (PallasEngine,
+                                                     _TABLES_CACHE)
+        _TABLES_CACHE.clear()
+        n = 1 << 19
+        p = int(n * 16.2) | 1
+        mp = (1 << p) - 1
+        from prmers_tpu.core.plan import build_plan
+        eng = PallasEngine(p, 3, plan=build_plan(p, n=n))
+        assert not eng._rc          # (R1, 1) zero carry state
+        eng.set(0, 5)
+        eng.square_mul_seq(0, [1, 3])
+        want = pow(5, 4, mp) * 3 % mp
+        assert eng.get_int(0) == want
+        eng.set(1, 7)
+        eng.set_multiplicand(2, 1)
+        eng.mul(0, 2, 3)
+        assert eng.get_int(0) == want * 21 % mp
+        _TABLES_CACHE.clear()

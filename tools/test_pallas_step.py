@@ -29,7 +29,9 @@ print(f"p={p} n={n} R={fp.R} C={fp.C} rs=({fp.rs.L1},{fp.rs.L2}) "
       f"cs=({fp.cs.L1},{fp.cs.L2})")
 
 t0 = time.time()
-tbl = jax.jit(lambda: fs.FourStepTables.build(fp, jnp, G=8, lanes=128))()
+tbl = jax.jit(lambda w: fs.FourStepTables.build(
+    fp, jnp, G=8, lanes=128, widths_arr=w))(
+        fp.widths.astype(np.uint32))
 import os
 if not os.environ.get("PRMERS_NO_MXU"):
     fs.attach_mxu_tables(tbl, device_put=jax.device_put)
