@@ -55,20 +55,20 @@ def _get_tables(p: int, n: int):
         if not os.environ.get("PRMERS_NO_FUSE"):
             fsm.attach_fused_c_tables(t, device_put=jax.device_put)
         kn.attach_cinrow(t, device_put=jax.device_put)
-        if kn.use_rowcarry(fp, t) and kn._wfold_ok(fp, t):
-            # the row-carry pipeline consumes only the FOLDED tables
-            # (weights inside the P1/P7 MXU variants, mids as mf/mi
-            # copies): the unfolded w/iw/mid/mid_inv pairs are dead
-            # weight — 5.4 GB of HBM at MM31's n = 5*2^25, which alone
-            # OOMed the device (found by the MM31 golden)
+        if kn._fused_ok(fp, t):
+            # every fused pipeline (row-carry, block-carry, xla-carry
+            # hybrid) consumes only the FOLDED tables (weights inside
+            # the P1/P7 MXU variants, mids as mf/mi copies): the
+            # unfolded w/iw/mid/mid_inv pairs are dead weight — 5.4 GB
+            # of HBM at MM31's n = 5*2^25, which alone OOMed the device
+            # (found by the MM31 golden)
             t.w = t.iw = t.mid = t.mid_inv = None
         jax.block_until_ready([x for x in jax.tree_util.tree_leaves(t)
                                if x is not None])
-        masks64 = ((jnp.uint64(1) <<
-                    jnp.asarray(plan.widths.astype(np.uint64)))
-                   - jnp.uint64(1))
-        widths64 = jnp.asarray(plan.widths.astype(np.uint64))
-        _TABLES_CACHE[key] = (fp, t, widths64, masks64)
+        # widths ride as the u32 table copy (t.widths32); op_settle and
+        # op_linear cast transiently and derive masks in-flight — the
+        # resident u64 widths+masks pair alone was 2.7 GB at MM31's n
+        _TABLES_CACHE[key] = (fp, t)
     return _TABLES_CACHE[key]
 
 
@@ -142,7 +142,7 @@ def _u64_to_pairs(y, shape5):
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def op_settle(n: int, widths, masks, x0, x1, c0, c1):
+def op_settle(n: int, widths32, x0, x1, c0, c1):
     """Fold the pending boundary carries (rolled: block/row b's carry
     enters b+1, last wraps to 0) and renormalize (XLA). Carry state is
     either the per-r1-block vector ((R1, 1) pair) or the row-carry
@@ -161,17 +161,19 @@ def op_settle(n: int, widths, masks, x0, x1, c0, c1):
     cin = jnp.roll(cin, 1)
     starts = jnp.arange(rows, dtype=jnp.int32) * (n // rows)
     y = y.at[starts].add(cin)  # < P each: carry_full renormalizes
-    d = carry_ops.carry_full(F, y, widths, masks, 1, lax=lax)
+    d = carry_ops.carry_full(F, y, widths32.reshape(n), None, 1, lax=lax)
     return _u64_to_pairs(d, sh5)
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def op_linear(n: int, widths, masks, x0, x1, y0, y1, coef_y, const_vec):
+def op_linear(n: int, widths32, x0, x1, y0, y1, coef_y, const_vec):
     """digits(x) + coef_y * digits_or_comp(y) + const_vec, renormalized.
 
     coef_y: +1 -> add, -1 -> add (masks - y) i.e. subtract (y settled).
     """
     sh5 = x0.shape
+    widths = widths32.reshape(n).astype(jnp.uint64)
+    masks = (jnp.uint64(1) << widths) - jnp.uint64(1)
     a = _pairs_to_u64(x0, x1, n)
     b = _pairs_to_u64(y0, y1, n)
     b = jnp.where(coef_y < 0, masks - b, b)
@@ -188,8 +190,7 @@ class PallasEngine(Engine):
     def __init__(self, p: int, reg_count: int, plan: Plan | None = None):
         super().__init__(p, reg_count)
         self.plan = plan if plan is not None else cached_plan(p)
-        self.fp, self.t, self._w64, self._m64 = _get_tables(
-            p, self.plan.n)
+        self.fp, self.t = _get_tables(p, self.plan.n)
         self.n = self.plan.n
         sh = self.t.widths32.shape   # the AX register shell (R1, R2, C)
         self._sh = sh
@@ -208,16 +209,22 @@ class PallasEngine(Engine):
         self.regs = [[z5(), z5(), self._zc(), self._zc(), False]
                      for _ in range(reg_count)]
         self._delta_cache: dict[int, jax.Array] = {}
-        self._zero_const = jnp.zeros((self.n,), jnp.uint64)
+        self._zero = None     # lazy: an n-sized u64 is 1.34 GB at MM31
 
     # -- helpers ----------------------------------------------------------
+    @property
+    def _zero_const(self):
+        if self._zero is None:
+            self._zero = jnp.zeros((self.n,), jnp.uint64)
+        return self._zero
+
     def _zc(self):
         return jnp.zeros(self._csh, jnp.uint32)
 
     def _settled(self, r: Reg):
         st = self.regs[r]
         assert not st[4], "spectral register used as digits"
-        x0, x1 = op_settle(self.n, self._w64, self._m64,
+        x0, x1 = op_settle(self.n, self.t.widths32,
                            st[0], st[1], st[2], st[3])
         self.regs[r] = [x0, x1, self._zc(), self._zc(), False]
         return x0, x1
@@ -316,14 +323,14 @@ class PallasEngine(Engine):
     def add(self, dst: Reg, src: Reg) -> None:
         x0, x1 = self._settled(dst)
         y0, y1 = self._settled(src)
-        r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, y0, y1,
+        r0, r1 = op_linear(self.n, self.t.widths32, x0, x1, y0, y1,
                            jnp.int32(1), self._zero_const)
         self.regs[dst] = [r0, r1, self._zc(), self._zc(), False]
 
     def sub_reg(self, dst: Reg, src: Reg) -> None:
         x0, x1 = self._settled(dst)
         y0, y1 = self._settled(src)
-        r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, y0, y1,
+        r0, r1 = op_linear(self.n, self.t.widths32, x0, x1, y0, y1,
                            jnp.int32(-1), self._zero_const)
         self.regs[dst] = [r0, r1, self._zc(), self._zc(), False]
 
@@ -340,7 +347,7 @@ class PallasEngine(Engine):
 
     def add_small(self, src: Reg, a: int) -> None:
         x0, x1 = self._settled(src)
-        r0, r1 = op_linear(self.n, self._w64, self._m64, x0, x1, x0, x1,
+        r0, r1 = op_linear(self.n, self.t.widths32, x0, x1, x0, x1,
                            jnp.int32(0), self._delta_vec(a))
         self.regs[src] = [r0, r1, self._zc(), self._zc(), False]
 

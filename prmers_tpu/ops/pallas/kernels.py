@@ -275,7 +275,7 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
     S = _r2_tile(sh[1])
     C = sh[2]
     CT = C
-    while L * S * CT > AXIS0_BUDGET_EL and CT % 256 == 0 and CT > 256:
+    while L * S * CT >= AXIS0_BUDGET_EL and CT % 256 == 0 and CT > 256:
         CT //= 2
     assert CT == C or cin is None, \
         "lane-tiled axis-0 pass cannot carry the injection strip"
