@@ -279,22 +279,53 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
         CT //= 2
     assert CT == C or cin is None, \
         "lane-tiled axis-0 pass cannot carry the injection strip"
-    grid = (sh[1] // S, C // CT)
     blk = (L, S, CT)
+    if CT == C:
+        # 1D grid exactly as before the lane tiling existed (identical
+        # Mosaic codegen for the flagship family)
+        grid = (sh[1] // S,)
 
-    def im(i, j):
-        return (i * 0, i, j)
+        def im(i):
+            return (i * 0, i, i * 0)
+
+        def im_var(i):
+            return (i, i * 0, i * 0)
+
+        def im_er(i):
+            return (i * 0, i, i * 0)
+
+        def im_ec(i):
+            return (i * 0, i * 0)
+
+        def im_s(i):
+            return (i * 0, i * 0)
+    else:
+        grid = (sh[1] // S, C // CT)
+
+        def im(i, j):
+            return (i * 0, i, j)
+
+        def im_var(i, j):
+            return (i, i * 0, i * 0)
+
+        def im_er(i, j):
+            return (i * 0, i, i * 0)
+
+        def im_ec(i, j):
+            return (i * 0, j)
+
+        def im_s(i, j):
+            return (i * 0, i * 0)
 
     def bspec(a):
         s = a.shape
         if s[-1] == 1:
-            return pl.BlockSpec((L, S, 1), lambda i, j: (i * 0, i, i * 0),
+            return pl.BlockSpec((L, S, 1), im_er,
                                 memory_space=pltpu.VMEM)
         return pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
 
     xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
-    smem11 = pl.BlockSpec((1, 1), lambda i, j: (i * 0, i * 0),
-                          memory_space=pltpu.SMEM)
+    smem11 = pl.BlockSpec((1, 1), im_s, memory_space=pltpu.SMEM)
     ins = []
     in_specs = []
     if cin is not None:
@@ -307,20 +338,17 @@ def _axis0_pass(x0, x1, L, inverse, pre=None, post=None, cin=None,
         er_t, ec_t, wcorr_n = wcorr      # er (R1, R2, 1); ec (1, C)
         ins += [er_t, ec_t]
         in_specs += [
-            pl.BlockSpec((L, S, 1), lambda i, j: (i * 0, i, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CT), lambda i, j: (i * 0, j),
-                         memory_space=pltpu.VMEM)]
+            pl.BlockSpec((L, S, 1), im_er, memory_space=pltpu.VMEM),
+            (_full(ec_t.shape) if CT == C else
+             pl.BlockSpec((1, CT), im_ec, memory_space=pltpu.VMEM))]
     if mxu is not None:
         w8, corr = mxu
         ins += [w8, corr]
         if len(w8.shape) == 3:           # per-r2 variants: S-slice blocks
             in_specs += [
-                pl.BlockSpec((S,) + tuple(w8.shape[1:]),
-                             lambda i, j: (i, i * 0, i * 0),
+                pl.BlockSpec((S,) + tuple(w8.shape[1:]), im_var,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((S,) + tuple(corr.shape[1:]),
-                             lambda i, j: (i, i * 0, i * 0),
+                pl.BlockSpec((S,) + tuple(corr.shape[1:]), im_var,
                              memory_space=pltpu.VMEM)]
         else:
             in_specs += [_full(w8.shape), _full(corr.shape)]
@@ -369,14 +397,29 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
     budget = _axis1_budget()
     while L * CT > budget and CT % 256 == 0 and CT > 256:
         CT //= 2
-    grid = (sh[0], C // CT)
     blk = (1, L, CT)
+    if CT == C:
+        grid = (sh[0],)
 
-    def im(i, j):
-        return (i, i * 0, j)
+        def im(i):
+            return (i, i * 0, i * 0)
 
-    def im0(i, j):
-        return (i, i * 0, j * 0)
+        def im0(i):
+            return (i, i * 0, i * 0)
+
+        def im_var(i):
+            return (i, i * 0, i * 0)
+    else:
+        grid = (sh[0], C // CT)
+
+        def im(i, j):
+            return (i, i * 0, j)
+
+        def im0(i, j):
+            return (i, i * 0, j * 0)
+
+        def im_var(i, j):
+            return (i, i * 0, i * 0)
 
     def bspec(a):
         s = a.shape
@@ -386,8 +429,7 @@ def _axis1_pass(x0, x1, L, inverse, pre=None, post=None, mxu=None):
 
     def mxspec(shape):
         if len(shape) == 3:
-            return pl.BlockSpec((1,) + tuple(shape[1:]),
-                                lambda i, j: (i, i * 0, i * 0),
+            return pl.BlockSpec((1,) + tuple(shape[1:]), im_var,
                                 memory_space=pltpu.VMEM)
         return _full(shape)
 
