@@ -150,9 +150,10 @@ def op_settle(n: int, widths32, x0, x1, c0, c1):
     sh5 = x0.shape
     y = _pairs_to_u64(x0, x1, n)
     if c0.ndim == 3:
-        rows = c0.shape[0] * c0.shape[1]
-        cin = (c0[:, :, 0].reshape(rows).astype(jnp.uint64) |
-               (c1[:, :, 0].reshape(rows).astype(jnp.uint64)
+        # (R1, R2, T*128) carry units, value in lane 0 of each unit
+        rows = c0.shape[0] * c0.shape[1] * (c0.shape[2] // 128)
+        cin = (c0.reshape(rows, 128)[:, 0].astype(jnp.uint64) |
+               (c1.reshape(rows, 128)[:, 0].astype(jnp.uint64)
                 << jnp.uint64(32)))
     else:
         rows = c0.shape[0]
@@ -199,7 +200,8 @@ class PallasEngine(Engine):
         # row-carry pipeline when its tables are live: carry state is the
         # per-row (R1, R2, 128) block; else the per-r1-block (R1, 1)
         self._rc = kn.use_rowcarry(self.fp, self.t)
-        self._csh = ((self._r1, self.fp.rs.L2, 128) if self._rc
+        self._csh = ((self._r1, self.fp.rs.L2,
+                      kn.carry_tiles(self.fp) * 128) if self._rc
                      else (self._r1, 1))
         # whole-chain VMEM kernel for shapes whose working set fits on
         # core: one dispatch per _SEQ_CHUNK squarings, zero HBM round

@@ -57,7 +57,8 @@ def mesh_pallas_eligible(p: int, n_devices: int | None = None,
         return False
     from ..ops.pallas import kernels as kn
     if kn.use_xla_carry(fp):
-        return False    # C = 8192 shapes: single-chip xla-carry hybrid
+        return False    # env-forced canonical-digit fallback only:
+        # C = 8192 rides the lane-tiled carry (kn.carry_ct) since r5
     s = n_devices if n_devices else len(jax.devices())
     if fp.rs.L1 % s or fp.rs.L2 % s:
         return False
@@ -71,29 +72,55 @@ def mesh_pallas_eligible(p: int, n_devices: int | None = None,
 # settle + linear ops over the mesh (cold path: once per GL block)
 # ---------------------------------------------------------------------------
 
-def _ring_carry(y, wid, msk, s):
-    """Digit-domain carry ring on a flat local u64 digit vector: local
-    inject rounds, boundary carry rides a one-hop ppermute whose wrap
-    (last shard -> shard 0) IS the mod-M_p fold. Mesh-uniform stop via
-    psum (mirror of sharded._carry_local without the multiplier)."""
-    c = y >> wid
-    d = y & msk
+def _ring_carry(y, wid, msk, s, absorb: int = 1):
+    """Digit-domain carry propagation on a flat local u64 digit vector,
+    cyclic across the shard ring (the last-shard -> shard-0 wrap IS the
+    mod-M_p fold). O(absorb + log n), NOT one digit per round: the
+    naive shifted-add loop needs a round per digit of the longest
+    saturated run — sub(x, small) adds the ALL-ONES digits of M_p - a,
+    so a sparse x degenerated to n rounds of collectives (~n = 2^19
+    ppermutes; this was most of MULTICHIP_r04's 19-minute stall, not
+    compiles). Two phases instead:
+
+      A. `absorb` shifted-add rounds shrink multi-bit carries to <= 1
+         (each round divides the carry by 2^wmin; the caller sizes
+         `absorb` from the largest injected value).
+      B. carry-lookahead: one more shifted add, then generate/propagate
+         prefix within the shard (associative_scan) and a cyclic
+         (G, P) resolution across the s shards (all_gather + s-step
+         fixpoint — the all-P cycle resolves to no-carry, preserving
+         the all-ones representation of 0 == M_p mod M_p)."""
     perm = [(i, (i + 1) % s) for i in range(s)]
 
-    def inject(c, d):
+    def ring_shift(c):
         recv = lax.ppermute(c[-1:], LIMB, perm)
-        c = jnp.concatenate([recv, c[:-1]])
-        t = d + c
-        return t >> wid, t & msk
+        return jnp.concatenate([recv, c[:-1]])
 
-    def cond(state):
-        c, _ = state
-        local = (c != jnp.uint64(0)).any().astype(jnp.int32)
-        return lax.psum(local, LIMB) > 0
+    d = y & msk
+    c = y >> wid
+    for _ in range(absorb):
+        t = d + ring_shift(c)
+        c = t >> wid
+        d = t & msk
+    # phase B: c is now <= 1 everywhere
+    t = d + ring_shift(c)
+    g = (t >> wid) != jnp.uint64(0)         # generates a carry
+    p = (t & msk) == msk                    # propagates an incoming one
 
-    c, d = inject(c, d)
-    c, d = lax.while_loop(cond, lambda st: inject(*st), (c, d))
-    return d
+    def comb(a, b):                         # segment A then segment B
+        g1, p1 = a
+        g2, p2 = b
+        return g2 | (p2 & g1), p1 & p2
+
+    G, Pf = lax.associative_scan(comb, (g, p))
+    gs = lax.all_gather(G[-1], LIMB)        # (s,) per-shard aggregates
+    ps = lax.all_gather(Pf[-1], LIMB)
+    k = jnp.roll(gs, 1)                     # carry-in per shard, cyclic
+    for _ in range(s - 1):
+        k = jnp.roll(gs, 1) | (jnp.roll(ps, 1) & jnp.roll(k, 1))
+    k0 = k[lax.axis_index(LIMB)]
+    kin = jnp.concatenate([k0[None], G[:-1] | (Pf[:-1] & k0)])
+    return (t + kin.astype(jnp.uint64)) & msk
 
 
 def _pairs_flat_u64(x0, x1):
@@ -112,12 +139,17 @@ def build_mesh_settle(tb: PallasShardedTables):
     and renormalize the digits — the mesh analog of
     pallas_engine.op_settle."""
     s = tb.s
+    # injected unit-head values are < 2^64; each absorb round divides
+    # the carry by 2^wmin, so this bound settles phase A to <= 1
+    wmin = int(tb.plan.widths.min())
+    absorb = -(-64 // wmin) + 1
 
     def local(x0, x1, c0, c1, wid, msk):
         sh = x0.shape
-        rows = sh[0] * sh[1]
-        cc0 = c0.reshape(rows, 128)[:, 0]
-        cc1 = c1.reshape(rows, 128)[:, 0]
+        units = c0.shape[0] * c0.shape[1] * (c0.shape[2] // 128)
+        ct = (sh[0] * sh[1] * sh[2]) // units   # digits per carry unit
+        cc0 = c0.reshape(units, 128)[:, 0]
+        cc1 = c1.reshape(units, 128)[:, 0]
         perm = [(i, (i + 1) % s) for i in range(s)]
         prev0 = lax.ppermute(cc0[-1:], LIMB, perm)
         prev1 = lax.ppermute(cc1[-1:], LIMB, perm)
@@ -125,9 +157,9 @@ def build_mesh_settle(tb: PallasShardedTables):
         cc1 = jnp.concatenate([prev1, cc1[:-1]])
         cin = (cc0.astype(jnp.uint64) |
                (cc1.astype(jnp.uint64) << jnp.uint64(32)))
-        y = _pairs_flat_u64(x0, x1).reshape(rows, sh[2])
+        y = _pairs_flat_u64(x0, x1).reshape(units, ct)
         y = y.at[:, 0].add(cin)
-        d = _ring_carry(y.reshape(-1), wid, msk, s)
+        d = _ring_carry(y.reshape(-1), wid, msk, s, absorb=absorb)
         return _unpack_pairs(d, sh)
 
     vec3 = P(LIMB, None, None)
@@ -150,7 +182,8 @@ def build_mesh_linear(tb: PallasShardedTables):
         b = _pairs_flat_u64(y0, y1)
         b = jnp.where(coef_y < 0, msk - b, b)
         b = jnp.where(coef_y == 0, jnp.uint64(0), b)
-        d = _ring_carry(a + b + const_vec, wid, msk, s)
+        # a + b + const <= 3*msk: one absorb round leaves carries <= 1
+        d = _ring_carry(a + b + const_vec, wid, msk, s, absorb=1)
         return _unpack_pairs(d, sh)
 
     vec3 = P(LIMB, None, None)
@@ -176,13 +209,21 @@ class MeshPallasEngine(Engine):
     _SEQ_CHUNK = 256
 
     def __init__(self, p: int, reg_count: int, mesh: Mesh | None = None,
-                 n: int | None = None):
+                 n: int | None = None,
+                 tables: PallasShardedTables | None = None):
         super().__init__(p, reg_count)
         if jax.devices()[0].platform == "cpu":
             # off-TPU the same kernels execute in Pallas interpret mode
             os.environ.setdefault("PRMERS_PALLAS_INTERPRET", "1")
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.tables = PallasShardedTables(p, self.mesh, n=n)
+        if tables is not None:
+            # share a prebuilt table set (and its compiled-program
+            # cache): e.g. the multichip dryrun's PallasShardedStep and
+            # this engine run the same shape — one compile bill
+            assert tables.plan.p == p and tables.mesh is self.mesh
+            self.tables = tables
+        else:
+            self.tables = PallasShardedTables(p, self.mesh, n=n)
         if not self.tables.rowcarry:
             raise ValueError("MeshPallasEngine needs the row-carry "
                              "pipeline (PRMERS_NO_ROWCARRY is set)")
@@ -192,7 +233,9 @@ class MeshPallasEngine(Engine):
         self.n = self.fp.n
         self.mp = (1 << p) - 1
         self.sh = (self.fp.rs.L1, self.fp.rs.L2, self.fp.C)
-        self._csh = (self.fp.rs.L1, self.fp.rs.L2, 128)
+        from ..ops.pallas import kernels as kn
+        self._csh = (self.fp.rs.L1, self.fp.rs.L2,
+                     kn.carry_tiles(self.fp) * 128)
         self._vec3 = P(LIMB, None, None)
 
         # flat-digit tables for the settle/linear ring (r1-major AX order
@@ -202,14 +245,8 @@ class MeshPallasEngine(Engine):
         self._msk = dist.put_global((np.uint64(1) << w64) - np.uint64(1),
                                     self.mesh, P(LIMB))
 
-        self._step = _build_rowcarry_step(tb)
-        self._step_a = None
-        self._seq = None
-        self._seq_ones = None
-        self._fwd = None
-        self._mul = None
-        self._settle = build_mesh_settle(tb)
-        self._linear = build_mesh_linear(tb)
+        self._settle = tb.prog("settle", lambda: build_mesh_settle(tb))
+        self._linear = tb.prog("linear", lambda: build_mesh_linear(tb))
 
         self.regs = [[self._z3(), self._z3(), self._zc(), self._zc(),
                       False] for _ in range(reg_count)]
@@ -260,51 +297,62 @@ class MeshPallasEngine(Engine):
     def square_mul(self, src: Reg, a: int = 1) -> None:
         st = self.regs[src]
         assert not st[4]
+        tb = self.tables
         if a == 1:
-            out = self._step(st[0], st[1], st[2], st[3],
-                             self.tables.args())
+            step = tb.prog(("step", False, "sqr"),
+                           lambda: _build_rowcarry_step(tb))
+            out = step(st[0], st[1], st[2], st[3], tb.args())
         else:
-            if self._step_a is None:
-                self._step_a = _build_rowcarry_step(self.tables,
-                                                    with_a=True)
-            out = self._step_a(st[0], st[1], st[2], st[3],
-                               *self._a_pair(a), self.tables.args())
+            step_a = tb.prog(("step", True, "sqr"),
+                             lambda: _build_rowcarry_step(tb,
+                                                          with_a=True))
+            out = step_a(st[0], st[1], st[2], st[3],
+                         *self._a_pair(a), tb.args())
         self.regs[src] = [out[0], out[1], out[2], out[3], False]
 
     def square_mul_seq(self, src: Reg, a_vec: Sequence[int]) -> None:
         a = np.asarray(a_vec, dtype=np.uint32)
         st = self.regs[src]
         assert not st[4]
+        tb = self.tables
+        if os.environ.get("PRMERS_MESH_SEQ_STEPWISE"):
+            # per-step programs instead of the scanned chain: the
+            # multichip dryrun sets this so short verification chains
+            # reuse the already-compiled single-step program rather
+            # than paying an extra interpret-mode compile for the
+            # scan/fori wrapper (production never sets it; the scanned
+            # chain is covered by test_mesh_engine)
+            for ai in a.tolist():
+                self.square_mul(src, int(ai))
+            return
         state = (st[0], st[1], st[2], st[3])
         k = self._SEQ_CHUNK
         off = 0
         if (a == 1).all():
-            if self._seq_ones is None:
-                self._seq_ones = build_pallas_sharded_seq_ones(self.tables)
+            seq_ones = tb.prog(
+                "seq_ones", lambda: build_pallas_sharded_seq_ones(tb))
             while off < len(a):
                 step = min(k, len(a) - off)
-                state = self._seq_ones(*state, jnp.int32(step),
-                                       self.tables.args())
+                state = seq_ones(*state, jnp.int32(step), tb.args())
                 off += step
         else:
-            if self._seq is None:
-                self._seq = build_pallas_sharded_seq(self.tables)
+            seq = tb.prog("seq", lambda: build_pallas_sharded_seq(tb))
             while off < len(a):
                 step = min(k, len(a) - off)
                 a0s = a[off:off + step].reshape(-1, 1, 1)
                 a1s = np.zeros_like(a0s)
-                state = self._seq(*state, jnp.asarray(a0s),
-                                  jnp.asarray(a1s), self.tables.args())
+                state = seq(*state, jnp.asarray(a0s),
+                            jnp.asarray(a1s), tb.args())
                 off += step
         self.regs[src] = [state[0], state[1], state[2], state[3], False]
 
     def set_multiplicand(self, dst: Reg, src: Reg) -> None:
         st = self.regs[src]
         assert not st[4]
-        if self._fwd is None:
-            self._fwd = _build_rowcarry_step(self.tables, mode="fwd")
-        u0, u1 = self._fwd(st[0], st[1], st[2], st[3],
-                           self.tables.args())
+        tb = self.tables
+        fwd = tb.prog(("step", False, "fwd"),
+                      lambda: _build_rowcarry_step(tb, mode="fwd"))
+        u0, u1 = fwd(st[0], st[1], st[2], st[3], tb.args())
         self.regs[dst] = [u0, u1, None, None, True]
 
     def mul(self, dst: Reg, src: Reg, a: int = 1) -> None:
@@ -312,11 +360,12 @@ class MeshPallasEngine(Engine):
         u = self.regs[src]
         assert u[4], "mul src must hold a multiplicand"
         assert not st[4]
-        if self._mul is None:
-            self._mul = _build_rowcarry_step(self.tables, mode="mul",
-                                             with_a=True)
-        out = self._mul(st[0], st[1], st[2], st[3], u[0], u[1],
-                        *self._a_pair(a), self.tables.args())
+        tb = self.tables
+        mul = tb.prog(("step", True, "mul"),
+                      lambda: _build_rowcarry_step(tb, mode="mul",
+                                                   with_a=True))
+        out = mul(st[0], st[1], st[2], st[3], u[0], u[1],
+                  *self._a_pair(a), tb.args())
         self.regs[dst] = [out[0], out[1], out[2], out[3], False]
 
     # -- linear ops (settled digit domain, carry ring) --------------------

@@ -56,6 +56,21 @@ class TestMeshPallasEngine:
         want = want * want % MP
         assert eng.get_int(0) == want
 
+    def test_sparse_sub_lookahead(self, eng):
+        """sub(small) on a SPARSE register is the carry ring's worst
+        case: M_p - a has all-ones digits, so the carry chain spans the
+        whole number. The lookahead ring (_ring_carry phase B) resolves
+        it in O(log n) instead of n rounds of collectives — this op was
+        most of MULTICHIP_r04's 19-minute stall. Bit-exactness over the
+        full-length chain is the point of the assert."""
+        eng.set(3, 81)           # sparse: two non-zero digits
+        eng.sub(3, 2)
+        assert eng.get_int(3) == 79
+        eng.sub(3, 100)          # crosses zero: wraps mod M_p
+        assert eng.get_int(3) == (79 - 100) % MP
+        eng.add_small(3, 21)
+        assert eng.get_int(3) == 0
+
     def test_fast3_step(self, eng):
         eng.set(0, 5)
         eng.square_mul(0, 3)

@@ -59,20 +59,31 @@ class TestPlans:
                                                   1 << 26))
         assert not kn.use_r2fold(fp26)      # 1M-element tile: split path
 
-    def test_big_shapes_single_chip_hybrid_not_mesh(self):
-        """C = 8192 shapes run the single-chip xla-carry hybrid (their
-        per-shard P1/P7 tiles exceed VMEM on the mesh too): the mesh
-        probe must decline so the factory falls back to the XLA mesh
-        engine instead of an engine that cannot compile."""
+    def test_big_shapes_lane_tiled_carry_and_mesh(self):
+        """C = 8192 shapes (p ~ 500M-1G, MM31) ride the row-carry fast
+        path with a LANE-TILED carry phase (carry_ct < C: the within-row
+        ripple stops at lane-tile boundaries, the boundary carries defer
+        to the next iteration like row carries always did) — and are
+        therefore mesh-eligible too. VERDICT r4 missing #1: these were
+        the xla-carry hybrid (+2 HBM sweeps/iter) and mesh-excluded."""
         from prmers_tpu.ops.pallas import kernels as kn
         from prmers_tpu.parallel.mesh_engine import mesh_pallas_eligible
         for n in (1 << 25, 1 << 26, 5 << 25):
             p = int(n * 12.5) | 1
             fp = FourStepPlan.from_plan(cached_plan(p, n))
-            assert kn.use_xla_carry(fp)
-            assert not mesh_pallas_eligible(p, n_devices=8, n=n)
-        # the flagship family stays on the row-carry mesh path
+            assert not kn.use_xla_carry(fp)
+            assert fp.C == 8192 and kn.carry_tiles(fp) == 2
+            # per-(L1-block, r2-tile, lane-tile) carry kernel block is
+            # back at the flagship working set
+            assert fp.rs.L1 * 8 * kn.carry_ct(fp) <= (1 << 21)
+            assert mesh_pallas_eligible(p, n_devices=8, n=n)
+        # the flagship family keeps whole-row carries (identical codegen)
+        fpf = FourStepPlan.from_plan(cached_plan(136279841))
+        assert kn.carry_tiles(fpf) == 1
         assert mesh_pallas_eligible(136279841, n_devices=8)
+        # MM31 / 600M production configs: mesh-eligible now
+        assert mesh_pallas_eligible((1 << 31) - 1, n_devices=8)
+        assert mesh_pallas_eligible(600000001, n_devices=8)
 
     def test_no_shift_twiddles_past_64(self):
         with pytest.raises(AssertionError):
