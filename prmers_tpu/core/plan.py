@@ -57,11 +57,23 @@ def transform_size(p: int) -> int:
 
 
 def digit_widths(p: int, n: int) -> np.ndarray:
-    """width[j] = ceil(p*(j+1)/n) - ceil(p*j/n), as uint32."""
-    j = np.arange(n + 1, dtype=np.int64)
-    ceils = (p * j + n - 1) // n  # p*j < 2^57, exact in int64
-    w = (ceils[1:] - ceils[:-1]).astype(np.uint32)
-    assert int(w.sum()) == p
+    """width[j] = ceil(p*(j+1)/n) - ceil(p*j/n), as uint32.
+
+    Chunked: the one-shot form materializes several (n+1)-element int64
+    temporaries — ~6 GB of allocator churn at MM31's n = 167772160,
+    measured 40 s of the 59 s plan build; chunks with a preallocated
+    output build the same widths in ~2 s."""
+    w = np.empty(n, dtype=np.uint32)
+    ch = 1 << 22
+    prev = np.int64(0)                       # ceil(p*lo/n) at chunk head
+    for lo in range(0, n, ch):
+        hi = min(lo + ch, n)
+        j = np.arange(lo + 1, hi + 1, dtype=np.int64)
+        ceils = (p * j + n - 1) // n         # p*j < 2^59, exact in int64
+        w[lo] = ceils[0] - prev
+        w[lo + 1:hi] = np.diff(ceils).astype(np.uint32)
+        prev = ceils[-1]
+    assert int(prev) == p                    # == ceil(p*n/n): widths sum
     return w
 
 

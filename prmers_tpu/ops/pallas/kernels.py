@@ -855,8 +855,9 @@ def attach_cinrow(t: FourStepTables, device_put=None):
 
 def use_rowcarry(fp: FourStepPlan, t: FourStepTables) -> bool:
     """The row-carry pipeline needs the weight-folded MXU tables, the
-    fused-C tables, and the cinrow spread tables; C = 8192 shapes run
-    the XLA-carry hybrid instead (use_xla_carry)."""
+    fused-C tables, and the cinrow spread tables. C = 8192 shapes ride
+    it too since r5 (lane-tiled carry, carry_ct); use_xla_carry is the
+    env-forced canonical-digit fallback."""
     return (t.cinrow is not None and _fused_ok(fp, t)
             and not use_xla_carry(fp)
             and not os.environ.get("PRMERS_NO_ROWCARRY"))

@@ -34,6 +34,7 @@ def test_rhs_bytes_pack_matches_plane_pack():
         assert (g.canon(*a)[1] == g.canon(*b)[1]).all()
 
 
+@pytest.mark.heavy  # smoke budget: RHS-pack equality tests stay in smoke
 @pytest.mark.parametrize("seed", [11])
 def test_square_step_bytecast_interpret(seed, monkeypatch):
     monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")

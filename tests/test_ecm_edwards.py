@@ -196,6 +196,7 @@ class TestFamilyIV163:
         rhs = (1 + d * x0 % n * x0 % n * y0 % n * y0) % n
         assert lhs == rhs
 
+    @pytest.mark.heavy  # smoke budget
     def test_m29_factor_iv163(self):
         o = Options(exponent=29, mode="ecm", b1=300, b2=0, curves=6,
                     curve_seed=21, torsion=163, backend="numpy")

@@ -91,6 +91,7 @@ class TestTransform:
 
 
 class TestEngine3161:
+    @pytest.mark.heavy  # smoke budget: numpy-oracle PRP is the slow twin
     def test_prp_m1279_numpy(self):
         from prmers_tpu.modes.prp_ll import run_prp_or_ll
         o = Options(exponent=1279, mode="prp", backend="numpy",

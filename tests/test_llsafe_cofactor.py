@@ -12,8 +12,11 @@ def _silent(*a, **k):
 
 
 class TestLlSafe:
-    @pytest.mark.parametrize("p,want", [(127, True), (11, False),
-                                        (521, True), (929, False)])
+    @pytest.mark.parametrize("p,want", [
+        (127, True), (11, False), (521, True),
+        # single-core smoke budget (VERDICT r4 next #6): the longest
+        # known-composite run rides the heavy tier
+        pytest.param(929, False, marks=pytest.mark.heavy)])
     def test_known(self, p, want):
         o = Options(exponent=p, mode="llsafe", backend="numpy",
                     checklevel=2, verbose=False)
@@ -32,6 +35,7 @@ class TestCofactorPrp:
     """Reference golden: M2699 cofactor (unit_tests.sh:216-235)."""
     F4 = ("5399", "307687", "1187561", "7570504839257")
 
+    @pytest.mark.heavy
     def test_m2699_composite_with_4_factors(self):
         o = Options(exponent=2699, mode="prp", backend="numpy",
                     known_factors=self.F4, verbose=False, proof=False)
@@ -46,6 +50,7 @@ class TestCofactorPrp:
         r = run_prp_or_ll(o, log=_silent)
         assert r.cofactor_prp is True
 
+    @pytest.mark.heavy
     def test_bad_factor_rejected(self):
         o = Options(exponent=2699, mode="prp", backend="numpy",
                     known_factors=("7",), verbose=False, proof=False)

@@ -141,6 +141,43 @@ class TestMeshPallasEngine:
 
 
 @pytest.mark.heavy
+class TestMeshEngineNonToyShape:
+    """VERDICT r4 next #5: mesh correctness above n = 2^19 was
+    extrapolation. One GL-checked window + checkpoint replay at
+    n = 2^21 sharded 8 ways, interpret mode, bit-exact vs big-int.
+    First (cold-cache) run is compile-dominated; warm runs are minutes.
+    Measured on the dev box (2026-08-21): 274s cold-cache."""
+
+    def test_gl_window_and_replay_2p21(self, mesh8, monkeypatch_module):
+        monkeypatch_module.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        from prmers_tpu.parallel.mesh_engine import (MeshPallasEngine,
+                                                     mesh_pallas_eligible)
+        n = 1 << 21
+        p = int(n * 16.1) | 1
+        mp = (1 << p) - 1
+        assert mesh_pallas_eligible(p, n_devices=8, n=n)
+        eng = MeshPallasEngine(p, 4, mesh8, n=n)
+        B = 4
+        eng.set(0, 3)
+        eng.set(1, 1)
+        eng.copy(2, 0)
+        x, acc = 3, 1
+        eng.square_mul_seq(0, [1] * B)          # seq_ones at n=2^21
+        x = pow(x, 1 << B, mp)
+        eng.set_multiplicand(3, 0)
+        eng.mul(1, 3)                           # GL accumulator
+        acc = acc * x % mp
+        assert eng.get_int(0) == x
+        assert eng.get_int(1) == acc
+        blob = eng.get_checkpoint()
+        eng.square_mul_seq(0, [1] * B)          # diverge past the ckpt
+        eng.set_checkpoint(blob)                # restore (same engine)
+        eng.square_mul_seq(2, [1] * B)          # replay last-good copy
+        assert eng.get_int(2) == x
+        assert eng.get_int(0) == x and eng.get_int(1) == acc
+
+
+@pytest.mark.heavy
 class TestMeshFactory:
     def test_factory_selects_mesh_engine(self, mesh8, monkeypatch):
         monkeypatch.setenv("PRMERS_PALLAS_INTERPRET", "1")

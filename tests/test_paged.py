@@ -1,6 +1,7 @@
 """LRU host-paging engine wrapper."""
 
 import numpy as np
+import pytest
 
 from prmers_tpu.engine.np_engine import NumpyEngine
 from prmers_tpu.engine.paged import PagedEngine, device_reg_budget
@@ -72,6 +73,7 @@ class TestPaged:
         b = device_reg_budget(1 << 23, hbm_bytes=16 << 30)
         assert 100 < b < 250
 
+    @pytest.mark.heavy  # smoke budget
     def test_ecm_runs_paged(self):
         """Edwards ECM (32+ registers) on a 6-slot inner engine."""
         from prmers_tpu.modes.ecm_edwards import run_ecm_edwards

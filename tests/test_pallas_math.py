@@ -128,7 +128,10 @@ class TestFusedC:
         y0, y1 = g.canon(y0.reshape(R, R), y1.reshape(R, R))
         return from_pairs(y0, y1)
 
-    @pytest.mark.parametrize("n,seed", [(32768, 3), (65536, 4)])
+    @pytest.mark.parametrize("n,seed", [
+        (32768, 3),
+        # smoke budget: biggest fused-square shape rides the heavy tier
+        pytest.param(65536, 4, marks=pytest.mark.heavy)])
     def test_fused_square_matches_square_ref(self, n, seed):
         p = int(n * 16.5) | 1
         plan = build_plan(p, n=n)
@@ -181,6 +184,7 @@ class TestFusedC:
         assert ((got - want) % P == 0).all()
         assert (want % P == want).all()
 
+    @pytest.mark.heavy  # smoke budget: mul center covered at small n
     @pytest.mark.parametrize("n", [32768])
     def test_fused_mul_path(self, n):
         """fwd (multiplicand) + mul center must equal squaring when

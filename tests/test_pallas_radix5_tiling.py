@@ -15,7 +15,10 @@ from prmers_tpu.utils import digits as dg
 from prmers_tpu.utils import gmp
 
 
-@pytest.fixture(scope="module", params=[640, 1280])
+@pytest.fixture(scope="module", params=[
+    640,
+    # smoke budget: the larger radix-5 shape rides the heavy tier
+    pytest.param(1280, marks=pytest.mark.heavy)])
 def setup(request):
     import os
     os.environ["PRMERS_PALLAS_INTERPRET"] = "1"

@@ -47,14 +47,16 @@ class TestPm1Golden:
         (269, 192, 0, 0, 0),
         (269, 192, 457, 0, 0),
         (269, 4, 2141, 0, 13822297),
-        (263, 3527, 16477, 23671, 321269073670148767),
+        pytest.param(263, 3527, 16477, 23671, 321269073670148767,
+                     marks=pytest.mark.heavy),   # smoke budget
         (569, 9, 677, 0, 55470673),
         (1097, 3, 709, 0, 4576661533441),
         (2151, 256, 4073, 327405968242246366421788399,
          31810015665526476520196715312101168065463218256802641),
         (4133, 23, 2099, 0, 11173615097),
         (44159, 23, 31, 0, 1511297617),
-        (144139, 3, 3583, 0, 3098700223),
+        pytest.param(144139, 3, 3583, 0, 3098700223,
+                     marks=pytest.mark.heavy),   # smoke budget
         (544139, 3, 7, 22853839, 22853839),
     ]
 
@@ -96,11 +98,13 @@ class TestPm1Golden:
         assert r.factor == 4312790327
         assert r.stage == 1
 
+    @pytest.mark.heavy  # smoke keeps the vtrace m367 golden (S1+S2)
     def test_m367_stage1(self):
         o = Options(exponent=367, mode="pm1", b1=11981, backend="numpy")
         r = run_pm1(o, log=_silent)
         assert r.factor == 646300400639
 
+    @pytest.mark.heavy  # smoke keeps the vtrace m367 golden (S1+S2)
     def test_m367_stage2(self):
         o = Options(exponent=367, mode="pm1", b1=11981, b2=38971,
                     backend="numpy")
