@@ -148,7 +148,111 @@ class ProofSet:
             f.write(struct.pack("<I", crc))
             f.write(buf)
 
+    def checkpoint_engine(self, eng, it: int, reg: int = 0) -> None:
+        """Residue checkpoint directly from an engine register.
+
+        Multi-host mesh runs (or PRMERS_PROOF_SHARDED=1) write
+        per-process digit-shard files instead of gathering the full
+        residue through the primary host: at p ~ 1G, power 10-12 the
+        gathered store is a ~10 GB-class primary bill per run (VERDICT
+        r4 weak #6); shards move only each host's own digit ranges and
+        the full residue materializes once, at proof-compute time on
+        the primary. Single-process runs keep the packed uint32-words
+        file (reference layout, ProofSetMarin.cpp:100-123)."""
+        if not self.should_checkpoint(it):
+            return
+        from ..parallel import dist as _dist
+        sharded = (os.environ.get("PRMERS_PROOF_SHARDED") == "1"
+                   or _dist.process_count() > 1)
+        if sharded:
+            from ..parallel import shard_ckpt
+            try:
+                rows, spectral = shard_ckpt._reg_digit_rows(eng, reg)
+            except (AttributeError, TypeError):
+                rows = None     # engine has no sharded digit rows
+            if rows is not None:
+                assert not spectral, "proof residue must be digit-domain"
+                self._write_shards(it, rows)
+                return
+        self.checkpoint(eng.get_digits(reg), it)
+
+    def _shard_dir(self, it: int) -> str:
+        return self._file(it) + ".shards"
+
+    def _write_shards(self, it: int, rows) -> None:
+        """Per-process residue shard: [(start u64, count u64, digits...)]
+        ranges + CRC32 trailer; the primary commits a manifest last
+        (same atomicity model as parallel/shard_ckpt.py)."""
+        from ..parallel import dist as _dist
+        import json
+        dirp = self._shard_dir(it)
+        os.makedirs(dirp, exist_ok=True)
+        proc = 0
+        try:
+            import jax
+            proc = jax.process_index()
+        except Exception:
+            pass
+        parts = []
+        entries = []
+        for start, data in rows:
+            entries.append((int(start), int(data.size)))
+            parts.append(struct.pack("<QQ", int(start), int(data.size)))
+            parts.append(data.astype("<u8").tobytes())
+        payload = b"".join(parts)
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        fn = os.path.join(dirp, f"shard_{proc}.bin")
+        with open(fn + ".new", "wb") as f:
+            f.write(payload)
+            f.write(struct.pack("<I", crc))
+        os.replace(fn + ".new", fn)
+        _dist.barrier("proof_shard_files")
+        if _dist.is_primary():
+            manifest = {"E": self.E, "iter": it,
+                        "nproc": _dist.process_count()}
+            tmp = os.path.join(dirp, "manifest.json.new")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, os.path.join(dirp, "manifest.json"))
+        _dist.barrier("proof_shard_commit")
+
+    def _load_shards(self, it: int) -> int:
+        import json
+        import numpy as np
+        dirp = self._shard_dir(it)
+        with open(os.path.join(dirp, "manifest.json")) as f:
+            man = json.load(f)
+        assert man["E"] == self.E and man["iter"] == it
+        assert self.widths is not None, \
+            "sharded proof residues need the plan widths to stitch"
+        n = len(self.widths)
+        digits = np.zeros(n, dtype=np.uint64)
+        seen = 0
+        for q in range(man["nproc"]):
+            with open(os.path.join(dirp, f"shard_{q}.bin"), "rb") as f:
+                blob = f.read()
+            payload, (crc,) = blob[:-4], struct.unpack("<I", blob[-4:])
+            if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                raise ValueError(
+                    f"CRC mismatch in proof residue shard {it}/{q}")
+            off = 0
+            while off < len(payload):
+                start, count = struct.unpack_from("<QQ", payload, off)
+                off += 16
+                digits[start:start + count] = np.frombuffer(
+                    payload, dtype="<u8", count=count, offset=off)
+                off += count * 8
+                seen += count
+        assert seen == n, f"residue shards cover {seen}/{n} digits"
+        # no mod-M_p fold: parity with the packed-words path, which
+        # stores the canonical digit value verbatim (all-ones == M_p)
+        return dg.digits_to_int(digits, self.widths)
+
     def load(self, it: int) -> int:
+        if not os.path.exists(self._file(it)) and \
+                os.path.exists(os.path.join(self._shard_dir(it),
+                                            "manifest.json")):
+            return self._load_shards(it)
         with open(self._file(it), "rb") as f:
             blob = f.read()
         crc = struct.unpack_from("<I", blob, 0)[0]
@@ -158,7 +262,10 @@ class ProofSet:
         return int.from_bytes(buf, "little")
 
     def is_complete(self) -> bool:
-        return all(os.path.exists(self._file(pt)) for pt in self.points)
+        return all(os.path.exists(self._file(pt)) or
+                   os.path.exists(os.path.join(self._shard_dir(pt),
+                                               "manifest.json"))
+                   for pt in self.points)
 
     def compute_proof(self, log=print) -> "Proof":
         """Binary-tree middle construction (reference computeProof,

@@ -189,7 +189,9 @@ def run_prp_or_ll(opts: Options, eng: Engine | None = None,
 
             if proof_set is not None and iteration < total_iters and \
                     proof_set.should_checkpoint(iteration):
-                proof_set.checkpoint(eng.get_digits(R0), iteration)
+                # engine-aware: multi-host mesh runs shard the residue
+                # instead of gathering it through the primary
+                proof_set.checkpoint_engine(eng, iteration, R0)
 
             if (opts.res64_display_interval > 0
                     and iteration % opts.res64_display_interval == 0):
@@ -252,7 +254,7 @@ def run_prp_or_ll(opts: Options, eng: Engine | None = None,
                            transform_size=n, elapsed=progress.elapsed())
 
     if proof_set is not None:
-        proof_set.checkpoint(eng.get_digits(R0), total_iters)
+        proof_set.checkpoint_engine(eng, total_iters, R0)
 
     # ---- final residue ------------------------------------------------
     if mode == "ll":

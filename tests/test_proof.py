@@ -61,3 +61,58 @@ class TestGoldenProof:
         assert proof.verify(log=lambda *a: None)
         bad = Proof(E=proof.E, B=proof.B ^ 4, middles=proof.middles)
         assert not bad.verify(log=lambda *a: None)
+
+
+class TestShardedResidueStore:
+    """Sharded proof-residue store (VERDICT r4 weak #6): mesh runs write
+    per-process digit shards instead of gathering each residue through
+    the primary host; the full value materializes only at
+    proof-compute time. Forced on single-process via
+    PRMERS_PROOF_SHARDED=1 so the CPU mesh exercises the store."""
+
+    def test_round_trip_matches_plain_store(self, tmp_path, monkeypatch):
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-virtual-device mesh")
+        monkeypatch.setenv("PRMERS_PROOF_SHARDED", "1")
+        from prmers_tpu.parallel.sharded import ShardedEngine
+        p = 1279
+        mp = (1 << p) - 1
+        eng = ShardedEngine(p, 1)
+        v = pow(3, 2 ** 19, mp)
+        eng.set(0, v)
+        ps = ProofSet(p, 2, widths=eng.widths,
+                      save_dir=str(tmp_path / "shards"))
+        it = ps.points[0]
+        ps.checkpoint_engine(eng, it, 0)
+        # shard layout on disk, no monolithic residue file
+        assert os.path.exists(os.path.join(ps._shard_dir(it),
+                                           "manifest.json"))
+        assert not os.path.exists(ps._file(it))
+        assert ps.load(it) == v
+        # equivalence with the packed-words store of the same register
+        monkeypatch.delenv("PRMERS_PROOF_SHARDED")
+        ps2 = ProofSet(p, 2, widths=eng.widths,
+                       save_dir=str(tmp_path / "plain"))
+        ps2.checkpoint_engine(eng, it, 0)
+        assert os.path.exists(ps2._file(it))
+        assert ps2.load(it) == ps.load(it) == v
+
+    def test_corrupt_shard_detected(self, tmp_path, monkeypatch):
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-virtual-device mesh")
+        monkeypatch.setenv("PRMERS_PROOF_SHARDED", "1")
+        from prmers_tpu.parallel.sharded import ShardedEngine
+        p = 1279
+        eng = ShardedEngine(p, 1)
+        eng.set(0, 12345)
+        ps = ProofSet(p, 2, widths=eng.widths, save_dir=str(tmp_path))
+        it = ps.points[0]
+        ps.checkpoint_engine(eng, it, 0)
+        fn = os.path.join(ps._shard_dir(it), "shard_0.bin")
+        blob = bytearray(open(fn, "rb").read())
+        blob[20] ^= 0xFF
+        open(fn, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="CRC"):
+            ps.load(it)
