@@ -100,4 +100,25 @@ def run_tune(opts, log=print):
             results[(p, arith)] = ips
             log(f"tune: p={p} {arith} n={n} {ips:.2f} iter/s")
             del eng
+        # the 1-device mesh engine beat PallasEngine 1.58x at n=2^19 on
+        # the real chip (PERF.md r4: fori-of-3-kernel pipeline with
+        # donated buffers vs the chain kernel at the top of its range);
+        # measure it per size so the factory's record-driven routing
+        # (engine_for_rates) picks the winner instead of assuming
+        try:
+            import jax
+            if jax.devices()[0].platform not in ("cpu",):
+                from ..parallel.mesh_engine import (MeshPallasEngine,
+                                                   mesh_pallas_eligible)
+                if mesh_pallas_eligible(p):
+                    eng = MeshPallasEngine(p, 2)
+                    ips = measure_ips(eng, iters=iters)
+                    record(eng.get_size(), "MeshPallasEngine", ips,
+                           opts.save_dir)
+                    results[(p, "mesh")] = ips
+                    log(f"tune: p={p} mesh n={eng.get_size()} "
+                        f"{ips:.2f} iter/s")
+                    del eng
+        except Exception as e:  # noqa: BLE001
+            log(f"tune: mesh measure failed p={p}: {e}")
     return results

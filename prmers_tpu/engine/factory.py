@@ -84,6 +84,33 @@ def _mesh_auto_eligible(p: int) -> bool:
         return False
 
 
+def _mesh_beats_pallas(p: int, reg_count: int) -> bool:
+    """Record-driven single-chip routing (VERDICT r4 next #4): prefer
+    MeshPallasEngine on a 1-device mesh over PallasEngine when the tune
+    ladder MEASURED it faster at this transform size (it won 1.58x at
+    n=2^19 on the real chip, PERF.md r4 — the fori-of-pipeline with
+    donated buffers vs the chain kernel at the top of its range). No
+    record -> no switch; assumptions never route."""
+    import os as _os
+    if _os.environ.get("PRMERS_NO_MESH_SINGLE"):
+        return False
+    try:
+        from ..core import tune
+        from ..core.plan import cached_plan
+        n = cached_plan(p).n
+        mesh_rate = tune.lookup(n, "MeshPallasEngine")
+        base_rate = tune.lookup(n, "PallasEngine")
+        if not mesh_rate or mesh_rate <= base_rate * 1.02:
+            return False
+        from .paged import device_reg_budget
+        if reg_count > device_reg_budget(n):
+            return False        # mesh engine has no host-paging wrapper
+        from ..parallel.mesh_engine import mesh_pallas_eligible
+        return mesh_pallas_eligible(p)
+    except Exception:
+        return False
+
+
 def configured_backend() -> str:
     return _BACKEND
 
@@ -122,6 +149,8 @@ def _create_engine(p: int, reg_count: int, backend: str | None = None,
             b = "sharded"           # >1 TPU chip: the mesh IS the device
         else:
             b = "pallas" if _pallas_eligible(p) else "jax"
+            if b == "pallas" and _mesh_beats_pallas(p, reg_count):
+                b = "sharded"       # tune records: 1-device mesh wins
     if b in ("pallas", "jax"):
         # huge register counts spill to host via the LRU paging wrapper
         # (reference: engine_gpu host paging, include/marin/engine_gpu.h:2172)

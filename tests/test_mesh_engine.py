@@ -199,3 +199,29 @@ class TestMeshFactory:
         eng = create_engine(1279, 2, backend="sharded")
         inner = eng.inner if isinstance(eng, ProfiledEngine) else eng
         assert isinstance(inner, ShardedEngine)
+
+
+class TestRecordDrivenSingleChipRouting:
+    """factory._mesh_beats_pallas (VERDICT r4 next #4): the 1-device
+    mesh engine replaces PallasEngine only when the tune ladder
+    MEASURED it faster at that size — records route, assumptions
+    never do."""
+
+    def test_routes_only_on_measured_win(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from prmers_tpu.core import tune
+        from prmers_tpu.core.plan import cached_plan
+        from prmers_tpu.engine.factory import _mesh_beats_pallas
+        n = cached_plan(P_TEST, N).n
+        # no record at all -> no switch
+        assert not _mesh_beats_pallas(P_TEST, 2)
+        tune.record(n, "PallasEngine", 1067.0)
+        tune.record(n, "MeshPallasEngine", 1688.0)
+        assert _mesh_beats_pallas(P_TEST, 2)
+        # kill switch
+        monkeypatch.setenv("PRMERS_NO_MESH_SINGLE", "1")
+        assert not _mesh_beats_pallas(P_TEST, 2)
+        monkeypatch.delenv("PRMERS_NO_MESH_SINGLE")
+        # a tie or a loss never routes
+        tune.record(n, "PallasEngine", 1700.0)
+        assert not _mesh_beats_pallas(P_TEST, 2)
