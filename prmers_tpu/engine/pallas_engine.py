@@ -105,6 +105,23 @@ def op_square_seq_ones(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+def op_square_sub2_seq(fp: FourStepPlan, t: FourStepTables, x0, x1, c0,
+                       c1, count):
+    """LL chain: x <- x^2 - 2 per step, the -2 FUSED into the carry
+    kernel (kn._p7c_kernel sub2). Before this, every LL iteration paid
+    op_settle + op_linear — two full HBM digit passes — on top of the
+    3-kernel squaring (reference fuses it the same way,
+    kernels/marin.cl:1696-2414)."""
+    one = (jnp.ones((1, 1), jnp.uint32), jnp.zeros((1, 1), jnp.uint32))
+
+    def body(i, state):
+        return kn.square_step(fp, t, *state, one, a_is_one=True,
+                              sub2=True)
+
+    return lax.fori_loop(0, count, body, (x0, x1, c0, c1))
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
 def op_square_chain(fp: FourStepPlan, t: FourStepTables, x0, x1, c0, c1,
                     a_pad, count):
     """Whole chain in ONE kernel (small/mid n): data, carries, and every
@@ -306,6 +323,21 @@ class PallasEngine(Engine):
         if len(a) - off > 0:
             state = op_square_seq(self.fp, self.t, *state,
                                   jnp.asarray(a[off:]))
+        self.regs[src] = [state[0], state[1], state[2], state[3], False]
+
+    def square_sub2_seq(self, src: Reg, count: int) -> None:
+        if not self._rc:
+            super().square_sub2_seq(src, count)   # settle+linear path
+            return
+        st = self.regs[src]
+        state = (st[0], st[1], st[2], st[3])
+        k = self._SEQ_CHUNK
+        off = 0
+        while off < count:
+            step = min(k, count - off)
+            state = op_square_sub2_seq(self.fp, self.t, *state,
+                                       jnp.int32(step))
+            off += step
         self.regs[src] = [state[0], state[1], state[2], state[3], False]
 
     def set_multiplicand(self, dst: Reg, src: Reg) -> None:

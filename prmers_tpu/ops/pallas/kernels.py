@@ -610,12 +610,20 @@ def _carry_phase_math(x0, x1, wd, rounds: int, v):
 
 
 def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
-                *refs):
+                sub2: bool, *refs):
     """P7 (r1-inverse dot + wrap double + canon) with the carry fused in:
     optional small-operand multiply, digit/carry split, a fixed number of
     lane-ripple rounds (the flat digit order within a row IS the lane
     order), the 0/residual tail added unsplit, and each row's boundary
-    carry written to lane 0 of the (L, S, 128) carry-out block."""
+    carry written to lane 0 of the (L, S, 128) carry-out block.
+
+    sub2 folds the LL step's -2 into the carry phase as +(M_p - 2):
+    its digits are all-ones (mask - 2 at global digit 0), computed
+    in-kernel from the widths — no table, ~3 VPU ops/el — and the
+    usual ripple normalizes (reference analog: the -2 variant of the
+    carry-weight kernels, kernels/marin.cl:1696-2414). Without this,
+    every LL iteration paid op_settle + op_linear (two full HBM digit
+    passes) for the subtraction."""
     i = 0
     if with_a:
         a0_ref, a1_ref = refs[i], refs[i + 1]
@@ -640,8 +648,20 @@ def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
         x0, x1 = g.mul_small(x0, x1, a)
         x0, x1 = g.canon(x0, x1)
 
-    d0, d1, acc0, acc1 = _carry_phase_math(x0, x1, wd_ref[:].reshape(v),
-                                           rounds, v)
+    wdv = wd_ref[:].reshape(v)
+    if sub2:
+        mk = (jnp.uint32(1) << wdv) - jnp.uint32(1)
+        first = pl.program_id(0) == 0
+        if sub2 == 2:               # 2D grid (lane-tiled carry)
+            first = first & (pl.program_id(1) == 0)
+        z = (lax.broadcasted_iota(jnp.int32, v, 0) == 0)
+        z = z & (lax.broadcasted_iota(jnp.int32, v, 1) == 0)
+        z = z & (lax.broadcasted_iota(jnp.int32, v, 2) == 0)
+        add = jnp.where(z & first, mk - jnp.uint32(2), mk)
+        s0, cc = g.addc(x0, add)
+        x0, x1 = s0, x1 + cc
+
+    d0, d1, acc0, acc1 = _carry_phase_math(x0, x1, wdv, rounds, v)
 
     o0_ref[:] = d0.reshape(sh)
     o1_ref[:] = d1.reshape(sh)
@@ -749,7 +769,8 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
     return r0, r1
 
 
-def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None):
+def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None,
+                  sub2: bool = False):
     """P7 with the carry fused in; returns (d0, d1, co0, co1) where the
     carry pair is (R1, R2, 128) with values in lane 0 (R2 = the operand's
     local r2 extent).
@@ -808,8 +829,9 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None):
                              memory_space=pltpu.VMEM)
     smem11 = pl.BlockSpec((1, 1), im_s, memory_space=pltpu.SMEM)
     with_a = not a_is_one
+    assert not (sub2 and with_a), "LL sub2 never rides the x*a path"
     kern = functools.partial(_p7c_kernel, L, _carry_rounds(fp), with_a,
-                             fp.n)
+                             fp.n, (2 if T > 1 else 1) if sub2 else 0)
     wd = tabs["widths"] if tabs else t.widths32
     ins = ([a[0], a[1]] if with_a else []) + \
         [z0, z1, er_t, ec_t, w8, corr, wd]
@@ -1609,7 +1631,8 @@ def _xla_carry(fp: FourStepPlan, t: FourStepTables, z0, z1, a,
 
 
 def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
-                cin0, cin1, a, a_is_one: bool = False):
+                cin0, cin1, a, a_is_one: bool = False,
+                sub2: bool = False):
     """One full (x^2 * a) iteration. With row-carry state (cin ndim 3,
     (R1, R2, 128)) it is THREE kernels: P1-with-injection, the big fused
     kernel (r2-dot + mid + whole C-transform + square + mirrors), and
@@ -1619,6 +1642,7 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
     family as the input."""
     assert t.fused is not None, "pallas pipeline requires fused-C tables"
     if use_xla_carry(fp):
+        assert not sub2, "sub2 fusion needs the row-carry pipeline"
         # canonical-digit iteration: Pallas transforms + XLA carry; the
         # deferred-carry state stays zero and passes through
         wf = _wfold_ok(fp, t)
@@ -1632,7 +1656,8 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
         r0, r1 = roll_row_carries(fp, cin0, cin1)
         s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
         s0, s1 = _fused_mid(fp, t, s0, s1, "sqr")
-        return p7_carry_pass(fp, t, s0, s1, a, a_is_one)
+        return p7_carry_pass(fp, t, s0, s1, a, a_is_one, sub2=sub2)
+    assert not sub2, "sub2 fusion needs the row-carry pipeline"
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)
     s0, s1 = _p1_pass(fp, t, x0, x1, wfold=wf)

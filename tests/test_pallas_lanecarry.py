@@ -65,3 +65,48 @@ class TestLaneTiledCarry:
         eng.mul(0, 1, 5)
         want = want * want * 5 % MP
         assert eng.get_int(0) == want
+
+
+@pytest.mark.heavy
+class TestFusedLlSub2:
+    """The LL step's -2 fused into the P7 carry kernel as +(M_p - 2)
+    (digits computed in-kernel from the widths; no table). Before this,
+    every PallasEngine LL iteration paid op_settle + op_linear — two
+    full HBM digit passes (reference fuses the same way,
+    kernels/marin.cl:1696-2414). `eng` runs the lane-tiled carry
+    (T = 4), so this also covers the 2D-grid digit-0 predicate."""
+
+    def test_ll_chain_bit_exact_lane_tiled(self, eng):
+        eng.set(0, 4)
+        eng.square_sub2_seq(0, 6)
+        want = 4
+        for _ in range(6):
+            want = (want * want - 2) % MP
+        assert eng.get_int(0) == want
+
+    def test_ll_chain_whole_row_carry(self):
+        # T = 1 variant: restore the default budget (the module fixture
+        # leaves the forced-small one in the environment)
+        mp = pytest.MonkeyPatch()
+        mp.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        mp.setenv("PRMERS_CARRY_BUDGET", str(1 << 21))
+        try:
+            from prmers_tpu.core.plan import cached_plan
+            from prmers_tpu.engine.pallas_engine import PallasEngine
+            from prmers_tpu.ops.pallas import kernels as kn
+            from prmers_tpu.ops.pallas.fourstep import FourStepPlan
+            n = 1 << 15
+            p = int(n * 16.3) | 1
+            m = (1 << p) - 1
+            assert kn.carry_tiles(
+                FourStepPlan.from_plan(cached_plan(p, n))) == 1
+            e = PallasEngine(p, 1, plan=cached_plan(p, n))
+            assert e._rc
+            e.set(0, 4)
+            e.square_sub2_seq(0, 5)
+            want = 4
+            for _ in range(5):
+                want = (want * want - 2) % m
+            assert e.get_int(0) == want
+        finally:
+            mp.undo()
