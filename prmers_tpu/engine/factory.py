@@ -92,7 +92,11 @@ def _mesh_beats_pallas(p: int, reg_count: int) -> bool:
     donated buffers vs the chain kernel at the top of its range). No
     record -> no switch; assumptions never route."""
     import os as _os
-    if _os.environ.get("PRMERS_NO_MESH_SINGLE"):
+    if _os.environ.get("PRMERS_NO_MESH_SINGLE") or \
+            _os.environ.get("PRMERS_NO_ROWCARRY"):
+        # the mesh engine REQUIRES the row-carry pipeline; under the
+        # bench degrade ladder's PRMERS_NO_ROWCARRY the sharded branch
+        # would silently fall back to the slow XLA mesh engine
         return False
     try:
         from ..core import tune

@@ -628,6 +628,9 @@ def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
     if with_a:
         a0_ref, a1_ref = refs[i], refs[i + 1]
         i += 2
+    if sub2:
+        s2_ref = refs[i]
+        i += 1
     (x0_ref, x1_ref, er_ref, ec_ref, w8_ref, corr_ref,
      wd_ref, o0_ref, o1_ref, co0_ref, co1_ref) = refs[i:i + 11]
     sh = x0_ref.shape                   # (L, S, C)
@@ -657,7 +660,9 @@ def _p7c_kernel(L: int, rounds: int, with_a: bool, wcorr_n,
         z = (lax.broadcasted_iota(jnp.int32, v, 0) == 0)
         z = z & (lax.broadcasted_iota(jnp.int32, v, 1) == 0)
         z = z & (lax.broadcasted_iota(jnp.int32, v, 2) == 0)
-        add = jnp.where(z & first, mk - jnp.uint32(2), mk)
+        # the amount is an SMEM scalar: 2 on the (single-chip or
+        # shard-0) caller, 0 on mesh shards that do not own digit 0
+        add = jnp.where(z & first, mk - s2_ref[0, 0], mk)
         s0, cc = g.addc(x0, add)
         x0, x1 = s0, x1 + cc
 
@@ -770,7 +775,7 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
 
 
 def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None,
-                  sub2: bool = False):
+                  sub2=None):
     """P7 with the carry fused in; returns (d0, d1, co0, co1) where the
     carry pair is (R1, R2, 128) with values in lane 0 (R2 = the operand's
     local r2 extent).
@@ -829,13 +834,18 @@ def p7_carry_pass(fp, t, z0, z1, a, a_is_one: bool, tabs=None,
                              memory_space=pltpu.VMEM)
     smem11 = pl.BlockSpec((1, 1), im_s, memory_space=pltpu.SMEM)
     with_a = not a_is_one
-    assert not (sub2 and with_a), "LL sub2 never rides the x*a path"
+    use_sub2 = sub2 is not None and sub2 is not False
+    assert not (use_sub2 and with_a), "LL sub2 never rides the x*a path"
     kern = functools.partial(_p7c_kernel, L, _carry_rounds(fp), with_a,
-                             fp.n, (2 if T > 1 else 1) if sub2 else 0)
+                             fp.n, (2 if T > 1 else 1) if use_sub2 else 0)
     wd = tabs["widths"] if tabs else t.widths32
+    if use_sub2:
+        s2 = (jnp.full((1, 1), 2, jnp.uint32) if sub2 is True else sub2)
     ins = ([a[0], a[1]] if with_a else []) + \
+        ([s2] if use_sub2 else []) + \
         [z0, z1, er_t, ec_t, w8, corr, wd]
     in_specs = ([smem11, smem11] if with_a else []) + \
+        ([smem11] if use_sub2 else []) + \
         [xspec, xspec, vspec, ecspec, tabspec, tabspec_c,
          xspec]
     R1, R2 = fp.rs.L1, sh[1]
@@ -1656,7 +1666,8 @@ def square_step(fp: FourStepPlan, t: FourStepTables, x0, x1,
         r0, r1 = roll_row_carries(fp, cin0, cin1)
         s0, s1 = p1_carry_pass(fp, t, x0, x1, r0, r1)
         s0, s1 = _fused_mid(fp, t, s0, s1, "sqr")
-        return p7_carry_pass(fp, t, s0, s1, a, a_is_one, sub2=sub2)
+        return p7_carry_pass(fp, t, s0, s1, a, a_is_one,
+                             sub2=(sub2 or None))
     assert not sub2, "sub2 fusion needs the row-carry pipeline"
     wf = _wfold_ok(fp, t)
     x0, x1 = inject_block_carries(fp, x0, x1, cin0, cin1)

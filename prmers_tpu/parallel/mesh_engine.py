@@ -41,7 +41,8 @@ from . import dist
 from .sharded import LIMB, make_mesh, shard_map
 from .sharded_pallas import (PallasShardedTables, _build_rowcarry_step,
                              build_pallas_sharded_seq,
-                             build_pallas_sharded_seq_ones)
+                             build_pallas_sharded_seq_ones,
+                             build_pallas_sharded_seq_sub2)
 
 
 def mesh_pallas_eligible(p: int, n_devices: int | None = None,
@@ -344,6 +345,27 @@ class MeshPallasEngine(Engine):
                 state = seq(*state, jnp.asarray(a0s),
                             jnp.asarray(a1s), tb.args())
                 off += step
+        self.regs[src] = [state[0], state[1], state[2], state[3], False]
+
+    def square_sub2_seq(self, src: Reg, count: int) -> None:
+        """LL chain on the mesh with the -2 fused into the carry kernel
+        (per-shard amount scalar); falls back to square+sub under the
+        dryrun's stepwise mode."""
+        if os.environ.get("PRMERS_MESH_SEQ_STEPWISE"):
+            super().square_sub2_seq(src, count)
+            return
+        st = self.regs[src]
+        assert not st[4]
+        tb = self.tables
+        seq = tb.prog("seq_sub2",
+                      lambda: build_pallas_sharded_seq_sub2(tb))
+        state = (st[0], st[1], st[2], st[3])
+        k = self._SEQ_CHUNK
+        off = 0
+        while off < count:
+            step = min(k, count - off)
+            state = seq(*state, jnp.int32(step), tb.args())
+            off += step
         self.regs[src] = [state[0], state[1], state[2], state[3], False]
 
     def set_multiplicand(self, dst: Reg, src: Reg) -> None:

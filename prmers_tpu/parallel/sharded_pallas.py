@@ -61,8 +61,8 @@ class PallasShardedTables:
         self.fp = fp
         if kn.use_xla_carry(fp):
             raise ValueError(
-                "mesh pallas step does not yet cover the C = 8192 "
-                "xla-carry shapes (per-shard P1/P7 tiles exceed VMEM)")
+                "mesh pallas step needs the lane-tiled carry pipeline "
+                "(PRMERS_XLA_CARRY forces the canonical-digit fallback)")
         s = mesh.size
         R1, R2 = fp.rs.L1, fp.rs.L2
         if R1 % s or R2 % s:
@@ -384,6 +384,27 @@ def build_pallas_sharded_seq(tb: PallasShardedTables):
     return seq
 
 
+def build_pallas_sharded_seq_sub2(tb: PallasShardedTables):
+    """LL chain over the mesh: x <- x^2 - 2 per step, the -2 fused into
+    the per-shard P7 carry kernel (amount rides a per-shard scalar so
+    only the digit-0 owner applies it)."""
+    body = _local_step_fn(tb, with_a=False, sub2=True)
+    mesh = tb.mesh
+    vec3 = P(LIMB, None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(vec3, vec3, vec3, vec3) + tb.specs(),
+        out_specs=(vec3, vec3, vec3, vec3),
+        check_rep=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def seq(x0, x1, c0, c1, count, tabs):
+        return lax.fori_loop(
+            0, count, lambda i, st: fn(*st, *tabs), (x0, x1, c0, c1))
+
+    return seq
+
+
 def build_pallas_sharded_seq_ones(tb: PallasShardedTables):
     """Pure-squaring chain (a == 1 throughout, the PRP hot loop): the
     statically multiplier-free step under a dynamic-count fori_loop."""
@@ -404,7 +425,8 @@ def build_pallas_sharded_seq_ones(tb: PallasShardedTables):
     return seq
 
 
-def _local_step_fn(tb: PallasShardedTables, with_a: bool, mode="sqr"):
+def _local_step_fn(tb: PallasShardedTables, with_a: bool, mode="sqr",
+                   sub2: bool = False):
     """The UN-wrapped local step body (row-carry pipeline), so sequence
     builders can place their own shard_map/scan around it. Mirrors
     _build_rowcarry_step's local_step exactly."""
@@ -468,11 +490,17 @@ def _local_step_fn(tb: PallasShardedTables, with_a: bool, mode="sqr"):
 
         x0 = lax.all_to_all(x0, LIMB, 1, 0, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 1, 0, tiled=True)
+        s2op = None
+        if sub2:
+            # the -2 lands at GLOBAL digit 0: only the shard owning it
+            # (axis index 0 under r2-sharding) passes amount 2
+            s2op = ((lax.axis_index(LIMB) == 0).astype(jnp.uint32)
+                    * jnp.uint32(2)).reshape(1, 1)
         x0, x1, co0, co1 = kn.p7_carry_pass(
             fp, t, x0, x1, (a0, a1) if with_a else None, not with_a,
             tabs={"w8": d["p7_w8"], "corr": d["p7_corr"],
                   "er": d["er"], "ec": d["ec"],
-                  "widths": d["widths_r2"]})
+                  "widths": d["widths_r2"]}, sub2=s2op)
         x0 = lax.all_to_all(x0, LIMB, 0, 1, tiled=True)
         x1 = lax.all_to_all(x1, LIMB, 0, 1, tiled=True)
         co0 = lax.all_to_all(co0, LIMB, 0, 1, tiled=True)

@@ -225,3 +225,16 @@ class TestRecordDrivenSingleChipRouting:
         # a tie or a loss never routes
         tune.record(n, "PallasEngine", 1700.0)
         assert not _mesh_beats_pallas(P_TEST, 2)
+
+
+@pytest.mark.heavy
+class TestMeshLlSub2:
+    def test_ll_chain_fused(self, eng):
+        """x <- x^2 - 2 chains with the -2 fused into the per-shard P7
+        carry kernel (only the digit-0 owner applies the amount)."""
+        eng.set(0, 4)
+        eng.square_sub2_seq(0, 6)
+        want = 4
+        for _ in range(6):
+            want = (want * want - 2) % MP
+        assert eng.get_int(0) == want
