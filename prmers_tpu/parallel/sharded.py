@@ -73,8 +73,22 @@ def _mid_full(t: ntt.NttTables, inverse: bool, Fops=None):
     return m.reshape(t.R, t.C)
 
 
-def _carry_local(y, wid, msk, a, s: int):
-    """Digit-contiguous local carry with a ppermute boundary ring."""
+def _carry_local(y, wid, msk, a, s: int, absorb: int = 8):
+    """Digit-contiguous local carry with a ppermute boundary ring,
+    resolved by carry-lookahead in O(absorb + log n) — NOT one digit
+    per collective round (the adaptive while form needed a round per
+    digit of the longest saturated run: sub(x, small) adds the
+    all-ones digits of M_p - a, so a sparse x meant ~n ppermute
+    rounds; see mesh_engine._ring_carry for the full account).
+
+      A. `absorb` shifted-add rounds shrink multi-bit carries to <= 1
+         (carry magnitude divides by 2^wmin per round; callers size
+         absorb from the largest folded value — 2^(80-w) with the
+         a <= 2^16 multiplier, 3*msk for linear ops).
+      B. generate/propagate prefix within the shard (associative_scan)
+         + cyclic (G, P) resolution across the s shards (the all-P
+         cycle resolves to no carry, preserving the all-ones
+         representation of 0 == M_p)."""
     c, d = carry_ops.split(F, y, wid, msk)
     is_one = isinstance(a, int) and a == 1
     if not is_one:
@@ -84,20 +98,32 @@ def _carry_local(y, wid, msk, a, s: int):
         d = t & msk
     perm = [(i, (i + 1) % s) for i in range(s)]
 
-    def inject(c, d):
+    def ring_shift(c):
         recv = lax.ppermute(c[-1:], LIMB, perm)  # wrap = mod-M_p fold
-        c = jnp.concatenate([recv, c[:-1]])
-        t = d + c
-        return t >> wid, t & msk
+        return jnp.concatenate([recv, c[:-1]])
 
-    def cond(state):
-        c, _ = state
-        local = (c != jnp.uint64(0)).any().astype(jnp.int32)
-        return lax.psum(local, LIMB) > 0
+    for _ in range(absorb):
+        t = d + ring_shift(c)
+        c = t >> wid
+        d = t & msk
+    t = d + ring_shift(c)               # c <= 2 here: g stays 0/1
+    g = (t >> wid) != jnp.uint64(0)
+    p = (t & msk) == msk
 
-    c, d = inject(c, d)
-    c, d = lax.while_loop(cond, lambda st: inject(*st), (c, d))
-    return d
+    def comb(x, ynext):
+        g1, p1 = x
+        g2, p2 = ynext
+        return g2 | (p2 & g1), p1 & p2
+
+    G, Pf = lax.associative_scan(comb, (g, p))
+    gs = lax.all_gather(G[-1], LIMB)
+    ps = lax.all_gather(Pf[-1], LIMB)
+    k = jnp.roll(gs, 1)
+    for _ in range(s - 1):
+        k = jnp.roll(gs, 1) | (jnp.roll(ps, 1) & jnp.roll(k, 1))
+    k0 = k[lax.axis_index(LIMB)]
+    kin = jnp.concatenate([k0[None], G[:-1] | (Pf[:-1] & k0)])
+    return (t + kin.astype(jnp.uint64)) & msk
 
 
 def _fwd_local(xd, w_rc, mid_f, stages_r, stages_c, R: int, C: int,

@@ -238,3 +238,45 @@ class TestMeshLlSub2:
         for _ in range(6):
             want = (want * want - 2) % MP
         assert eng.get_int(0) == want
+
+
+@pytest.mark.heavy
+class TestMeshBigShapeStructure:
+    """The C = 8192 production shapes (600M/2^26/MM31) are mesh-eligible
+    since the lane-tiled carry landed; their KERNEL STRUCTURE — split
+    fwd/inv fused-C kernels (_fc_split) + T > 1 carry lane tiles — is
+    forced here at n = 2^19 via the env knobs, since interpret-mode
+    tables at n = 2^25 are not CPU-feasible. Bit-exact vs big-int."""
+
+    def test_split_fc_and_lane_tiled_carry_on_mesh(self, mesh8):
+        mp_ = pytest.MonkeyPatch()
+        mp_.setenv("PRMERS_PALLAS_INTERPRET", "1")
+        mp_.setenv("PRMERS_FC_SPLIT", "1")
+        mp_.setenv("PRMERS_CARRY_BUDGET", str(1 << 17))
+        try:
+            from prmers_tpu.core.plan import cached_plan
+            from prmers_tpu.ops.pallas import kernels as kn
+            from prmers_tpu.ops.pallas.fourstep import FourStepPlan
+            from prmers_tpu.parallel.mesh_engine import (
+                MeshPallasEngine, mesh_pallas_eligible)
+            n = 1 << 19
+            p = int(n * 16.15) | 1
+            m = (1 << p) - 1
+            fp = FourStepPlan.from_plan(cached_plan(p, n))
+            assert kn.carry_tiles(fp) == 4 and kn._fc_split(fp)
+            assert mesh_pallas_eligible(p, n_devices=8, n=n)
+            eng = MeshPallasEngine(p, 3, mesh8, n=n)
+            assert eng._csh == (fp.rs.L1, fp.rs.L2, 4 * 128)
+            eng.set(0, 3)
+            eng.square_mul_seq(0, [1, 3, 1])
+            want = 3
+            for a in (1, 3, 1):
+                want = want * want * a % m
+            assert eng.get_int(0) == want
+            eng.set(1, 7)
+            eng.set_multiplicand(2, 1)
+            eng.mul(0, 2, 5)            # split invh_mul kernel path
+            want = want * 7 * 5 % m
+            assert eng.get_int(0) == want
+        finally:
+            mp_.undo()
