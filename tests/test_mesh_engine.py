@@ -280,3 +280,30 @@ class TestMeshBigShapeStructure:
             assert eng.get_int(0) == want
         finally:
             mp_.undo()
+
+
+@pytest.mark.heavy
+class TestLookaheadEdgeValues:
+    """Adversarial values for the lookahead carry ring: saturated-run
+    chains of every flavor (all-ones, near-M_p, single-bit holes,
+    cross-shard propagation, the cyclic wrap)."""
+
+    def test_adversarial_linear_values(self, eng):
+        cases = [
+            (0, 1),                    # 0 - 1 -> M_p - 1 (full borrow)
+            (MP - 1, MP - 2),          # near-top + near-top: wraps
+            (MP - (1 << 100), 12345),  # one hole deep in an all-ones run
+            ((1 << (P_TEST // 2)), 1), # single bit mid-number
+        ]
+        for va, vb in cases:
+            eng.set(0, va)
+            eng.set(1, vb)
+            eng.add(0, 1)
+            assert eng.get_int(0) == (va + vb) % MP, (va, vb, "add")
+            eng.set(0, va)
+            eng.sub_reg(0, 1)
+            assert eng.get_int(0) == (va - vb) % MP, (va, vb, "sub_reg")
+        # exact wrap to the all-ones representation of 0
+        eng.set(0, MP - 7)
+        eng.add_small(0, 7)
+        assert eng.get_int(0) == 0

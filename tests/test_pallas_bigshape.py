@@ -123,9 +123,8 @@ def _square_chain_val(fp, t, v0, steps, a=1):
     for _ in range(steps):
         x0, x1, c0, c1 = kn.square_step(fp, t, x0, x1, c0, c1, ap,
                                         a_is_one=(a == 1))
-    w64 = jnp.asarray(fp.widths.astype(np.uint64))
-    m64 = (jnp.uint64(1) << w64) - jnp.uint64(1)
-    x0, x1 = op_settle(fp.n, w64, m64, x0, x1, c0, c1)
+    w32 = jnp.asarray(fp.widths.astype(np.uint32))
+    x0, x1 = op_settle(fp.n, w32, x0, x1, c0, c1)
     d = from_pairs(np.asarray(x0).reshape(fp.n),
                    np.asarray(x1).reshape(fp.n))
     return dg.digits_to_int(d, fp.widths)
