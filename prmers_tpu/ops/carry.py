@@ -53,15 +53,45 @@ def carry_full(F: FieldOps, y, widths, masks, a, lax=None):
         while bool((c != 0).any()):
             c, d = inject(c, d)
         return d
-    else:
-        def cond(state):
-            c, d = state
-            return xp.any(c != xp.uint64(0))
 
-        def body(state):
-            return inject(*state)
+    # Device path: the old form looped `inject` until every carry was
+    # zero — one digit of travel per round, so a SATURATED DIGIT RUN
+    # (e.g. the all-ones digits of masks - y after subtracting a small
+    # value, or a register holding M_p - a) rippled a 1 across up to
+    # all n digits: ~n sequential full-vector rounds, which at
+    # n = 2^25 exceeds the TPU worker deadline and KILLS THE WORKER
+    # (measured: 118 s at n = 2^20, tools/settle_probe.py — the r4
+    # MM31 stage-2 'device crash'). Same disease, same cure as the
+    # mesh _ring_carry (parallel/sharded.py): a bounded absorb phase
+    # shrinks carries geometrically to 0/1 (a saturated run only ever
+    # FORWARDS a 1, it cannot grow one), then one generate/propagate
+    # associative_scan resolves the 0/1 ripple in O(log n) with the
+    # cyclic wrap (the mod-M_p fold) closed by feeding the total G
+    # back into digit 0.
+    def cond(state):
+        return xp.any(state[0] > xp.uint64(1))
 
-        # one guaranteed round, then loop until all carries settle
-        c, d = inject(c, d)
-        c, d = lax.while_loop(cond, body, (c, d))
-        return d
+    def body(state):
+        return inject(*state)
+
+    # absorb: bounded by ~64/min(width) rounds regardless of data
+    c, d = inject(c, d)
+    c, d = lax.while_loop(cond, body, (c, d))
+
+    # 0/1 ripple via carry-lookahead
+    one = xp.uint64(1)
+    s = d + xp.roll(c, 1)              # s <= mask + 1 = 2^width
+    g = s > masks                      # generates an out-carry
+    p = s == masks                     # propagates an in-carry
+
+    def compose(a, b):                 # a = earlier digits, b = later
+        ga, pa = a
+        gb, pb = b
+        return gb | (pb & ga), pb & pa
+
+    G, P = lax.associative_scan(compose, (g, p))
+    x0 = G[-1]                         # cyclic fixed point (total G)
+    xg, xp_ = xp.roll(G, 1), xp.roll(P, 1)
+    first = lax.iota(xp.int32, d.shape[0]) == 0
+    cin = xp.where(first, x0, xg | (xp_ & x0))
+    return (s + cin.astype(xp.uint64)) & masks

@@ -687,24 +687,43 @@ def _carry_rounds(fp: FourStepPlan) -> int:
     return max(rounds, 2)
 
 
-def _row_cin_plan(fp: FourStepPlan):
-    """Per-carry-unit spread tables: (k, wt (R1, R2, T*k) u32,
-    cum (R1, R2, T*k)). A carry unit is CT consecutive digits (T =
-    carry_tiles(fp) units per row; T == 1 = the classic per-row form).
-    Tile t's k columns sit at lane offset t*k so the kernels' (L, S, k)
-    blocks slice them by c-grid index."""
-    C = fp.C
+def cin_row_k(fp: FourStepPlan) -> int:
+    """Spread parts per carry unit: smallest k whose leading-k digit
+    widths cover >= 64 bits in EVERY unit (a unit is carry_ct(fp)
+    consecutive digits)."""
     ct = carry_ct(fp)
-    T = C // ct
-    wmat = fp.widths.reshape(fp.R * T, ct).astype(np.int64)
+    wmat = fp.widths.reshape(fp.n // ct, ct).astype(np.int64)
     k = 1
     while int(wmat[:, :k].sum(axis=1).min()) < 64:
         k += 1
+    return k
+
+
+def _row_cin_plan(fp: FourStepPlan):
+    """Per-carry-unit spread tables: (k, wt, cum) u32. A carry unit is
+    CT consecutive digits (T = carry_tiles(fp) units per row; T == 1 =
+    the classic per-row form, tables (R1, R2, k)). For T > 1 each unit's
+    k columns are PADDED to a full 128-lane tile ((R1, R2, T*128), unit
+    t at lane offset t*128): Mosaic's block rule requires the kernels'
+    last block dim to be 128-divisible or the whole axis, so a
+    (L1, S, k) block over a T*k axis cannot lower on device."""
+    C = fp.C
+    ct = carry_ct(fp)
+    T = C // ct
+    k = cin_row_k(fp)
+    wmat = fp.widths.reshape(fp.R * T, ct).astype(np.int64)
     wt = wmat[:, :k].astype(np.uint32)
     cum = np.zeros((fp.R * T, k), dtype=np.uint32)
     cum[:, 1:] = np.cumsum(wt[:, :-1], axis=1)
     R1, R2 = fp.rs.L1, fp.rs.L2
-    return (k, wt.reshape(R1, R2, T * k), cum.reshape(R1, R2, T * k))
+    if T == 1:
+        return (k, wt.reshape(R1, R2, k), cum.reshape(R1, R2, k))
+    wt_p = np.zeros((fp.R * T, 128), dtype=np.uint32)
+    cum_p = np.zeros((fp.R * T, 128), dtype=np.uint32)
+    wt_p[:, :k] = wt
+    cum_p[:, :k] = cum
+    return (k, wt_p.reshape(R1, R2, T * 128),
+            cum_p.reshape(R1, R2, T * 128))
 
 
 def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
@@ -718,7 +737,9 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
     ct = carry_ct(fp)
     T = sh[2] // ct
     wt, cum = (tabs["wt"], tabs["cum"]) if tabs else t.cinrow
-    k = int(wt.shape[-1]) // T
+    # T > 1 tables are 128-lane padded per unit; k never comes from
+    # their shape (cin_row_k is a pure function of the plan)
+    k = int(wt.shape[-1]) if T == 1 else cin_row_k(fp)
     if tabs:
         w8, corr = tabs["w8"], tabs["corr"]
         er_t, ec_t = tabs["er"], tabs["ec"]
@@ -750,7 +771,8 @@ def p1_carry_pass(fp, t, x0, x1, cin0, cin1, tabs=None):
     blk = (fp.rs.L1, S, ct)
     xspec = pl.BlockSpec(blk, im, memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((fp.rs.L1, S, 128), im, memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((fp.rs.L1, S, k), im, memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((fp.rs.L1, S, k if T == 1 else 128), im,
+                         memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((fp.rs.L1, S, 1),
                          (lambda i: (i * 0, i, i * 0)) if T == 1
                          else (lambda i, j: (i * 0, i, j * 0)),

@@ -123,6 +123,64 @@ class TestCompactWidths:
         assert np.array_equal(full, compact)
 
 
+class TestSaturatedRipple:
+    """The device carry_full must resolve a saturated-digit ripple in
+    O(log n), not O(n) ring rounds: the old while-until-zero form walked
+    a 1 across every digit of e.g. masks - small (sub of a small value),
+    blowing the TPU worker deadline at big n (tools/settle_probe.py:
+    118 s at n = 2^20; the r4 MM31 stage-2 'worker crash')."""
+
+    def _lax_vs_np(self, y, widths):
+        import jax
+        import jax.numpy as jnp
+        from prmers_tpu.core.field import FieldOps
+        from prmers_tpu.ops import carry as carry_ops
+        Fj = FieldOps(jnp)
+        Fn = FieldOps(np)
+        w64 = widths.astype(np.uint64)
+        masks = (np.uint64(1) << w64) - np.uint64(1)
+        want = carry_ops.carry_full(Fn, y.copy(), w64, masks.copy(), 1)
+        got = jax.jit(lambda yy, ww: carry_ops.carry_full(
+            Fj, yy, ww, None, 1, lax=jax.lax))(y, widths.astype(np.uint8))
+        assert np.array_equal(np.asarray(got), want)
+
+    def test_allones_single_carry(self):
+        # all-saturated digits + one carry: the full-ring ripple case
+        n = 4096
+        widths = np.full(n, 5, np.uint8)
+        widths[1::7] = 6
+        masks = (1 << widths.astype(np.uint64)) - 1
+        y = masks.copy()
+        y[0] += 1
+        self._lax_vs_np(y, widths)
+
+    def test_mp_representation_fixed_point(self):
+        # value M_p (all mask, no carries) must stay put, not ripple
+        n = 512
+        widths = np.full(n, 6, np.uint8)
+        masks = (1 << widths.astype(np.uint64)) - 1
+        y = masks.copy()
+        self._lax_vs_np(y, widths)
+
+    def test_random_with_mul(self):
+        import jax
+        import jax.numpy as jnp
+        from prmers_tpu.core.field import FieldOps
+        from prmers_tpu.ops import carry as carry_ops
+        Fj = FieldOps(jnp)
+        Fn = FieldOps(np)
+        n = 2048
+        rng = np.random.default_rng(3)
+        widths = np.where(rng.random(n) < 0.5, 5, 6).astype(np.uint8)
+        w64 = widths.astype(np.uint64)
+        masks = (np.uint64(1) << w64) - np.uint64(1)
+        y = rng.integers(0, 1 << 60, n, dtype=np.uint64)
+        want = carry_ops.carry_full(Fn, y.copy(), w64, masks.copy(), 3)
+        got = jax.jit(lambda yy, ww: carry_ops.carry_full(
+            Fj, yy, ww, None, 3, lax=jax.lax))(y, widths)
+        assert np.array_equal(np.asarray(got), want)
+
+
 def test_checkpoint_live_multiplicand(p=127):
     """A checkpoint taken with a prepared multiplicand must restore to an
     engine where mul against that register still works (VERDICT round-1

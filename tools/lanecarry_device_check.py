@@ -42,19 +42,23 @@ def inner(variant: str) -> None:
     eng = PallasEngine(P, 2, plan=plan)
     info["rowcarry"] = eng._rc
     info["setup_s"] = round(time.time() - t0, 1)
+    print(f"setup done {info['setup_s']}s rowcarry={eng._rc}", flush=True)
 
     # correctness: chain with the fast-3 operand + a wrap-heavy value
     eng.set(0, 3)
     eng.square_mul_seq(0, [1, 3, 1])
+    print(f"chain dispatched {time.time() - t0:.1f}s", flush=True)
     want = 3
     for a in (1, 3, 1):
         want = want * want * a % mp
     got = eng.get_int(0)
+    print(f"chain fetched {time.time() - t0:.1f}s", flush=True)
     assert got == want, "600M-class chain mismatch"
     eng.set(1, mp - 5)
     eng.square_mul(1, 7)
     assert eng.get_int(1) == (mp - 5) ** 2 * 7 % mp, "wrap mismatch"
     info["bitexact"] = True
+    print(f"bitexact OK {time.time() - t0:.1f}s", flush=True)
 
     # rate (warm the exact chunk length first)
     eng._SEQ_CHUNK = ITERS
